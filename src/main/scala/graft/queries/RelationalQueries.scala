@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Sessions.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core: aggregation, broadcast joins, semi/anti joins, argmax,
+  * windows, sessionization, global sort. These are the Spark-native
+  * realizations of the reference's hand-written pipelines (SURVEY.md §2):
+  * A0 argmax winners (deduplicate_index_urls.py:135–156), J2/J3 anti/semi
+  * joins, A6/A7 statistics, O2 range coalescing (index.py:187–241),
+  * O3 crawl-order sort (download_pages.py:145–153).
+  *
+  * Every aggregate/computed column is aliased identically in the Spark code
+  * and the DuckDB oracle SQL; double-valued aggregates are rounded on both
+  * sides so value hashing is stable across engines.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // A6/A7-style corpus statistics over the biggest table. Partial+final
+    // hash aggregation == the reference's two-phase per-file/global dicts.
+    "q_agg_pricing" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders")
+        )
+    },
+
+    // A8 top-n frequency count.
+    "q_topk_events" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .orderBy(desc("n"), asc("event_type"))
+        .limit(5)
+    },
+
+    // Broadcast-join chain: dims are tiny -> broadcast, fact aggregated.
+    "q_join_region_sales" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val nat  = table(s, dir, "nation")
+      val reg  = table(s, dir, "region")
+      val ord  = table(s, dir, "orders")
+      ord
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue")
+        )
+    },
+
+    // J3/J4-style left-semi join (EXISTS).
+    "q_semi_join" -> { (s, dir) =>
+      val ord  = table(s, dir, "orders")
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      ord
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+    },
+
+    // J2-style left-anti join (NOT EXISTS) — the URL-seen filter shape.
+    // Customers with no order above the price threshold (non-empty at
+    // every SF, unlike "no orders at all").
+    "q_anti_join" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val ord  = table(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // A0 argmax: per customer keep the latest order; deterministic total
+    // tie-break (o_orderdate desc, o_orderkey desc) exactly as the
+    // URL-seen winner needs (deduplicate_index_urls.py:135–156).
+    "q_argmax_latest_order" -> { (s, dir) =>
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("latest_orderkey"),
+          round(col("o_totalprice"), 2).as("latest_price")
+        )
+    },
+
+    // Politeness-queue shape: rank per host (user) by priority, emit a
+    // bounded number per host (per-host emission quota).
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      table(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    },
+
+    // O2 range coalescing / sessionization: contiguous-run grouping via
+    // lag + cumulative sum (index.py:187–241 byte-range coalescing shape).
+    "q_sessionize" -> { (s, dir) =>
+      val w  = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val ev = table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "new_sess",
+          when(
+            col("prev_ts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800),
+            1L
+          ).otherwise(0L)
+        )
+      ev.groupBy("user_id")
+        .agg(
+          sum("new_sess").as("n_sessions"),
+          count(lit(1)).as("n_events")
+        )
+    },
+
+    // O3 crawl-order global sort: total order + stable positions.
+    "q_global_sort" -> { (s, dir) =>
+      val w = Window.orderBy(asc("ts"), asc("event_id"))
+      table(s, dir, "events")
+        .orderBy(asc("ts"), asc("event_id"))
+        .limit(100)
+        .withColumn("ord", row_number().over(w))
+        .select("ord", "event_id", "user_id")
+    },
+
+    // Distinct/statistics: per event_type distinct users + value stats.
+    "q_distinct_stats" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          round(min("value"), 2).as("min_v"),
+          round(max("value"), 2).as("max_v")
+        )
+    },
+
+    // F21 deterministic split: modulo-based Bernoulli stand-in (seeded
+    // rand is engine-specific; modulo is portable and partition-invariant).
+    "q_split_sample" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("bucket", pmod(col("event_id"), lit(10L)))
+        .filter(col("bucket") === 0)
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // Tumbling-window aggregation (streaming-equivalent shape; the same
+    // frame is recomputed via Structured Streaming in the test suite).
+    "q_tumbling_window" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+        .groupBy("hour_ts", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+         count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_topk_events" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+         FROM events GROUP BY event_type
+         ORDER BY n DESC, event_type ASC LIMIT 5""",
+    "q_join_region_sales" ->
+      """SELECT r_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE EXISTS (SELECT 1 FROM customer
+                       WHERE c_custkey = o_custkey
+                         AND c_mktsegment = 'BUILDING')""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 450000.0)""",
+    "q_argmax_latest_order" ->
+      """SELECT o_custkey, latest_orderkey, latest_price FROM (
+           SELECT o_custkey, o_orderkey AS latest_orderkey,
+                  round(o_totalprice, 2) AS latest_price,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q_window_rank" ->
+      """SELECT user_id, event_id, rnk FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS rnk
+           FROM events) WHERE rnk <= 3""",
+    "q_sessionize" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+         FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (
+             SELECT user_id, ts,
+                    lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS prev_ts
+             FROM events))
+         GROUP BY user_id""",
+    "q_global_sort" ->
+      """SELECT row_number() OVER (ORDER BY ts ASC, event_id ASC) AS ord,
+                event_id, user_id
+         FROM (SELECT * FROM events ORDER BY ts ASC, event_id ASC LIMIT 100)""",
+    "q_distinct_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+         FROM events GROUP BY event_type""",
+    "q_split_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id % 10 = 0""",
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_v
+         FROM events GROUP BY 1, 2"""
+  )
+}
