@@ -1,0 +1,161 @@
+package graft.functions
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization, faithful to the reference's Python semantics:
+  *   - `unquoteInf`: percent-decode to fixpoint (cc_corpus/utils.py:297–308)
+  *   - `host`: urlsplit().netloc (scripts/filter_index.py:113–117)
+  *   - `stripWww`: ^(www|ww2|ww3|www2|www3)\. (filter_index.py:39)
+  *   - `surtKey`: reversed host labels, `www[1-9]?`/`*` head dropped
+  *     (cc_corpus/index.py:26–36)
+  *   - `bareUrl`: protocol-less URL for http/https twin matching
+  *     (scripts/frequent_paragraphs.py:226–229)
+  *
+  * Pure Scala versions feed the single-threaded reference interpreter and
+  * the UDFs; everything regex-shaped is also exposed as Column expressions
+  * built from `functions._` so the hot path stays inside whole-stage
+  * codegen.
+  */
+object Urls {
+
+  // ---- pure Scala (reference-parity) ----
+
+  /** One round of Python `urllib.parse.unquote`: decode runs of %XX
+    * triplets as UTF-8 with replacement; malformed escapes pass through.
+    */
+  def unquoteOnce(s: String): String = {
+    val n = s.length
+    if (s.indexOf('%') < 0) return s
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      out.append(dec.decode(ByteBuffer.wrap(bytes.toByteArray)).toString)
+      bytes.reset()
+    }
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        flushBytes()
+        out.append(c)
+        i += 1
+      }
+    }
+    flushBytes()
+    out.toString
+  }
+
+  /** Percent-decode repeatedly until fixpoint (multi-quoted URLs). Bounded
+    * at 16 rounds as a safety net; the reference loops unboundedly but a
+    * decode strictly shrinks or stabilizes the string.
+    */
+  def unquoteInf(s: String): String = {
+    var cur = s
+    var i = 0
+    while (i < 16) {
+      val next = unquoteOnce(cur)
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  private val HostRe = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*).*$".r
+
+  /** Python urlsplit().netloc: authority after `scheme://` (or leading
+    * `//`), up to the first `/`, `?` or `#`; "" when the URL has none.
+    */
+  def host(url: String): String = url match {
+    case HostRe(h) => h
+    case _         => ""
+  }
+
+  private val WwwPrefix = "^(?:www|ww2|ww3|www2|www3)\\.".r
+  private val WwwLabel  = "www[1-9]?".r
+
+  /** filter_index.py http_filter: strip the www-ish prefix off a netloc. */
+  def stripWww(hostname: String): String =
+    WwwPrefix.replaceFirstIn(hostname, "")
+
+  /** SURT domain key: host labels reversed, joined with ','; a leading
+    * `www[1-9]?` or `*` label (i.e. the *last* element after reversal) is
+    * dropped. cc_corpus/index.py:29–36.
+    */
+  def surtKey(hostname: String): String = {
+    val labels = hostname.split("\\.", -1).reverse
+    val trimmed =
+      if (labels.nonEmpty &&
+          (labels.last == "*" || WwwLabel.pattern.matcher(labels.last).matches()))
+        labels.dropRight(1)
+      else labels
+    trimmed.mkString(",")
+  }
+
+  /** Protocol-less URL: `url[url.find('://') + 3:]`. The reference's
+    * find()-returns--1 quirk (no "://" → drop first two chars) is
+    * reproduced deliberately for parity.
+    */
+  def bareUrl(url: String): String = {
+    val i = url.indexOf("://")
+    url.substring(math.min(i + 3, url.length).max(0))
+  }
+
+  // ---- Column forms (codegen-friendly where possible) ----
+
+  /** netloc as a Column: regexp over the raw URL (no UDF). */
+  def hostCol(url: Column): Column =
+    regexp_extract(url, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)", 1)
+
+  /** www-stripped domain (http_filter). */
+  def domainCol(url: Column): Column =
+    regexp_replace(hostCol(url), "^(?:www|ww2|ww3|www2|www3)\\.", "")
+
+  /** SURT key column: reverse(split(host,'.')) with the www-or-star head
+    * label dropped.
+    */
+  def surtKeyCol(hostC: Column): Column = {
+    val rev  = reverse(split(hostC, "\\.", -1))
+    val last = element_at(rev, size(rev))
+    val trimmed = when(
+      size(rev) > 0 &&
+        (last === "*" || last.rlike("^www[1-9]?$")),
+      slice(rev, lit(1), size(rev) - 1)
+    ).otherwise(rev)
+    array_join(trimmed, ",")
+  }
+
+  /** Protocol-less URL column (with the same find() quirk; first
+    * occurrence of "://", like Python str.find).
+    */
+  def bareUrlCol(url: Column): Column = {
+    val i = instr(url, "://")
+    when(i > 0, url.substr(i + lit(3), length(url)))
+      .otherwise(url.substr(lit(3), length(url)))
+  }
+
+  private val unquoteInfUdf = udf(unquoteInf _)
+
+  /** Canonical URL column: percent-decode fixpoint (UDF — inherently
+    * iterative; upgrade path is a Catalyst Expression with codegen).
+    */
+  def canonicalUrlCol(url: Column): Column = unquoteInfUdf(url)
+
+  /** 64-bit URL hash for the seen-set (xxhash64 builtin — deterministic
+    * across runs, unlike Python's salted hash(), SURVEY.md §7.4 risk 3).
+    */
+  def urlHashCol(url: Column): Column = xxhash64(url)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Frontier scheduling: per-host politeness quotas, robots gating and
+  * byte-range coalescing (SURVEY.md §7.1 item 3; reference constants §6).
+  *
+  * Politeness is *data layout*, not threads (§2.7): candidates are ranked
+  * per host_key; `wave` is the emission round — one URL per host per wave,
+  * so a fetch executor that processes waves in order respects per-host
+  * delay budgets, and a mega-host cannot stall a partition (its URLs land
+  * in later waves while other hosts' early waves proceed).
+  */
+object Frontier {
+
+  /** Rank candidates per host by priority; emit at most `quota` per host.
+    * `wave` = within-host rank: the politeness emission round.
+    */
+  def politenessRank(candidates: DataFrame,
+                     hostCol: String,
+                     priorityCols: Seq[Column],
+                     quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
+    candidates
+      .withColumn("wave", row_number().over(w))
+      .filter(col("wave") <= quota)
+  }
+
+  /** J8 robots gating: keep candidates not disallowed by the most
+    * specific (longest-prefix) matching rule for their host; hosts with
+    * no matching rule are allowed. The rules table is small relative to
+    * the frontier → broadcast join on host_key, prefix match, then a
+    * longest-prefix argmax per candidate.
+    */
+  def robotsGate(candidates: DataFrame, rules: DataFrame,
+                 urlCol: String = "url",
+                 urlPathCol: String = "path"): DataFrame = {
+    // Verdict per distinct (host_key, url): longest matching prefix wins;
+    // no matching rule -> allowed. Distinct first so the broadcast join
+    // and argmax run once per URL, not once per candidate row.
+    val verdicts = candidates
+      .select(col("host_key"), col(urlCol), col(urlPathCol))
+      .distinct()
+      .join(broadcast(rules), Seq("host_key"), "inner")
+      .filter(col(urlPathCol).startsWith(col("path_prefix")))
+      .groupBy("host_key", urlCol)
+      // longest prefix wins; equal-length tie -> allow (robots RFC 9309 §2.2.2)
+      .agg(max_by(col("allow"), struct(length(col("path_prefix")), col("allow")))
+        .as("__allowed"))
+    candidates
+      .join(verdicts, Seq("host_key", urlCol), "left_outer")
+      .filter(coalesce(col("__allowed"), lit(true)))
+      .drop("__allowed")
+  }
+
+  /** O2 byte-range coalescing: group cluster ranges by file, merge
+    * byte-contiguous runs (offset == previous end), cap each batch at
+    * `maxClusters` (cc_corpus/index.py:187–241; ≤100 clusters/request,
+    * get_indexfiles.py:64–70).  Output: one row per (file, batch) with
+    * the merged [start, end) range and member count.
+    */
+  def coalesceRanges(clusters: DataFrame, maxClusters: Int = 100): DataFrame = {
+    val w = Window.partitionBy("file_name").orderBy(asc("offset"))
+    val runs = clusters
+      .withColumn("prev_end", lag(col("offset") + col("length"), 1).over(w))
+      .withColumn("is_break",
+        when(col("prev_end").isNull || col("prev_end") =!= col("offset"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum(col("is_break")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pos_in_run",
+        row_number().over(
+          Window.partitionBy(col("file_name"), col("run_id"))
+            .orderBy(asc("offset"))))
+      .withColumn("batch_in_run",
+        ((col("pos_in_run") - 1) / maxClusters).cast(LongType))
+    runs
+      .groupBy("file_name", "run_id", "batch_in_run")
+      .agg(
+        min("offset").as("range_start"),
+        max(col("offset") + col("length")).as("range_end"),
+        count(lit(1)).as("n_clusters")
+      )
+  }
+}

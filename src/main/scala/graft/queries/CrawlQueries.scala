@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Sessions.table
+import graft.functions.Urls
+import graft.operators.{Frontier, UrlDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Crawl-engine operators exposed over the driver's parquet tables: both
+  * the Spark side and the DuckDB oracle derive the same synthetic
+  * frontier frame from `events`/`documents`, then the Spark side runs the
+  * *production operators* (UrlDedup, Frontier, Urls) while the oracle
+  * re-expresses the semantics in SQL. This puts the crawl core under the
+  * driver's correctness gate, not just ScalaTest.
+  */
+object CrawlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic index frame derived deterministically from `events`:
+    * url collides across records (the dedup has real work), length/ord
+    * give the argmax a total order. Mirrored 1:1 in `indexSql`.
+    */
+  private def indexFrame(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      concat(lit("https://h"), pmod(col("user_id"), lit(20L)),
+             lit(".example.com/p"), pmod(col("event_id"), lit(100L)))
+        .as("url"),
+      concat(lit("crawl-data/CC-MAIN-2024-"),
+             lpad(pmod(col("event_id"), lit(3L)).cast("string"), 2, "0"),
+             lit("/part-"),
+             lpad(pmod(col("user_id"), lit(4L)).cast("string"), 3, "0"),
+             lit(".warc.gz")).as("warc"),
+      col("event_id").as("offset"),
+      // explicit floor: Spark's double->long cast truncates while DuckDB's
+      // rounds, so the truncation must be spelled out on both sides
+      floor(col("value") * 100).cast(LongType).as("length"),
+      lit(0).as("file_ord"),
+      col("event_id").as("line_ord"),
+      lit("f0").as("file")
+    )
+
+  private val indexSql =
+    """SELECT 'https://h' || (user_id % 20) || '.example.com/p' ||
+              (event_id % 100) AS url,
+              'crawl-data/CC-MAIN-2024-' ||
+              lpad(CAST(event_id % 3 AS VARCHAR), 2, '0') || '/part-' ||
+              lpad(CAST(user_id % 4 AS VARCHAR), 3, '0') || '.warc.gz' AS warc,
+              event_id AS "offset",
+              CAST(floor(value * 100) AS BIGINT) AS length,
+              0 AS file_ord,
+              event_id AS line_ord
+       FROM events"""
+
+  val defs: Map[String, Q] = Map(
+    // F4/F7/F8: URL canonicalization — percent-decode fixpoint, www strip,
+    // netloc, SURT key, via the production column functions.
+    "q_url_canonical" -> { (s, dir) =>
+      val urls = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://www."), col("source"),
+               lit(".example.com/d/a%2561b/"), col("doc_id")).as("url"))
+      urls.select(
+        col("doc_id"),
+        Urls.canonicalUrlCol(col("url")).as("canon_url"),
+        Urls.domainCol(col("url")).as("domain"),
+        Urls.surtKeyCol(Urls.hostCol(col("url"))).as("surt_key"),
+        Urls.bareUrlCol(col("url")).as("bare_url"))
+    },
+
+    // A0: URL-seen winner per URL (keep=biggest, strict-greater ties ->
+    // earliest ord) via the production UrlDedup.winners aggregation.
+    "q_urlseen_winners" -> { (s, dir) =>
+      UrlDedup.winners(indexFrame(s, dir), "biggest")
+        .select(col("url"), col("warc"), col("offset"), col("length"))
+    },
+
+    // J2: anti-join of "today's" URLs against the seen set (bloom
+    // pre-pass + exact anti-join) via UrlDedup.antiJoinSeen.
+    "q_seen_antijoin" -> { (s, dir) =>
+      val idx  = indexFrame(s, dir)
+      val seen = idx.filter(col("offset") < 5000).select("url").distinct()
+      val neu  = idx.filter(col("offset") >= 5000)
+      UrlDedup.antiJoinSeen(neu, seen, s)
+        .select("url").distinct()
+    },
+
+    // O3: crawl-order global sort with contiguous ord, via
+    // UrlDedup.crawlOrder (zipWithIndex path — no single-partition window).
+    "q_crawl_order" -> { (s, dir) =>
+      val idx     = indexFrame(s, dir)
+      val kept    = UrlDedup.keepWinners(idx, UrlDedup.winners(idx))
+      UrlDedup.crawlOrder(kept).select("ord", "url", "warc", "offset")
+    },
+
+    // J8: robots gating — longest-prefix rules, allow-by-default — via
+    // Frontier.robotsGate with an in-query rules table.
+    "q_robots_gate" -> { (s, dir) =>
+      import s.implicits._
+      val cand = indexFrame(s, dir).select(
+        regexp_extract(col("url"), "^https://([^/]*)", 1).as("host_key"),
+        col("url"),
+        regexp_extract(col("url"), "^https://[^/]*(/.*)$", 1).as("path"),
+        col("offset"))
+      // disallow /p1* on every 5th host; allow-all override on /p19
+      val rules = (0 until 20).filter(_ % 5 == 0).flatMap { h =>
+        Seq((s"h$h.example.com", "/p1", false),
+            (s"h$h.example.com", "/p19", true))
+      }.toDF("host_key", "path_prefix", "allow")
+      Frontier.robotsGate(cand, rules)
+        .groupBy("host_key")
+        .agg(count(lit(1)).as("n_allowed"),
+             countDistinct(col("url")).as("n_urls"))
+    },
+
+    // Politeness ranking: per-host priority order + emission quota via
+    // Frontier.politenessRank.
+    "q_politeness_rank" -> { (s, dir) =>
+      val cand = indexFrame(s, dir).select(
+        regexp_extract(col("url"), "^https://([^/]*)", 1).as("host_key"),
+        col("url"), col("offset"), col("length"))
+      Frontier.politenessRank(
+        cand, "host_key",
+        Seq(desc("length"), asc("offset")), quota = 5)
+        .select("host_key", "url", "offset", "wave")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_url_canonical" ->
+      """SELECT doc_id,
+           'https://www.' || source || '.example.com/d/aab/' || doc_id AS canon_url,
+           source || '.example.com' AS domain,
+           'com,example,' || source AS surt_key,
+           'www.' || source || '.example.com/d/a%2561b/' || doc_id AS bare_url
+         FROM documents""",
+    "q_urlseen_winners" ->
+      s"""WITH idx AS ($indexSql)
+          SELECT url, warc, "offset", length FROM (
+            SELECT url, warc, "offset", length,
+                   row_number() OVER (PARTITION BY url
+                     ORDER BY length DESC, file_ord ASC, line_ord ASC) AS rn
+            FROM idx) WHERE rn = 1""",
+    "q_seen_antijoin" ->
+      s"""WITH idx AS ($indexSql)
+          SELECT DISTINCT url FROM idx
+          WHERE "offset" >= 5000
+            AND url NOT IN (SELECT url FROM idx WHERE "offset" < 5000)""",
+    "q_crawl_order" ->
+      s"""WITH idx AS ($indexSql),
+          win AS (
+            SELECT url, warc, "offset", length FROM (
+              SELECT url, warc, "offset", length,
+                     row_number() OVER (PARTITION BY url
+                       ORDER BY length DESC, file_ord ASC, line_ord ASC) AS rn
+              FROM idx) WHERE rn = 1),
+          kept AS (
+            SELECT i.* FROM idx i
+            WHERE EXISTS (SELECT 1 FROM win w
+                          WHERE w.url = i.url AND w.warc = i.warc
+                            AND w."offset" = i."offset"
+                            AND w.length = i.length))
+          SELECT row_number() OVER (ORDER BY warc, "offset", url,
+                                    file_ord, line_ord) - 1 AS ord,
+                 url, warc, "offset"
+          FROM kept""",
+    "q_robots_gate" ->
+      s"""WITH idx AS ($indexSql),
+          cand AS (
+            SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host_key,
+                   url,
+                   regexp_extract(url, '^https://[^/]*(/.*)$$', 1) AS path,
+                   "offset"
+            FROM idx)
+          SELECT host_key, count(*) AS n_allowed,
+                 count(DISTINCT url) AS n_urls
+          FROM cand
+          WHERE NOT (
+            CAST(regexp_extract(host_key, '^h(\\d+)', 1) AS INT) % 5 = 0
+            AND path LIKE '/p1%' AND path NOT LIKE '/p19%')
+          GROUP BY host_key""",
+    "q_politeness_rank" ->
+      s"""WITH idx AS ($indexSql),
+          cand AS (
+            SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host_key,
+                   url, "offset", length
+            FROM idx)
+          SELECT host_key, url, "offset", wave FROM (
+            SELECT host_key, url, "offset",
+                   row_number() OVER (PARTITION BY host_key
+                     ORDER BY length DESC, "offset" ASC) AS wave
+            FROM cand) WHERE wave <= 5"""
+  )
+}
