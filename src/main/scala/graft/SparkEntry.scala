@@ -14,7 +14,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
-    (CrawlQueries.defs, CrawlQueries.oracles)
+    (CrawlQueries.defs, CrawlQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: token
+  * counting, language-ID heuristic, quality scoring, document
+  * fingerprinting (exact + rolling-hash shingle + simhash). The
+  * SQL-portable subset (counts/ratios via length/replace arithmetic) is
+  * expressed as Column builders so the DuckDB oracle can replicate it
+  * verbatim; the hash-based fingerprints are Scala functions + UDFs
+  * (engine-specific, checked by ScalaTest instead).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: size(split(trim(text), '\s+')). */
+  def tokenCountCol(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Non-overlapping count of the word `w` with single-space padding —
+    * pure length/replace arithmetic, portable to any SQL engine.
+    */
+  def wordCountCol(text: Column, w: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $w "
+    ((length(padded) - length(
+      call_function("replace", padded, lit(needle), lit(""))))
+      / needle.length).cast("long")
+  }
+
+  /** Stopword-score language ID: argmax of per-language function-word
+    * counts, fixed priority on ties, 'unk' when all scores are zero.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "und"),
+    "fr" -> Seq("le", "et"),
+    "es" -> Seq("el", "y")
+  )
+
+  def langScoreCol(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(wordCountCol(text, _))
+      .reduce(_ + _)
+
+  def langIdCol(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScoreCol(text, l) }
+    val maxAll = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("unk"): Column) { case ((l, s), elseC) =>
+      when(s === maxAll && s > 0, lit(l)).otherwise(elseC)
+    }
+  }
+
+  // ---- hash fingerprints (Scala + UDF; not SQL-portable) ----
+
+  /** 64-bit simhash over whitespace tokens (unit weight per token). */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    if (text != null) {
+      val toks = text.trim.split("\\s+")
+      var t = 0
+      while (t < toks.length) {
+        val h = MinHashF.fnv64(toks(t))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+        t += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Min rolling hash over word k-shingles — a compact document
+    * fingerprint for containment-ish matching (reference has no direct
+    * analogue; complements md5 exact and minhash near dedup).
+    */
+  def minShingleHash(text: String, k: Int = 3): Long = {
+    if (text == null) return 0L
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) return MinHashF.fnv64(text.trim)
+    var best = Long.MaxValue
+    var i = 0
+    while (i + k <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) {
+        h ^= MinHashF.fnv64(toks(j))
+        h *= 0x100000001b3L
+        j += 1
+      }
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  val simhashUdf        = udf(simhash64 _)
+  val minShingleHashUdf = udf((t: String) => minShingleHash(t))
+}

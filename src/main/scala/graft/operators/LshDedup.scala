@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.functions.MinHashF
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** MinHash-LSH document deduplication (SURVEY.md §2.3 J5, §2.4 A1/A2,
+  * §2.3 J4) — the reference's in-memory datasketch loop (scripts/lsh.py
+  * :96–223) re-expressed distributed.
+  *
+  * Self-dedup (A1) is *order-dependent*: the reference streams docs in
+  * order; a doc is dropped if its doc_id was already inserted or any LSH
+  * band collides with a previously *kept* doc; kept docs are inserted.
+  * Dropped docs never suppress later docs (first-wins chains).
+  *
+  * Distributed exactly:
+  *   1. band table: explode each signature into (band, band_hash)
+  *   2. connectivity edges: per band bucket, *chain* consecutive ords
+  *      (k-1 edges instead of k²/2 — a clique and its chain have the same
+  *      components), plus chains over same-doc_id ords (the `key in lsh`
+  *      check couples equal ids across text variants)
+  *   3. connected components by min-label propagation with pointer
+  *      jumping (converges in O(log diameter) joins, no GraphFrames)
+  *   4. per-component sequential replay of the insert/query loop in
+  *      `flatMapGroups` — components are the parallel unit; the replay
+  *      state (inserted band set + id set) is bounded by component size.
+  *
+  * Cross-dedup (A2) is query-only and order-insensitive: one anti band
+  * join against the seen batch.
+  */
+object LshDedup {
+
+  /** Attach minhash signature + band hashes. Input needs (doc_id, ord,
+    * text); `b` = number of bands.
+    */
+  def minhashed(docs: DataFrame, b: Int,
+                textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("sig", MinHashF.signatureUdf(col(textCol)))
+      .withColumn("bands", MinHashF.bandsUdf(b)(col("sig")))
+
+  /** (doc_id, ord, band, bhash) — one row per band. */
+  def bandTable(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), col("ord"),
+              posexplode(col("bands")).as(Seq("band", "bhash")))
+
+  /** Connectivity edges: chains within each band bucket + same-doc_id
+    * chains. Returned as (src, dst) ord pairs with src < dst.
+    */
+  private def chainEdges(mh: DataFrame): DataFrame = {
+    val spark = mh.sparkSession
+    import spark.implicits._
+    val bandChains = bandTable(mh)
+      .groupBy("band", "bhash")
+      .agg(sort_array(collect_list("ord")).as("ords"))
+      .filter(size(col("ords")) > 1)
+      .select(explode(expr(
+        "transform(slice(ords, 1, size(ords) - 1), (x, i) -> struct(x as src, ords[i + 1] as dst))"))
+        .as("e"))
+      .select($"e.src", $"e.dst")
+    val idChains = mh
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("ord")).as("ords"))
+      .filter(size(col("ords")) > 1)
+      .select(explode(expr(
+        "transform(slice(ords, 1, size(ords) - 1), (x, i) -> struct(x as src, ords[i + 1] as dst))"))
+        .as("e"))
+      .select($"e.src", $"e.dst")
+    bandChains.unionByName(idChains).distinct()
+  }
+
+  /** Min-label propagation with pointer jumping over (src, dst) edges.
+    * Returns (ord, comp) for every node appearing in an edge.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src".as("a"), $"dst".as("b"))
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.groupBy($"a".as("ord"))
+      .agg(least(min($"b"), first($"a")).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor min
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("ord", "a"), Seq("a"))
+        .groupBy($"b".as("ord")).agg(min($"comp").as("ncomp"))
+      val stepped = labels.join(viaNeighbors, Seq("ord"), "left_outer")
+        .select($"ord", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+      // pointer jump: comp <- label(comp)
+      val jumped = stepped.alias("l")
+        .join(stepped.select($"ord".as("comp"), $"comp".as("ccomp")).alias("r"),
+              Seq("comp"), "left_outer")
+        .select($"ord", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("ord"))
+        .filter($"comp" =!= $"old").limit(1).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  private case class ReplayDoc(doc_id: String, ord: Long, bands: Seq[Long])
+
+  /** A1 self-dedup: survivors of the first-wins insert/query replay.
+    * Returns the input rows (doc_id, ord) that are kept.
+    */
+  def selfDedup(mh: DataFrame): DataFrame = {
+    val spark = mh.sparkSession
+    import spark.implicits._
+    val mhp    = mh.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges  = chainEdges(mhp)
+    val comps  = connectedComponents(edges)
+    val member = mhp.select($"doc_id", $"ord", $"bands")
+      .join(comps, Seq("ord"), "left_outer")
+      // singletons form their own component
+      .withColumn("comp", coalesce($"comp", $"ord"))
+      .select($"doc_id", $"ord", $"bands", $"comp")
+      .as[(String, Long, Seq[Long], Long)]
+    val kept = member
+      .groupByKey(_._4)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map(t => ReplayDoc(t._1, t._2, t._3)).toArray
+        java.util.Arrays.sort(docs, Ordering.by((d: ReplayDoc) => d.ord))
+        val insertedIds   = mutable.HashSet.empty[String]
+        val insertedBands = mutable.HashSet.empty[(Int, Long)]
+        val out = mutable.ArrayBuffer.empty[(String, Long)]
+        docs.foreach { d =>
+          if (!insertedIds.contains(d.doc_id)) {
+            val hit = d.bands.iterator.zipWithIndex
+              .exists { case (h, i) => insertedBands.contains((i, h)) }
+            if (!hit) {
+              insertedIds += d.doc_id
+              d.bands.iterator.zipWithIndex.foreach { case (h, i) =>
+                insertedBands += ((i, h))
+              }
+              out += ((d.doc_id, d.ord))
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "ord")
+    kept
+  }
+
+  /** A2 cross-dedup: drop any new doc with a band collision against the
+    * seen set (query-only, order-insensitive). `seenMh` needs (doc_id,
+    * bands); returns surviving rows of `newMh`.
+    */
+  def crossDedup(newMh: DataFrame, seenMh: DataFrame): DataFrame = {
+    val newBands = bandTable(newMh.select(col("doc_id"), col("ord"), col("bands")))
+    val seenBands = seenMh
+      .select(posexplode(col("bands")).as(Seq("band", "bhash")))
+      .distinct()
+    val hitOrds = newBands
+      .join(seenBands, Seq("band", "bhash"), "left_semi")
+      .select("ord").distinct()
+    newMh.join(hitOrds, Seq("ord"), "left_anti")
+  }
+
+  /** J4 dedup_filter: semi-join the corpus on surviving doc ids. */
+  def dedupFilter(corpus: DataFrame, survivors: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    corpus.join(survivors.select(idCol).distinct(), Seq(idCol), "left_semi")
+}

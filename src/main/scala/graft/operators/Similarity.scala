@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + near-duplicate detection over embeddings and
+  * simhash fingerprints (training-data pipeline surface; not in the
+  * reference — new first-class components per the builder brief).
+  */
+object Similarity {
+
+  /** Cosine similarity of an array<float/double> column against a literal
+    * query vector, computed as an ordered fold in codegen'd higher-order
+    * functions (no UDF).
+    */
+  def cosineCol(emb: Column, query: Seq[Double]): Column = {
+    val q     = array(query.map(lit): _*)
+    val dot   = aggregate(zip_with(emb, q, (x, y) => x * y),
+                          lit(0.0), (acc, x) => acc + x)
+    val normA = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x))
+    val normQ = math.sqrt(query.map(x => x * x).sum)
+    dot / (normA * lit(normQ))
+  }
+
+  /** Brute-force top-k by cosine against one query vector. Scale path:
+    * the scan is embarrassingly parallel; the top-k is a TakeOrdered —
+    * no full sort materialization.
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("sim", round(cosineCol(col(embCol).cast("array<double>"),
+                                         query), 4))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol).asc)
+      .limit(k)
+
+  /** LSH-bucketed ANN: random-hyperplane signatures (simhash for vectors)
+    * put near vectors in shared buckets; queries only scan their bucket
+    * union. `planes` deterministic from the seed. This is the 100-TB
+    * path: bucket id is a partition key, the per-bucket scan is local.
+    */
+  def hyperplaneBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int,
+                        seed: Long = 42L,
+                        embCol: String = "embedding"): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        // deterministic pseudo-gaussian via sum of uniforms
+        val u = (0 until 4).map(r =>
+          graft.fixtures.CrawlFixtures.draw(seed + p * 1000 + d, 50 + r,
+                                            1 << 20).toDouble / (1 << 20))
+        u.sum - 2.0
+      }
+    }
+    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+      val dot = aggregate(
+        zip_with(col(embCol).cast("array<double>"),
+                 array(plane.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    embeddings.withColumn("bucket",
+      sigBits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** Simhash near-duplicate pairs: 4x16-bit band blocking over the 64-bit
+    * simhash, exact Hamming verification <= maxDist. Band blocking is
+    * exact for maxDist <= 3 (pigeonhole: 4 bands, <=3 differing bits ->
+    * at least one band equal).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 3,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(maxDist <= 3, "4-band blocking is only exact for maxDist <= 3")
+    val hashed = docs
+      .select(col(idCol), TextAnalysis.simhashUdf(col(textCol)).as("sh"))
+    val banded = hashed.select(
+      col(idCol), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+               col("sh").bitwiseAND(lit(0xffffL << (16 * b))).as("bh"))): _*))
+        .as("bb"))
+      .select(col(idCol), col("sh"), col("bb.band"), col("bb.bh"))
+    val hammingUdf = udf(TextAnalysis.hamming64 _)
+    banded.alias("a")
+      .join(banded.alias("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+              hammingUdf(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

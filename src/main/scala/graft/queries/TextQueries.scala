@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Sessions.table
+import graft.functions.{MinHashF, TextAnalysis}
+import graft.operators.{LshDedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, simhash, n-gram Jaccard), text
+  * analysis (language ID, quality, token counts, fingerprints) and
+  * similarity search (brute-force cosine top-k, LSH buckets). The
+  * SQL-expressible subset carries DuckDB oracles; hash-based operators
+  * are rows-only here and parity-tested in ScalaTest.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "q_token_count" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountCol(col("text")).cast(LongType).as("n_tokens"))
+    },
+
+    "q_lang_id" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langIdCol(col("text")).as("pred_lang"))
+    },
+
+    "q_quality_score" -> { (s, dir) =>
+      val words = TextAnalysis.tokenCountCol(col("text")).cast(LongType)
+      val stops = TextAnalysis.wordCountCol(col("text"), "the") +
+        TextAnalysis.wordCountCol(col("text"), "a")
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        words.as("n_words"),
+        round(length(col("text")) * lit(1.0) / words, 4).as("avg_chars_per_word"),
+        round(stops * lit(1.0) / words, 4).as("stop_ratio"))
+    },
+
+    // Exact dedup: hash-groupBy on full text, keep lexicographically
+    // smallest doc_id as the representative.
+    "q_dedup_exact" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "n")
+    },
+
+    "q_fingerprint_md5" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), md5(col("text")).as("fp"))
+    },
+
+    // N-gram (word-set) Jaccard near-dup pairs, blocked by source.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val words = docs.select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word")).distinct()
+      val n = words.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = words.alias("a")
+        .join(words.alias("b"),
+              col("a.word") === col("b.word") &&
+                col("a.source") === col("b.source") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(n.select(col("doc_id").as("a_id"), col("c").as("na")), Seq("a_id"))
+        .join(n.select(col("doc_id").as("b_id"), col("c").as("nb")), Seq("b_id"))
+        .withColumn("jac",
+          round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4))
+        .filter(col("jac") >= 0.95)
+        .select("a_id", "b_id", "jac")
+    },
+
+    // Brute-force cosine top-k against vec_id=0's embedding.
+    "q_ann_cosine" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 20)
+    },
+
+    // ---- rows-only (hash-based; parity in ScalaTest) ----
+
+    // MinHash+LSH self-dedup survivors over the documents table, via the
+    // production first-wins replay (b bands for t=0.9).
+    "q_lsh_dedup" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
+                col("text"))
+      LshDedup.selfDedup(LshDedup.minhashed(docs, b))
+    },
+
+    // Simhash near-duplicate pairs (Hamming <= 3, exact via 4-band block).
+    "q_simhash_neardup" -> { (s, dir) =>
+      Similarity.simhashNearDupPairs(
+        table(s, dir, "documents").select("doc_id", "text"))
+    },
+
+    // Rolling-hash shingle fingerprint.
+    "q_fingerprint_shingle" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.minShingleHashUdf(col("text")).as("fp"))
+    },
+
+    // Hyperplane-LSH bucket histogram (the ANN scale path).
+    "q_ann_buckets" -> { (s, dir) =>
+      Similarity.hyperplaneBuckets(
+        table(s, dir, "embeddings"), nPlanes = 8, dim = 64)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }
+  )
+
+  private val docIdNonNull = "doc_id IS NOT NULL"
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents""",
+    "q_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+             (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+           + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+               AS en,
+             (length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5
+           + (length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ''))) / 5
+               AS de,
+             (length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4
+           + (length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ''))) / 4
+               AS fr,
+             (length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ''))) / 4
+           + (length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ''))) / 3
+               AS es
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es'
+                ELSE 'unk' END AS pred_lang
+         FROM s""",
+    "q_quality_score" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+           + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+               AS stops
+           FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, n_words,
+                round(length(text) * 1.0 / n_words, 4) AS avg_chars_per_word,
+                round(stops * 1.0 / n_words, 4) AS stop_ratio
+         FROM s""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY text""",
+    "q_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+         n AS (SELECT doc_id, count(*) AS c FROM w GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM w a JOIN w b
+             ON a.word = b.word AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+                round(i * 1.0 / (na.c + nb.c - i), 4) AS jac
+         FROM inter
+         JOIN n na ON na.doc_id = a_id
+         JOIN n nb ON nb.doc_id = b_id
+         WHERE round(i * 1.0 / (na.c + nb.c - i), 4) >= 0.95""",
+    "q_ann_cosine" ->
+      """WITH q AS (
+           SELECT generate_subscripts(embedding, 1) AS idx,
+                  CAST(unnest(embedding) AS DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE vec_id <> 0),
+         sims AS (
+           SELECT e.vec_id,
+                  round(sum(e.v * q.qv) /
+                        (sqrt(sum(e.v * e.v)) * sqrt(sum(q.qv * q.qv))), 4)
+                    AS sim
+           FROM e JOIN q ON e.idx = q.idx
+           GROUP BY e.vec_id)
+         SELECT vec_id, sim FROM sims
+         ORDER BY sim DESC, vec_id ASC LIMIT 20"""
+  )
+}
