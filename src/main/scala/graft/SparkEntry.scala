@@ -15,7 +15,8 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
     (CrawlQueries.defs, CrawlQueries.oracles),
-    (TextQueries.defs, TextQueries.oracles)
+    (TextQueries.defs, TextQueries.oracles),
+    (PipelineQueries.defs, PipelineQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -79,7 +79,7 @@ object DocFixtures {
     val host  = hostOf(baseI, p)
     val idI   = if (draw(i, 43, 50) == 0 && i > 10) i - 7 else i
     val docId = s"https://$host/doc/$idI"
-    val spans = (0 until nParas).flatMap { slot =>
+    val bodySpans = (0 until nParas).flatMap { slot =>
       val para = Span("p", paragraph(p, template, slot, muts, variantSeed),
                       "", slot * 2)
       if (draw(i * 31 + slot, 44, 20) == 0)
@@ -88,7 +88,20 @@ object DocFixtures {
                        s"media://$host/img/${draw(i * 31 + slot, 45, 1000)}",
                        slot * 2 + 1))
       else Seq(para)
-    }.zipWithIndex.map { case (s, idx) => s.copy(offset = idx) }
+    }
+    // per-host boilerplate: a footer paragraph shared by ~70% of the
+    // host's docs (frequent-paragraph signal) and a rarer banner (~30%)
+    val hostId = hostOf(baseI, p).drop(1).takeWhile(_.isDigit).toLong
+    val footer =
+      if (draw(i, 46, 10) < 7)
+        Seq(Span("p", paragraph(p, p.nTemplates + hostId, 0, 0, hostId), "", 0))
+      else Seq.empty
+    val banner =
+      if (draw(i, 47, 10) < 3)
+        Seq(Span("p", paragraph(p, 2 * p.nTemplates + hostId, 1, 0, hostId), "", 0))
+      else Seq.empty
+    val spans = (banner ++ bodySpans ++ footer).zipWithIndex
+      .map { case (s, idx) => s.copy(offset = idx) }
     Doc(docId, spans)
   }
 

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis, Urls}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC → interleaved-span document materialization (SURVEY.md §2.1 S4,
+  * §2.2 F13–F15/F20, §2.3 J1, §2.4 A5): the remove_boilerplate.py stage
+  * re-expressed over the synthetic warc_store table.
+  *
+  * The boilerplate remover itself is a deterministic stand-in (block-tag
+  * splitting + tag stripping — JusText/Trafilatura are not available in
+  * this environment); everything around it (alignment join, content-type
+  * dispatch, escaping, token/paragraph filters, span interleaving with
+  * media refs, same-doc dedup) is the real pipeline and is what the
+  * span-sequence invariant is tested on.
+  */
+object DocPipeline {
+
+  /** J1: align fetched index entries with WARC records. The reference
+    * zips two sorted streams and matches on unquote_inf(url)
+    * (remove_boilerplate.py:90–107); with a keyed store the equi-join on
+    * (warc, offset) is exact and order-free.
+    */
+  def fetchJoin(entries: DataFrame, warcStore: DataFrame): DataFrame =
+    entries.join(warcStore, Seq("warc", "offset"), "inner")
+
+  /** F20 content conversion: dispatch on content type; each WARC payload
+    * becomes an array of HTML chunks (content_conversion.py:112–126).
+    * atom → <content> elements, rss → <description> elements, bib →
+    * blank-line-separated records, everything else → the body as-is.
+    */
+  def convertChunks(body: Column, mime: Column): Column = {
+    val atomChunks = regexp_extract_all(
+      body, lit("(?s)<content[^>]*>(.*?)</content>"), lit(1))
+    val rssChunks = regexp_extract_all(
+      body, lit("(?s)<description[^>]*>(.*?)</description>"), lit(1))
+    val bibChunks = split(body, "\n\\s*\n")
+    val chunks = when(mime === "application/atom+xml", atomChunks)
+      .when(mime === "application/rss+xml", rssChunks)
+      .when(mime === "text/x-bibtex", bibChunks)
+      .otherwise(array(body))
+    filter(chunks, c => trim(c) =!= "")
+  }
+
+  /** Deterministic boilerplate stand-in: split an HTML chunk on block
+    * tags, strip remaining tags, keep paragraphs with >= minChars chars.
+    * Returns array<string> of paragraph texts.
+    */
+  def extractParagraphs(chunk: Column, minChars: Int = 10): Column = {
+    val blocks = split(chunk, "(?i)<(?:/?p|/?div|br\\s*/?|/?h[1-6]|/?li)[^>]*>")
+    val texts = transform(blocks, b =>
+      trim(regexp_replace(regexp_replace(b, "(?s)<[^>]*>", " "), "\\s+", " ")))
+    filter(texts, t => length(t) >= minChars)
+  }
+
+  /** Media references in document order: img/audio/video/source src
+    * attributes (the interleaved-media half of the input_hint schema).
+    */
+  def extractMediaRefs(chunk: Column): Column =
+    regexp_extract_all(chunk,
+      lit("(?i)<(?:img|audio|video|source)[^>]*src\\s*=\\s*\"([^\"]+)\""),
+      lit(1))
+
+  /** F15: saxutils.escape + whitespace collapse, per paragraph. */
+  def escapeParagraph(p: Column): Column = {
+    val esc = regexp_replace(
+      regexp_replace(regexp_replace(p, "&", "&amp;"), "<", "&lt;"),
+      ">", "&gt;")
+    trim(regexp_replace(esc, "\\s+", " "))
+  }
+
+  /** F13 token filter: keep tokens that are whitelisted, are a word
+    * ending in "...", or do NOT contain 3+ consecutive
+    * non-word/non-space chars (remove_boilerplate.py:37–40, 234–251).
+    * (?U) gives Python's unicode \w semantics.
+    */
+  def filterTokens(p: Column, whitelist: Seq[String] = DefaultWhitelist): Column = {
+    val wl = array(whitelist.map(lit): _*)
+    array_join(
+      filter(split(p, " "), t =>
+        array_contains(wl, t) ||
+          t.rlike("(?U)^\\w+\\.\\.\\.$") ||
+          !t.rlike("(?U)[^\\w\\s]{3}")),
+      " ")
+  }
+
+  val DefaultWhitelist: Seq[String] = Seq("...", "'''", "(!)", "[...]", ":).")
+
+  /** F14 cookie/consent paragraph filter (case-insensitive search). */
+  def cookiePattern(patterns: Seq[String]): String =
+    "(?i)" + patterns.map(p => s"(?:$p)").mkString("|")
+
+  val DefaultCookiePatterns: Seq[String] = Seq(
+    "^(?:cookie|cookieconsent)$",
+    "(?:cookie|javascript).*(?:dis|en)abled?",
+    "this (?:web)?site uses cookies",
+    "accept (?:all )?cookies"
+  )
+
+  /** Full chunk→span assembly for one document row: paragraphs (escaped,
+    * token-filtered, cookie-filtered) interleaved with media refs, as the
+    * input_hint `spans` array with contiguous offsets. Expects columns
+    * `chunk_body` (string) and `mime`; adds `spans`.
+    */
+  def spanize(docs: DataFrame,
+              minChars: Int = 10,
+              tokenFiltering: Boolean = true,
+              cookiePatterns: Seq[String] = DefaultCookiePatterns): DataFrame = {
+    val chunks = convertChunks(col("chunk_body"), col("mime"))
+    val rawParas = flatten(transform(chunks, c => extractParagraphs(c, minChars)))
+    val escaped  = transform(rawParas, p => escapeParagraph(p))
+    val tokened =
+      if (tokenFiltering) transform(escaped, p => filterTokens(p))
+      else escaped
+    val cooked = filter(tokened, p =>
+      !p.rlike(cookiePattern(cookiePatterns)) && length(trim(p)) > 0)
+    val media = extractMediaRefs(col("chunk_body"))
+    val pSpans = transform(cooked, p =>
+      struct(lit("p").as("kind"), p.as("text"), lit("").as("media_ref")))
+    val mSpans = transform(media, m =>
+      struct(lit("media").as("kind"), lit("").as("text"), m.as("media_ref")))
+    // paragraphs first, then media, re-offset contiguously (document
+    // order within each kind is preserved; media interleaving positions
+    // are synthetic in the stand-in remover)
+    val all = concat(pSpans, mSpans)
+    docs.withColumn("spans",
+      transform(all, (s, i) =>
+        struct(s.getField("kind").as("kind"), s.getField("text").as("text"),
+               s.getField("media_ref").as("media_ref"),
+               i.cast("int").as("offset"))))
+  }
+
+  /** A5: within-document exact-duplicate span removal, keeping the first
+    * occurrence (remove_same_p.py:90–114). Pure column fold: rebuild the
+    * array keeping spans whose (kind, text, media_ref) key is unseen.
+    */
+  def sameDocDedup(spans: Column): Column = {
+    val deduped = aggregate(
+      spans,
+      struct(
+        array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+          .as("kept"),
+        array().cast("array<string>").as("seen")),
+      (acc, s) => {
+        val key = concat_ws("", s.getField("kind"), s.getField("text"),
+                            s.getField("media_ref"))
+        when(array_contains(acc.getField("seen"), key), acc)
+          .otherwise(struct(
+            concat(acc.getField("kept"), array(s)).as("kept"),
+            concat(acc.getField("seen"), array(key)).as("seen")))
+      },
+      acc => acc.getField("kept"))
+    transform(deduped, (s, i) =>
+      struct(s.getField("kind").as("kind"), s.getField("text").as("text"),
+             s.getField("media_ref").as("media_ref"),
+             i.cast("int").as("offset")))
+  }
+
+  /** F10 length filter values: word count = whitespace tokens summed over
+    * text spans; char count = sum of lengths + (n_text_spans - 1)
+    * newlines (cc_corpus/corpus.py:43–64).
+    */
+  def wcWords(spans: Column): Column =
+    aggregate(
+      filter(spans, s => s.getField("kind") === "p"),
+      lit(0L),
+      (acc, s) => acc + size(split(trim(s.getField("text")), "\\s+")))
+
+  def wcChars(spans: Column): Column = {
+    val texts = filter(spans, s => s.getField("kind") === "p")
+    aggregate(texts, lit(0L), (acc, s) => acc + length(s.getField("text"))) +
+      greatest(size(texts) - 1, lit(0)).cast("long")
+  }
+
+  /** F9 doc-level language filter using the deterministic heuristic. */
+  def langFilter(docs: DataFrame, lang: String): DataFrame = {
+    val joined = array_join(
+      transform(filter(col("spans"), s => s.getField("kind") === "p"),
+                s => s.getField("text")), "\n")
+    docs.filter(TextAnalysis.langIdCol(joined) === lang)
+  }
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.functions.MinHashF
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Per-domain frequent-paragraph ("domain boilerplate") detection and
+  * removal (SURVEY.md §2.4 A3/A4; scripts/frequent_paragraphs.py:404–493,
+  * 632–748): the MMDS decayed frequent-items algorithm keyed by domain.
+  *
+  * A3 collect is inherently sequential per domain — domains are the
+  * parallel unit. Implemented as the secondary-sort idiom: repartition by
+  * domain, sortWithinPartitions(domain, ord), then a single mapPartitions
+  * pass running the state machine over consecutive same-domain runs (no
+  * collect_list materialization — a hot domain streams through).
+  *
+  * A4 filter determinizes the reference's racy cross-process counter
+  * (frequent_paragraphs.py:634–640, Manager dict + lock: which copy
+  * survives depends on worker timing) into rank-by-global-order: a doc's
+  * matching paragraph is dropped iff the doc's occurrence rank for that
+  * frequent is >= min_freq (first min_freq-1 occurrences survive), and a
+  * paragraph matching several frequents counts the *smallest* pdata_id
+  * (the reference takes an arbitrary dict-order hit). Same intent, now
+  * partitioning-invariant.
+  */
+object FrequentParagraphs {
+
+  /** Mutable PData (cc_corpus/frequent.py:19–50). */
+  final class PDataMut(val bands: Array[Long], var score: Double,
+                       var count: Long)
+
+  /** The A3 state machine, shared verbatim by the distributed operator
+    * and the sequential reference oracle (RefFrequent) — parity tests
+    * cover the distributed plumbing around it.
+    */
+  final class Collector(decay: Double, decayThreshold: Double) {
+    val freqPs  = mutable.LinkedHashMap.empty[String, PDataMut]
+    private val buckets = mutable.HashMap.empty[(Int, Long), mutable.Set[String]]
+
+    private def insert(key: String, bands: Array[Long]): Unit = {
+      freqPs(key) = new PDataMut(bands, 1.0, 1L)
+      var i = 0
+      while (i < bands.length) {
+        buckets.getOrElseUpdate((i, bands(i)), mutable.Set.empty) += key
+        i += 1
+      }
+    }
+
+    private def remove(key: String): Unit = {
+      freqPs.remove(key).foreach { pd =>
+        var i = 0
+        while (i < pd.bands.length) {
+          buckets.get((i, pd.bands(i))).foreach { s =>
+            s -= key
+            if (s.isEmpty) buckets.remove((i, pd.bands(i)))
+          }
+          i += 1
+        }
+      }
+    }
+
+    private def query(bands: Array[Long]): Set[String] = {
+      val out = mutable.Set.empty[String]
+      var i = 0
+      while (i < bands.length) {
+        buckets.get((i, bands(i))).foreach(out ++= _)
+        i += 1
+      }
+      out.toSet
+    }
+
+    /** One document: decay, match/insert paragraphs, purge. */
+    def addDoc(url: String, pBands: Seq[Array[Long]]): Unit = {
+      freqPs.valuesIterator.foreach(_.score *= decay)
+      val alreadyIncreased = mutable.Set.empty[String]
+      pBands.zipWithIndex.foreach { case (mh, pIdx) =>
+        var foundDup = false
+        query(mh).foreach { dup =>
+          if (!alreadyIncreased.contains(dup)) {
+            val pd = freqPs(dup)
+            pd.score += 1
+            pd.count += 1
+            alreadyIncreased += dup
+            foundDup = true
+          }
+        }
+        // no *new* increment (no hits, or — reference quirk — every hit
+        // was already increased by an earlier paragraph of this doc)
+        // -> insert as a fresh candidate
+        if (!foundDup) {
+          val key = url + "_" + (pIdx + 1)
+          insert(key, mh)
+          alreadyIncreased += key
+        }
+      }
+      // purge: decay_filter default `score < 0.5` drops
+      val toDrop = freqPs.iterator.collect {
+        case (k, pd) if pd.score < decayThreshold => k
+      }.toList
+      toDrop.foreach(remove)
+    }
+
+    /** Domain wrap-up: frequents with count >= minFreq, insertion order,
+      * 1-based pdata ids.
+      */
+    def wrapUp(minFreq: Long): Seq[(Int, PDataMut)] =
+      freqPs.valuesIterator.filter(_.count >= minFreq).toSeq
+        .zipWithIndex.map { case (pd, i) => (i + 1, pd) }
+  }
+
+  /** Paragraph band arrays for the text spans of a document. */
+  val paragraphBandsUdf = udf((paras: Seq[String], b: Int) =>
+    paras.map(p => MinHashF.bandHashes(MinHashF.signature(p), b)))
+
+  def textSpans(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(filter(spans, s => s.getField("kind") === "p"),
+              s => s.getField("text"))
+
+  /** A3: collect frequent paragraphs per domain. Input requires columns
+    * (domain, ord, doc_id, pbands: array<array<long>>); output one row
+    * per (domain, pdata_id) with bands, score, count.
+    */
+  def collect(docs: DataFrame, decay: Double = 0.99,
+              minFreq: Long = 2, decayThreshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"domain", $"ord", $"doc_id", $"pbands")
+      .as[(String, Long, String, Seq[Seq[Long]])]
+      .repartition($"domain")
+      .sortWithinPartitions($"domain", $"ord")
+      .mapPartitions { it =>
+        val out = mutable.ArrayBuffer.empty[(String, Int, Seq[Long], Double, Long)]
+        var curDomain: String = null
+        var collector: Collector = null
+        def flush(): Unit = if (collector != null) {
+          collector.wrapUp(minFreq).foreach { case (id, pd) =>
+            out += ((curDomain, id, pd.bands.toSeq, pd.score, pd.count))
+          }
+        }
+        it.foreach { case (domain, _, docId, pbands) =>
+          if (domain != curDomain) {
+            flush()
+            curDomain = domain
+            collector = new Collector(decay, decayThreshold)
+          }
+          collector.addDoc(docId, pbands.map(_.toArray))
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("domain", "pdata_id", "bands", "score", "count")
+  }
+
+  /** A4: remove frequent paragraphs. `docs` needs (domain, ord, doc_id,
+    * spans, pbands); `frequents`/`oldFrequents` as produced by `collect`
+    * (domain, pdata_id, bands). Returns docs with spans filtered,
+    * re-offset, and empty-text docs dropped.
+    */
+  def filterFrequent(docs: DataFrame, frequents: DataFrame,
+                     oldFrequents: Option[DataFrame] = None,
+                     minFreq: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // paragraph-level band rows: (domain, ord, p_id, band, bhash)
+    val pBandRows = docs.select($"domain", $"ord",
+        posexplode($"pbands").as(Seq("p_idx", "bands")))
+      .select($"domain", $"ord", ($"p_idx" + 1).as("p_id"),
+        posexplode($"bands").as(Seq("band", "bhash")))
+
+    def freqBandRows(f: DataFrame) = f.select($"domain", $"pdata_id",
+        posexplode($"bands").as(Seq("band", "bhash")))
+
+    // old frequents: any collision -> drop all occurrences
+    val oldHits = oldFrequents.map { of =>
+      pBandRows.join(freqBandRows(of).drop("pdata_id"),
+                     Seq("domain", "band", "bhash"), "left_semi")
+        .select($"domain", $"ord", $"p_id").distinct()
+    }.getOrElse(spark.emptyDataset[(String, Long, Long)]
+      .toDF("domain", "ord", "p_id"))
+
+    // new frequents: smallest matching pdata_id per paragraph, old hits
+    // excluded (the reference filters them out before matching)
+    val newHits = pBandRows
+      .join(oldHits, Seq("domain", "ord", "p_id"), "left_anti")
+      .join(freqBandRows(frequents), Seq("domain", "band", "bhash"))
+      .groupBy("domain", "ord", "p_id")
+      .agg(min("pdata_id").as("freq_id"))
+
+    // occurrence rank of each (domain, freq_id) over docs in ord order;
+    // the doc's hit is dropped iff rank >= min_freq
+    val docFreq = newHits.select($"domain", $"ord", $"freq_id").distinct()
+    val ranked = docFreq.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain", $"freq_id").orderBy($"ord")))
+    val dropNew = newHits
+      .join(ranked.filter($"rank" >= minFreq), Seq("domain", "ord", "freq_id"))
+      .select($"domain", $"ord", $"p_id")
+
+    val dropAll = dropNew.unionByName(oldHits).distinct()
+      .groupBy("domain", "ord")
+      .agg(collect_set($"p_id").as("drop_pids"))
+
+    val dropSpansUdf = udf(
+      (spans: Seq[Row], dropPids: Seq[Long]) => {
+        val drop = if (dropPids == null) Set.empty[Long] else dropPids.toSet
+        var pIdx = 0L
+        val kept = spans.flatMap { s =>
+          val kind = s.getString(0)
+          if (kind == "p") {
+            pIdx += 1
+            if (drop.contains(pIdx)) None else Some(s)
+          } else Some(s)
+        }
+        kept.zipWithIndex.map { case (s, i) =>
+          (s.getString(0), s.getString(1), s.getString(2), i)
+        }
+      })
+
+    docs.join(dropAll, Seq("domain", "ord"), "left_outer")
+      .withColumn("spans", dropSpansUdf($"spans", $"drop_pids")
+        .cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+      .drop("drop_pids")
+      .filter(size(filter($"spans", s => s.getField("kind") === "p")) > 0)
+  }
+}
