@@ -1,0 +1,35 @@
+package graft
+import java.nio.file.Files
+import graft.fixtures.CrawlFixtures
+import graft.operators.FrontierJob
+import org.apache.spark.sql.SparkSession
+object FBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n    = sys.env.getOrElse("SPARK_GRAFT_N", "4000000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_SHUFFLE_COMPRESS", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val p = CrawlFixtures.Params(nRecords = n, nUrls = math.max(n / 3, 100),
+      nHosts = math.max(n / 200, 20), filesPerDump = 64)
+    val table = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "fb").toString
+    val lines = CrawlFixtures.rawLinesDf(spark, p)
+    lines.filter("line_ord % 2 = 0").write.parquet(s"$table/in1")
+    lines.filter("line_ord % 2 = 1").write.parquet(s"$table/in2")
+    // warmup on a small slice
+    val wtable = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "fbw").toString
+    FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1").limit(100000), wtable, politenessQuota = Int.MaxValue)
+    val t0 = System.nanoTime()
+    FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1"), table, politenessQuota = Int.MaxValue, dumpId = "1", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
+    FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in2"), table, politenessQuota = Int.MaxValue, dumpId = "2", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round}")
+    spark.stop()
+  }
+}

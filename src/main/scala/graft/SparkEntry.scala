@@ -19,9 +19,21 @@ object SparkEntry {
     (PipelineQueries.defs, PipelineQueries.oracles)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the end-to-end frontier slice — raw index lines through
+    * filter → URL-seen dedup → politeness → crawl-ordered fetch batches
+    * with a snapshot commit — on a seeded fixture. Driver smoke-checks
+    * rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-entry").toString
+    val lines = graft.fixtures.CrawlFixtures.rawLines(
+      graft.fixtures.CrawlFixtures.Params(nRecords = 3000))
+    graft.operators.FrontierJob
+      .runBatch(spark, lines.toDF(), table, dumpId = "entry")
+      .batches
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

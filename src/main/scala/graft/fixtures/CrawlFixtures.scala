@@ -146,6 +146,25 @@ object CrawlFixtures {
     */
   val BadIndexPattern: String = ".*h13\\.example\\.com.*"
 
+  /** Distributed generation for bench scale: same per-id content as
+    * `rawLines`, via `spark.range` (no driver materialization). Uses the
+    * global id as line_ord — a valid total processing order; the
+    * driver-side variant's per-file renumbering is only needed for
+    * reference-interpreter parity, not for benchmarking.
+    */
+  def rawLinesDf(spark: org.apache.spark.sql.SparkSession,
+                 p: Params): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val pp = p
+    spark.range(p.nRecords).map { i =>
+      val file = fileOf(i, pp)
+      val part = draw(i, 16, pp.filesPerDump).toInt
+      val dumpIdx = (i % Dumps.length).toInt
+      graft.model.RawIndexLine(file, part * Dumps.length + dumpIdx, i,
+                               rawLine(i, pp))
+    }.toDF()
+  }
+
   /** Driver-side generation for tests: all raw lines with their file
     * identity and in-file line order (insertion order per file).
     */

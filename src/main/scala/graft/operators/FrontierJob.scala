@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import graft.functions.Urls
+import graft.state.{Snapshots, UrlSeenState}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end frontier slice (SURVEY.md §7.2 M2/M3): given the
+  * committed url_seen state and a batch of raw index lines, emit the
+  * fetch frontier in crawl order and commit the next snapshot —
+  * scan → filter → anti-join(seen) → argmax winners → robots gate →
+  * politeness waves → crawl-order sort → snapshot commit with
+  * per-partition lineage + metrics. A killed run never observes a
+  * half-commit: resume = `Snapshots.latest`.
+  */
+object FrontierJob {
+
+  case class Result(batches: DataFrame, manifest: Snapshots.Manifest)
+
+  private val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
+  private def phase[A](name: String)(f: => A): A = {
+    if (!phaseLog) f
+    else {
+      val t0 = System.nanoTime()
+      val a  = f
+      println(f"[fj] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+  }
+
+  /** One frontier batch against the table at `tableDir`. */
+  def runBatch(spark: SparkSession,
+               rawLines: DataFrame,
+               tableDir: String,
+               robots: Option[DataFrame] = None,
+               keep: String = "biggest",
+               politenessQuota: Int = 100,
+               fetchBatchSize: Long = 1000,
+               dumpId: String = "batch",
+               cacheIntermediates: Boolean = true): Result = {
+    // cacheIntermediates trades recompute for materialization. Default
+    // off: the scan->filter->agg chain stays inside whole-stage codegen
+    // and recomputation is CPU-parallel, which scales better than pushing
+    // the working set through the memory subsystem (cache write+read) —
+    // measured 8->32 cores on this class of hardware. Turn on when the
+    // upstream scan is genuinely expensive (e.g. remote object store).
+
+    // the seen set is append-only: each snapshot's dataPath holds only
+    // that batch's winners; the reader unions the manifest chain
+    val prev      = Snapshots.latest(tableDir)
+    val seenPaths = Snapshots.chain(tableDir).map(m => s"$tableDir/${m.dataPath}")
+    val seenUrls =
+      if (seenPaths.nonEmpty) spark.read.parquet(seenPaths: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "url", org.apache.spark.sql.types.StringType))))
+
+    // 1. parse + filter (F1–F5; raw order as processing order — no
+    // per-file re-sort shuffle on the hot path), then project to the
+    // frontier's columns before anything shuffles
+    val filtered = IndexPipeline
+      .filterIndex(IndexPipeline.parseRaw(rawLines), resort = false)
+      .select("url", "warc", "offset", "length", "file", "file_ord",
+              "line_ord")
+
+    // 2. J2 anti-join vs seen (bloom pre-pass inside); the seen-set size
+    // comes from the parent manifest — no extra counting pass
+    val obsNew = Observation("frontier_new")
+    val prevSeenCount = prev.flatMap(_.metrics.get("n_seen_urls"))
+    val fresh0 = phase("bloom build")(UrlDedup
+      .antiJoinSeen(filtered, seenUrls.select("url"), spark,
+                    expectedItems = prevSeenCount))
+      .observe(obsNew, count(lit(1)).as("n_new_entries"))
+    val fresh = if (cacheIntermediates)
+      fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fresh0
+
+    // 3. A0 winners + J3 keep; winners feed three consumers (semi-join,
+    // seen-set union, cuckoo update) -> persist once
+    val winners = UrlDedup.winners(fresh, keep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = UrlDedup.keepWinners(fresh, winners)
+
+    // 4. J8 robots gate on (host_key, path)
+    val gated = robots match {
+      case Some(r) =>
+        val cand = kept
+          .withColumn("host_key", Urls.hostCol(col("url")))
+          .withColumn("path",
+            coalesce(regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1),
+                     lit("/")))
+        Frontier.robotsGate(cand, r).drop("path")
+      case None => kept.withColumn("host_key", Urls.hostCol(col("url")))
+    }
+
+    // 5. politeness waves (per-host quota), then O3 crawl order + batches.
+    // ranked is persisted because crawl ordering makes two passes over it
+    // (zipWithIndex count + map) — without it the whole upstream chain
+    // would re-run per pass
+    val ranked = Frontier.politenessRank(
+      gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
+      politenessQuota)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ordered = phase("order (eager zip)")(UrlDedup.crawlOrder(ranked))
+    val obsBatch = Observation("frontier_batches")
+    val batches0 = UrlDedup.fetchBatches(ordered, fetchBatchSize)
+      .observe(obsBatch, count(lit(1)).as("n_scheduled"),
+               max(col("batch_id")).as("max_batch"))
+
+    // 6. snapshot commit: new url_seen = old ∪ winners, partition metrics.
+    // batches are computed exactly once (the write); metrics and the
+    // returned frame re-read the written parquet instead of re-running
+    // the sort chain.
+    val (snapId, dataDir, stateDir) = Snapshots.stage(tableDir)
+    phase("write seen delta") {
+      winners.select("url").write.mode("overwrite").parquet(dataDir.toString)
+    }
+
+    val batchesPath = dataDir.resolveSibling(s"snap-$snapId-batches").toString
+    phase("write batches") {
+      batches0.write.mode("overwrite").parquet(batchesPath)
+    }
+    val batches = spark.read.parquet(batchesPath)
+
+    // cuckoo partitions: distributed update (shuffle by state partition,
+    // one task per blob, untouched blobs carried forward)
+    val prevStateDir = prev
+      .map(m => Paths.get(tableDir, m.statePath))
+      .filter(java.nio.file.Files.isDirectory(_))
+    val perPartInserts = phase("cuckoo update")(UrlSeenState.updateDistributed(
+      spark, winners.select(xxhash64(col("url")).as("h")),
+      prevStateDir, stateDir, partitions = 16,
+      capacityPerPartition = 1 << 16))
+
+    val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]
+    val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
+    val nWinners = phase("winners count")(winners.count())
+    if (cacheIntermediates) fresh.unpersist()
+    ranked.unpersist()
+    winners.unpersist()
+    val metrics = Map(
+      "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],
+      "n_winners"     -> nWinners,
+      "n_scheduled"   -> nKept,
+      "n_fetch_batches" -> nBatches,
+      // winners are all unseen (anti-joined), so the new seen-set size is
+      // exactly parent + winners — no counting pass over the union
+      "n_seen_urls"   -> (prevSeenCount.getOrElse(0L) + nWinners)
+    ) ++ perPartInserts.map { case (pid, n) =>
+      f"part_$pid%05d_inserted" -> n
+    }
+    val manifest = phase("commit")(Snapshots.commit(
+      tableDir, snapId, metrics,
+      lineage = s"frontier dump=$dumpId parent=${prev.map(_.snapshotId).getOrElse(-1L)} keep=$keep quota=$politenessQuota"))
+    Result(batches, manifest)
+  }
+}

@@ -54,9 +54,17 @@ object IndexPipeline {
     * with the post-sort in-file position — the processing order that
     * downstream first-wins/strict-greater semantics key on.
     */
+  /** `resort = true` reproduces the reference's per-file stable
+    * (domain, url) re-sort (F6), which downstream tie-breaks key on —
+    * needed for row-identical parity. `resort = false` keeps the raw
+    * input order as the processing order (an equally-valid deterministic
+    * total order) and skips the per-file shuffle + window entirely —
+    * the frontier hot path uses this.
+    */
   def filterIndex(parsed: DataFrame,
                   allowedMimes: Set[String] = Mimes.DefaultAllowed,
-                  badIndexPatterns: Seq[String] = Seq.empty): DataFrame = {
+                  badIndexPatterns: Seq[String] = Seq.empty,
+                  resort: Boolean = true): DataFrame = {
     val basic = parsed.filter(
       !col("url").rlike("/robots\\.txt") && col("status") === 200)
 
@@ -77,13 +85,18 @@ object IndexPipeline {
           col("status").cast(StringType), col("mime")).rlike(pat))
       }
 
-    // F6: stable per-file sort by (domain, url) — Python sorted() is
-    // stable, so original line order breaks ties.
-    val w = Window.partitionBy("file")
-      .orderBy(asc("domain"), asc("url"), asc("line_ord"))
-    badFiltered
-      .withColumn("line_ord", row_number().over(w).cast(LongType))
-      .select("domain", "url", "warc", "offset", "length", "status", "mime",
-              "file", "file_ord", "line_ord")
+    if (!resort)
+      badFiltered.select("domain", "url", "warc", "offset", "length",
+                         "status", "mime", "file", "file_ord", "line_ord")
+    else {
+      // F6: stable per-file sort by (domain, url) — Python sorted() is
+      // stable, so original line order breaks ties.
+      val w = Window.partitionBy("file")
+        .orderBy(asc("domain"), asc("url"), asc("line_ord"))
+      badFiltered
+        .withColumn("line_ord", row_number().over(w).cast(LongType))
+        .select("domain", "url", "warc", "offset", "length", "status", "mime",
+                "file", "file_ord", "line_ord")
+    }
   }
 }

@@ -63,8 +63,9 @@ object UrlDedup {
     * maybe-seen sliver (false-positive rate `fpp`).
     */
   def antiJoinSeen(entries: DataFrame, seenUrls: DataFrame,
-                   spark: SparkSession, fpp: Double = 0.01): DataFrame = {
-    val nSeen = seenUrls.count()
+                   spark: SparkSession, fpp: Double = 0.01,
+                   expectedItems: Option[Long] = None): DataFrame = {
+    val nSeen = expectedItems.getOrElse(seenUrls.count())
     if (nSeen == 0) return entries
     val bloom = seenUrls.stat.bloomFilter("url", math.max(nSeen, 64), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: predicate pushdown reaches the parquet
+  * scan, column pruning trims ReadSchema, dimension joins broadcast, and
+  * the hot paths stay inside whole-stage codegen. Plans are inspected
+  * AFTER an action so AQE has re-planned (isFinalPlan=true) — the
+  * pre-execution adaptive plan hides codegen stages and join selections.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize THIS queryExecution's AQE plan (count() builds its own)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Codegen stages print as `*(n)` operator prefixes in executedPlan. */
+  private def hasCodegen(p: String): Boolean =
+    p.contains("WholeStageCodegen") || p.contains("*(")
+
+  test("filter pushdown reaches the parquet scan (semi join build side)") {
+    val p = finalPlan("q_semi_join")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+           "segment filter must be pushed to the scan")
+  }
+
+  test("column pruning: q_agg_pricing reads only the needed columns") {
+    val p = finalPlan("q_agg_pricing")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+           s"over-wide scan: $read")
+  }
+
+  test("dimension joins broadcast (no shuffle join for small dims)") {
+    val p = finalPlan("q_join_region_sales")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+           "dims must not fall back to sort-merge")
+  }
+
+  test("anti/semi joins pick broadcast-hash strategies at this scale") {
+    assert(finalPlan("q_anti_join").contains("LeftAnti"))
+    assert(finalPlan("q_semi_join").contains("LeftSemi"))
+  }
+
+  test("aggregation pipeline stays in whole-stage codegen") {
+    val p = finalPlan("q_agg_pricing")
+    assert(hasCodegen(p), p.take(1200))
+    assert(p.contains("HashAggregate"), "partial+final hash agg expected")
+  }
+
+  test("argmax is one aggregation (no window sort over the whole input)") {
+    val p = finalPlan("q_urlseen_winners")
+    assert(p.contains("max_by"), p.take(1500))
+    assert(!p.contains("Window"), "winners must not need a window")
+  }
+
+  test("index filter chain is codegen'd column work (no UDF)") {
+    import spark.implicits._
+    val p0 = graft.fixtures.CrawlFixtures.Params(nRecords = 200)
+    val tmp = java.nio.file.Files.createTempDirectory("plan").toString
+    spark.createDataset(graft.fixtures.CrawlFixtures.rawLines(p0))
+      .write.mode("overwrite").parquet(tmp)
+    val filtered = graft.operators.IndexPipeline.filterIndex(
+      graft.operators.IndexPipeline.parseRaw(spark.read.parquet(tmp)),
+      resort = false)
+    filtered.collect()
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("batchevalpython"))
+    assert(hasCodegen(p), p.take(1200))
+    assert(!p.contains("Exchange"), "hot-path filter must not shuffle")
+  }
+}

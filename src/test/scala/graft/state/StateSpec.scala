@@ -1,0 +1,118 @@
+package graft.state
+
+import java.nio.file.{Files, Paths}
+
+import graft.TestSpark
+import graft.fixtures.CrawlFixtures
+import graft.model.RawIndexLine
+import graft.operators.FrontierJob
+import org.scalatest.funsuite.AnyFunSuite
+
+class StateSpec extends AnyFunSuite {
+
+  test("cuckoo filter: insert/lookup/delete laws, no false negatives") {
+    val cf = CuckooFilter.forCapacity(10000)
+    val keys = (0L until 8000L).map(CrawlFixtures.mix)
+    keys.foreach(k => assert(cf.insert(k), s"insert failed at load ${cf.loadFactor}"))
+    keys.foreach(k => assert(cf.contains(k), "false negative"))
+    // false positive rate on fresh keys is tiny
+    val fresh = (100000L until 120000L).map(CrawlFixtures.mix)
+    val fp = fresh.count(cf.contains)
+    assert(fp < 50, s"fp rate too high: $fp/20000")
+    // delete removes membership (for uniquely-inserted keys)
+    val del = keys.take(1000)
+    del.foreach(k => assert(cf.delete(k)))
+    val stillThere = del.count(cf.contains)
+    assert(stillThere < 10, s"deletes did not take: $stillThere")
+    assert(cf.size == 7000)
+  }
+
+  test("cuckoo filter: deterministic serialization roundtrip") {
+    val a = CuckooFilter.forCapacity(1000)
+    val b = CuckooFilter.forCapacity(1000)
+    (0L until 700L).map(CrawlFixtures.mix).foreach { k =>
+      a.insert(k); b.insert(k)
+    }
+    assert(a.toBytes.toSeq == b.toBytes.toSeq, "same inserts, same bytes")
+    val c = CuckooFilter.fromBytes(a.toBytes)
+    assert((0L until 700L).map(CrawlFixtures.mix).forall(c.contains))
+    assert(c.size == a.size)
+  }
+
+  test("snapshot log: stage/commit/latest/parent chain + commit race") {
+    val dir = Files.createTempDirectory("snaptest").toString
+    assert(Snapshots.latest(dir).isEmpty)
+    val (id0, d0, _) = Snapshots.stage(dir)
+    Files.writeString(d0.resolve("x.txt"), "data0")
+    val m0 = Snapshots.commit(dir, id0, Map("rows" -> 10L), "first")
+    assert(m0.snapshotId == 0 && m0.parentId == -1)
+    val (id1, d1, _) = Snapshots.stage(dir)
+    Files.writeString(d1.resolve("x.txt"), "data1")
+    val m1 = Snapshots.commit(dir, id1, Map("rows" -> 20L), "second")
+    assert(m1.parentId == 0)
+    val latest = Snapshots.latest(dir).get
+    assert(latest.snapshotId == 1 && latest.metrics("rows") == 20L)
+    // double-commit of same id must fail
+    intercept[IllegalStateException] {
+      Snapshots.commit(dir, id1, Map.empty, "dup")
+    }
+  }
+
+  test("frontier job: two batches, resume from committed snapshot") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val table = Files.createTempDirectory("frontier").toString
+    val p     = CrawlFixtures.Params(nRecords = 1200, nUrls = 500, nHosts = 20)
+    val lines = CrawlFixtures.rawLines(p)
+    val (day1, day2) = lines.partition(_.file_ord < 3)
+
+    val r1 = FrontierJob.runBatch(spark, day1.toDF(), table, dumpId = "d1")
+    assert(r1.manifest.snapshotId == 0)
+    assert(r1.manifest.metrics("n_scheduled") > 0)
+    val scheduled1 = r1.batches.select("url").distinct().as[String].collect().toSet
+
+    // "crash" happens here: nothing in-flight, resume = latest snapshot.
+    // The seen set is append-only: the reader view is the union of the
+    // manifest chain's delta paths.
+    def seenSet(): Set[String] = {
+      val paths = Snapshots.chain(table).map(m => s"$table/${m.dataPath}")
+      spark.read.parquet(paths: _*).as[String].collect().toSet
+    }
+    val resumed = Snapshots.latest(table).get
+    assert(resumed.snapshotId == 0)
+    val seen1 = seenSet()
+
+    val r2 = FrontierJob.runBatch(spark, day2.toDF(), table, dumpId = "d2")
+    assert(r2.manifest.snapshotId == 1 && r2.manifest.parentId == 0)
+    val scheduled2 = r2.batches.select("url").distinct().as[String].collect().toSet
+
+    // day-2 schedule must not contain anything already seen on day 1
+    assert(scheduled2.intersect(seen1).isEmpty)
+    // seen set grows monotonically across the snapshot chain
+    val seen2 = seenSet()
+    assert(seen1.subsetOf(seen2))
+    assert(scheduled2.subsetOf(seen2 -- seen1))
+    assert(Snapshots.latest(table).get.metrics("n_seen_urls") == seen2.size)
+
+    // cuckoo state mirrors the table across resume
+    val state = UrlSeenState.load(
+      Paths.get(table, Snapshots.latest(table).get.statePath))
+    val hashes = (scheduled1 ++ scheduled2).toSeq
+    val present = hashes.count(u => state.contains(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u),
+        org.apache.spark.sql.types.StringType, 42L)))
+    assert(present == hashes.size, "cuckoo state must contain all winners")
+  }
+
+  test("cuckoo batch ordering in crawl order matches (warc, offset)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val table = Files.createTempDirectory("frontier2").toString
+    val p     = CrawlFixtures.Params(nRecords = 600, nUrls = 300, nHosts = 10)
+    val r = FrontierJob.runBatch(spark, CrawlFixtures.rawLines(p).toDF(), table)
+    val rows = r.batches.orderBy("ord")
+      .select("warc", "offset").as[(String, Long)].collect()
+    assert(rows.toSeq == rows.sortBy(x => (x._1, x._2)).toSeq)
+  }
+}
