@@ -16,7 +16,8 @@ object SparkEntry {
     (RelationalQueries.defs, RelationalQueries.oracles),
     (CrawlQueries.defs, CrawlQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
-    (PipelineQueries.defs, PipelineQueries.oracles)
+    (PipelineQueries.defs, PipelineQueries.oracles),
+    (MiscQueries.defs, MiscQueries.oracles)
   )
 
   /** Flagship: the end-to-end frontier slice — raw index lines through

@@ -104,6 +104,42 @@ object TextAnalysis {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** F24: greedy longest-match wordpiece tokenization
+    * (cc_corpus/wordpiece.py:12–82): per whitespace token, repeatedly
+    * take the longest vocab prefix; continuation pieces are looked up
+    * with the `##` prefix; tokens with an unmatchable remainder map to
+    * `[UNK]`.
+    */
+  def wordpiece(text: String, vocab: Set[String],
+                maxPieceLen: Int = 100): Seq[String] = {
+    if (text == null) return Seq.empty
+    text.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { token =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start  = 0
+      var bad    = false
+      while (start < token.length && !bad) {
+        var end   = math.min(token.length, start + maxPieceLen)
+        var found = false
+        while (end > start && !found) {
+          val sub   = token.substring(start, end)
+          val piece = if (start > 0) "##" + sub else sub
+          if (vocab.contains(piece)) {
+            pieces += piece
+            start = end
+            found = true
+          } else end -= 1
+        }
+        if (!found) bad = true
+      }
+      if (bad) Seq("[UNK]") else pieces.toSeq
+    }
+  }
+
+  def wordpieceUdf(vocab: Seq[String]) = {
+    val v = vocab.toSet
+    udf((t: String) => wordpiece(t, v))
+  }
+
   val simhashUdf        = udf(simhash64 _)
   val minShingleHashUdf = udf((t: String) => minShingleHash(t))
 }

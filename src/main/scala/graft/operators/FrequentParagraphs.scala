@@ -39,6 +39,21 @@ object FrequentParagraphs {
     val freqPs  = mutable.LinkedHashMap.empty[String, PDataMut]
     private val buckets = mutable.HashMap.empty[(Int, Long), mutable.Set[String]]
 
+    /** J6 bootstrap: seed the state from a previous run's frequents
+      * (frequent_paragraphs.py:433–439 — pdatas inserted with their
+      * carried score/count under synthetic 1-based keys).
+      */
+    def bootstrap(pdatas: Seq[(Array[Long], Double, Long)]): Unit =
+      pdatas.zipWithIndex.foreach { case ((bands, score, count), i) =>
+        val key = (i + 1).toString
+        freqPs(key) = new PDataMut(bands, score, count)
+        var b = 0
+        while (b < bands.length) {
+          buckets.getOrElseUpdate((b, bands(b)), mutable.Set.empty) += key
+          b += 1
+        }
+      }
+
     private def insert(key: String, bands: Array[Long]): Unit = {
       freqPs(key) = new PDataMut(bands, 1.0, 1L)
       var i = 0
@@ -123,9 +138,21 @@ object FrequentParagraphs {
     * per (domain, pdata_id) with bands, score, count.
     */
   def collect(docs: DataFrame, decay: Double = 0.99,
-              minFreq: Long = 2, decayThreshold: Double = 0.5): DataFrame = {
+              minFreq: Long = 2, decayThreshold: Double = 0.5,
+              bootstrapDf: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // J6 bootstrap state, broadcast per domain (previous year's pdata)
+    val bootBc = spark.sparkContext.broadcast(
+      bootstrapDf.map { bdf =>
+        bdf.select($"domain", $"bands", $"score", $"count")
+          .as[(String, Seq[Long], Double, Long)]
+          .collect()
+          .groupBy(_._1)
+          .map { case (d, rows) =>
+            d -> rows.toSeq.map(r => (r._2.toArray, r._3, r._4))
+          }
+      }.getOrElse(Map.empty[String, Seq[(Array[Long], Double, Long)]]))
     docs
       .select($"domain", $"ord", $"doc_id", $"pbands")
       .as[(String, Long, String, Seq[Seq[Long]])]
@@ -145,6 +172,7 @@ object FrequentParagraphs {
             flush()
             curDomain = domain
             collector = new Collector(decay, decayThreshold)
+            bootBc.value.get(domain).foreach(collector.bootstrap)
           }
           collector.addDoc(docId, pbands.map(_.toArray))
         }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Sessions.table
+import graft.functions.Urls
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Remaining SURVEY.md §2 operators under the driver gate: A6 index
+  * statistics, O5 corpus ordering with http/https twin dedup, O10's
+  * replacement (salted two-phase aggregation for hot-key skew), and the
+  * BPE-ish token count.
+  */
+object MiscQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same derived index frame as CrawlQueries (kept in sync with its
+    * `indexSql`), with a scheme column for twin-dedup.
+    */
+  private def urlFrame(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      concat(
+        when(pmod(col("event_id"), lit(4L)) === 0, lit("http://"))
+          .otherwise(lit("https://")),
+        lit("h"), pmod(col("user_id"), lit(20L)),
+        lit(".example.com/p"), pmod(col("event_id"), lit(100L))).as("url"),
+      col("event_id").as("ord"),
+      floor(col("value") * 100).cast(LongType).as("length"))
+
+  private val urlFrameSql =
+    """SELECT CASE WHEN event_id % 4 = 0 THEN 'http://' ELSE 'https://' END
+              || 'h' || (user_id % 20) || '.example.com/p' ||
+              (event_id % 100) AS url,
+              event_id AS ord,
+              CAST(floor(value * 100) AS BIGINT) AS length
+       FROM events"""
+
+  val defs: Map[String, Q] = Map(
+    // A6 index statistics: per-domain URL/byte/distinctness counters.
+    "q_index_stats" -> { (s, dir) =>
+      urlFrame(s, dir)
+        .withColumn("domain", Urls.domainCol(col("url")))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_entries"),
+          countDistinct(col("url")).as("n_urls"),
+          sum("length").as("sum_bytes"))
+    },
+
+    // O5 corpus order: sort by (surt, protocol-less url, ord), keep the
+    // first of each http/https twin pair (frequent_paragraphs.py:217–263).
+    "q_corpus_order" -> { (s, dir) =>
+      val w = Window
+        .partitionBy("bare_url")
+        .orderBy(asc("surt_key"), asc("bare_url"), asc("ord"))
+      urlFrame(s, dir)
+        .withColumn("bare_url", Urls.bareUrlCol(col("url")))
+        .withColumn("surt_key", Urls.surtKeyCol(Urls.hostCol(col("url"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("surt_key", "bare_url", "url", "ord")
+    },
+
+    // O10 replacement: salted two-phase aggregation — hot hosts are
+    // split across `salt` sub-keys for the partial phase, then merged;
+    // results equal the direct aggregation, plans avoid single-task keys.
+    "q_salted_count" -> { (s, dir) =>
+      urlFrame(s, dir)
+        .withColumn("host", Urls.hostCol(col("url")))
+        .withColumn("salt", pmod(col("ord"), lit(8L)))
+        .groupBy("host", "salt")
+        .agg(count(lit(1)).as("pc"), sum("length").as("pl"))
+        .groupBy("host")
+        .agg(sum("pc").as("n"), sum("pl").as("sum_len"))
+    },
+
+    // F24-adjacent: BPE-ish token counting (letter runs / digit runs /
+    // single punctuation marks), next to the whitespace count.
+    "q_token_bpe" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
+          .as("n_bpe_tokens"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_index_stats" ->
+      s"""WITH u AS ($urlFrameSql)
+          SELECT regexp_replace(regexp_extract(url,
+                   '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1),
+                   '^(?:www|ww2|ww3|www2|www3)\\.', '') AS domain,
+                 count(*) AS n_entries,
+                 count(DISTINCT url) AS n_urls,
+                 sum(length) AS sum_bytes
+          FROM u GROUP BY 1""",
+    "q_corpus_order" ->
+      s"""WITH u AS ($urlFrameSql),
+          v AS (
+            SELECT url, ord,
+                   substring(url, position('://' IN url) + 3) AS bare_url,
+                   array_to_string(list_reverse(string_split(
+                     regexp_extract(url,
+                       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1),
+                     '.')), ',') AS surt_key
+            FROM u)
+          SELECT surt_key, bare_url, url, ord FROM (
+            SELECT surt_key, bare_url, url, ord,
+                   row_number() OVER (PARTITION BY bare_url
+                     ORDER BY surt_key ASC, bare_url ASC, ord ASC) AS rn
+            FROM v) WHERE rn = 1""",
+    "q_salted_count" ->
+      s"""WITH u AS ($urlFrameSql)
+          SELECT regexp_extract(url,
+                   '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1) AS host,
+                 count(*) AS n, sum(length) AS sum_len
+          FROM u GROUP BY 1""",
+    "q_token_bpe" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents"""
+  )
+}

@@ -21,10 +21,12 @@ object RefFrequent {
 
   /** A3: (domain, pdata_id, bands, score, count) rows. */
   def collect(docs: Seq[DomainDoc], b: Int, decay: Double = 0.99,
-              minFreq: Long = 2, decayThreshold: Double = 0.5)
+              minFreq: Long = 2, decayThreshold: Double = 0.5,
+              bootstrap: Map[String, Seq[(Array[Long], Double, Long)]] = Map.empty)
       : Seq[(String, Int, Seq[Long], Double, Long)] = {
     docs.groupBy(_.domain).toSeq.sortBy(_._1).flatMap { case (domain, ds) =>
       val c = new Collector(decay, decayThreshold)
+      bootstrap.get(domain).foreach(c.bootstrap)
       ds.sortBy(_.ord).foreach { dd =>
         c.addDoc(dd.doc.doc_id, paragraphBands(dd.doc, b))
       }
