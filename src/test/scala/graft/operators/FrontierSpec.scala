@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FrontierSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("O2 coalesceRanges merges contiguous runs and caps batch size") {
+    // file A: contiguous 0-100-200 (one run), gap, 500-600 (second run)
+    // file B: 7 contiguous clusters -> capped at 3/batch => 3 batches
+    val clusters =
+      Seq(("A", 0L, 100L), ("A", 100L, 100L), ("A", 200L, 100L),
+          ("A", 500L, 100L)) ++
+        (0 until 7).map(i => ("B", i * 50L, 50L))
+    val df = clusters.toDF("file_name", "offset", "length")
+    val got = Frontier.coalesceRanges(df, maxClusters = 3)
+      .select("file_name", "range_start", "range_end", "n_clusters")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 0L, 300L, 3L), ("A", 500L, 600L, 1L),
+      ("B", 0L, 150L, 3L), ("B", 150L, 300L, 3L), ("B", 300L, 350L, 1L)))
+  }
+
+  test("politenessRank emits at most quota per host in priority order") {
+    val cand = (0 until 40).map(i =>
+      (s"h${i % 4}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")
+    val got = Frontier.politenessRank(cand, "host_key",
+      Seq(asc("pri")), quota = 3)
+      .select("host_key", "url", "wave")
+      .as[(String, String, Int)].collect()
+    assert(got.length == 12)
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    // wave 1 of h0 is its smallest-pri url
+    assert(got.filter(r => r._1 == "h0" && r._3 == 1).head._2 == "u0")
+  }
+
+  test("robotsGate: longest prefix wins, allow on tie, default allow") {
+    val cand = Seq(
+      ("h1", "u1", "/a/b/c"),   // disallowed by /a
+      ("h1", "u2", "/a/ok/x"),  // re-allowed by longer /a/ok
+      ("h1", "u3", "/other"),   // no matching rule -> allowed
+      ("h2", "u4", "/a/b")      // host without rules -> allowed
+    ).toDF("host_key", "url", "path")
+    val rules = Seq(
+      ("h1", "/a", false), ("h1", "/a/ok", true)
+    ).toDF("host_key", "path_prefix", "allow")
+    val got = Frontier.robotsGate(cand, rules)
+      .select("url").as[String].collect().toSet
+    assert(got == Set("u2", "u3", "u4"))
+  }
+
+  test("SQL registry functions are callable from spark.sql") {
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      """SELECT graft_unquote('a%2561b') AS u,
+                graft_surt(graft_host('https://www.elte.hu/x')) AS s,
+                graft_simhash('a b c') AS sh""").head()
+    assert(r.getString(0) == "aab")
+    assert(r.getString(1) == "hu,elte")
+    assert(r.getLong(2) == graft.functions.TextAnalysis.simhash64("a b c"))
+  }
+}
