@@ -33,14 +33,15 @@ import scala.collection.mutable
   */
 object LshDedup {
 
-  /** Attach minhash signature + band hashes. Input needs (doc_id, ord,
-    * text); `b` = number of bands.
+  /** Attach band hashes (single pass: signature + banding fused in the
+    * native Catalyst expression — stays in whole-stage codegen, no UDF
+    * encoder round-trip). Input needs (doc_id, ord, text); `b` = bands.
     */
   def minhashed(docs: DataFrame, b: Int,
-                textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("sig", MinHashF.signatureUdf(col(textCol)))
-      .withColumn("bands", MinHashF.bandsUdf(b)(col("sig")))
+                textCol: String = "text"): DataFrame = {
+    graft.expressions.MinHashExpressions.register(docs.sparkSession)
+    docs.withColumn("bands", expr(s"graft_minhash_bands($textCol, $b)"))
+  }
 
   /** (doc_id, ord, band, bhash) — one row per band. */
   def bandTable(mh: DataFrame): DataFrame =
