@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time a single SparkEntry query (or several) without running
+  * the full Bench. `runMain graft.QBench q_frequent_filter [q_lsh_dedup ...]`
+  * against SPARK_GRAFT_SF_DIR (default sf0.1) at SPARK_GRAFT_CPUS.
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries("q_agg_pricing")(spark, sfDir).count() // warm-up
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n  = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[qbench] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

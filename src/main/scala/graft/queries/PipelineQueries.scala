@@ -70,12 +70,15 @@ object PipelineQueries {
     // A4 frequent-paragraph removal end-to-end (doc survival counts).
     "q_frequent_filter" -> { (s, dir) =>
       val b = graft.functions.MinHashF.optimalBands(0.95)
+      // persist: the spanize + per-paragraph 256-perm minhash chain is the
+      // dominant cost and is consumed 3x (collect, band rows, final join)
       val docs = DocPipeline.spanize(htmlFrame(s, dir))
         .select(col("source").as("domain"),
                 col("doc_id").cast(LongType).as("ord"),
                 col("doc_id"), col("spans"))
         .withColumn("pbands", FrequentParagraphs.paragraphBandsUdf(
           FrequentParagraphs.textSpans(col("spans")), lit(b)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freq = FrequentParagraphs.collect(docs)
       FrequentParagraphs.filterFrequent(docs, freq)
         .groupBy("domain")
