@@ -92,8 +92,12 @@ object LshDedup {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("ord", "a"), Seq("a"))
         .groupBy($"b".as("ord")).agg(min($"comp").as("ncomp"))
+      // persisted: consumed by both sides of the pointer-jump self-join
+      // (and transitively by the convergence probe) — without it the
+      // neighbor-min join+agg re-executes per consumer, per iteration
       val stepped = labels.join(viaNeighbors, Seq("ord"), "left_outer")
         .select($"ord", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: comp <- label(comp)
       val jumped = stepped.alias("l")
         .join(stepped.select($"ord".as("comp"), $"comp".as("ccomp")).alias("r"),
@@ -102,6 +106,7 @@ object LshDedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("ord"))
         .filter($"comp" =!= $"old").limit(1).count()
+      stepped.unpersist()
       labels.unpersist()
       labels = jumped
       converged = changed == 0
