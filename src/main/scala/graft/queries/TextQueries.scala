@@ -60,8 +60,11 @@ object TextQueries {
     // N-gram (word-set) Jaccard near-dup pairs, blocked by source.
     "q_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
+      // persisted: the explode+distinct shuffle feeds three consumers
+      // (per-doc counts and both sides of the word self-join)
       val words = docs.select(col("doc_id"), col("source"),
         explode(split(trim(col("text")), "\\s+")).as("word")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = words.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = words.alias("a")
         .join(words.alias("b"),
