@@ -18,13 +18,35 @@ object Frontier {
 
   /** Rank candidates per host by priority; emit at most `quota` per host.
     * `wave` = within-host rank: the politeness emission round.
+    *
+    * Skew safety: a mega-host would put its every URL into one task's
+    * window sort. When the quota is bounded, a salted pre-prune runs
+    * first — per (host, salt) keep the top `quota` rows — so the exact
+    * final window only sees <= quota * salts rows per host. Any row in a
+    * host's true top-quota ranks <= quota within its salt bucket too, so
+    * the pre-prune never drops a final survivor: results are identical to
+    * the direct window for any total priority order.
     */
   def politenessRank(candidates: DataFrame,
                      hostCol: String,
                      priorityCols: Seq[Column],
-                     quota: Int): DataFrame = {
+                     quota: Int,
+                     salts: Int = 16): DataFrame = {
     val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
-    candidates
+    val pruned =
+      if (quota >= Int.MaxValue / salts || salts <= 1) candidates
+      else {
+        // bucket assignment only affects which non-survivors are pruned
+        // early, never the final result -> a cheap row-id salt is fine
+        val wPre = Window.partitionBy(col(hostCol), col("__salt"))
+          .orderBy(priorityCols: _*)
+        candidates
+          .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+          .withColumn("__prn", row_number().over(wPre))
+          .filter(col("__prn") <= quota)
+          .drop("__salt", "__prn")
+      }
+    pruned
       .withColumn("wave", row_number().over(w))
       .filter(col("wave") <= quota)
   }

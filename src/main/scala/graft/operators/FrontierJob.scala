@@ -67,23 +67,22 @@ object FrontierJob {
       .select("url", "warc", "offset", "length", "file", "file_ord",
               "line_ord")
 
-    // 2. J2 anti-join vs seen (bloom pre-pass inside); the seen-set size
-    // comes from the parent manifest — no extra counting pass
+    // 2. J2 anti-join vs seen — one distributed left-anti join; no
+    // driver-side structure, no extra pass over the seen set
     val obsNew = Observation("frontier_new")
     val prevSeenCount = prev.flatMap(_.metrics.get("n_seen_urls"))
-    val fresh0 = phase("bloom build")(UrlDedup
-      .antiJoinSeen(filtered, seenUrls.select("url"), spark,
-                    expectedItems = prevSeenCount))
+    val fresh = UrlDedup
+      .antiJoinSeen(filtered, seenUrls.select("url"), spark)
       .observe(obsNew, count(lit(1)).as("n_new_entries"))
-    val fresh = if (cacheIntermediates)
-      fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else fresh0
 
-    // 3. A0 winners + J3 keep; winners feed three consumers (semi-join,
-    // seen-set union, cuckoo update) -> persist once
-    val winners = UrlDedup.winners(fresh, keep)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = UrlDedup.keepWinners(fresh, winners)
+    // 3. A0+J3 fused: the winner LINE per URL in one window shuffle (the
+    // groupBy + semi-join pair re-shuffled the full index twice). kept
+    // feeds the order chain once (into the crawl-order checkpoint) and
+    // the seen-delta/cuckoo/count branch -> persist
+    val kept0 = UrlDedup.winnersKept(fresh, keep)
+    val kept = if (cacheIntermediates)
+      kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else kept0
 
     // 4. J8 robots gate on (host_key, path)
     val gated = robots match {
@@ -98,14 +97,12 @@ object FrontierJob {
     }
 
     // 5. politeness waves (per-host quota), then O3 crawl order + batches.
-    // ranked is persisted because crawl ordering makes two passes over it
-    // (zipWithIndex count + map) — without it the whole upstream chain
-    // would re-run per pass
+    // crawlOrder checkpoints its sorted input internally (its two
+    // consumers need identical partitioning), so no persist here
     val ranked = Frontier.politenessRank(
       gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
       politenessQuota)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ordered = phase("order (eager zip)")(UrlDedup.crawlOrder(ranked))
+    val ordered = phase("order (df-native)")(UrlDedup.crawlOrder(ranked))
     val obsBatch = Observation("frontier_batches")
     val batches0 = UrlDedup.fetchBatches(ordered, fetchBatchSize)
       .observe(obsBatch, count(lit(1)).as("n_scheduled"),
@@ -116,8 +113,11 @@ object FrontierJob {
     // returned frame re-read the written parquet instead of re-running
     // the sort chain.
     val (snapId, dataDir, stateDir) = Snapshots.stage(tableDir)
+    // kept has exactly one row per URL (winnersKept) — the delta IS the
+    // winner URL set, already hash-distributed by url from the winner
+    // window, so files come out evenly spread at any scale.
     phase("write seen delta") {
-      winners.select("url").write.mode("overwrite").parquet(dataDir.toString)
+      kept.select("url").write.mode("overwrite").parquet(dataDir.toString)
     }
 
     val batchesPath = dataDir.resolveSibling(s"snap-$snapId-batches").toString
@@ -132,16 +132,14 @@ object FrontierJob {
       .map(m => Paths.get(tableDir, m.statePath))
       .filter(java.nio.file.Files.isDirectory(_))
     val perPartInserts = phase("cuckoo update")(UrlSeenState.updateDistributed(
-      spark, winners.select(xxhash64(col("url")).as("h")),
+      spark, kept.select(xxhash64(col("url")).as("h")),
       prevStateDir, stateDir, partitions = 16,
       capacityPerPartition = 1 << 16))
 
     val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]
     val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
-    val nWinners = phase("winners count")(winners.count())
-    if (cacheIntermediates) fresh.unpersist()
-    ranked.unpersist()
-    winners.unpersist()
+    val nWinners = phase("winners count")(kept.count())
+    if (cacheIntermediates) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],
       "n_winners"     -> nWinners,

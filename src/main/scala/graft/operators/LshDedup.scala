@@ -75,6 +75,13 @@ object LshDedup {
 
   /** Min-label propagation with pointer jumping over (src, dst) edges.
     * Returns (ord, comp) for every node appearing in an edge.
+    *
+    * Every iteration ends in a `localCheckpoint`: iterative DataFrame
+    * loops otherwise double their logical plan each round (persist caches
+    * data but does NOT truncate lineage), so planning cost grows
+    * geometrically and one lost executor recomputes the whole chain. The
+    * checkpoint materializes the (tiny) label table and restarts lineage
+    * from it — constant plan size, constant per-iteration cost.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
@@ -84,7 +91,7 @@ object LshDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.groupBy($"a".as("ord"))
       .agg(least(min($"b"), first($"a")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -92,24 +99,21 @@ object LshDedup {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("ord", "a"), Seq("a"))
         .groupBy($"b".as("ord")).agg(min($"comp").as("ncomp"))
-      // persisted: consumed by both sides of the pointer-jump self-join
-      // (and transitively by the convergence probe) — without it the
-      // neighbor-min join+agg re-executes per consumer, per iteration
       val stepped = labels.join(viaNeighbors, Seq("ord"), "left_outer")
         .select($"ord", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: comp <- label(comp)
+      // pointer jump: comp <- label(comp). The self-join's two sides share
+      // one plan below the rename -> the exchange is planned once
+      // (ReuseExchange); the checkpoint then pins the result.
       val jumped = stepped.alias("l")
         .join(stepped.select($"ord".as("comp"), $"comp".as("ccomp")).alias("r"),
               Seq("comp"), "left_outer")
         .select($"ord", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("ord"))
-        .filter($"comp" =!= $"old").limit(1).count()
-      stepped.unpersist()
-      labels.unpersist()
+        .localCheckpoint()
+      val changed = !jumped
+        .join(labels.withColumnRenamed("comp", "old"), Seq("ord"))
+        .filter($"comp" =!= $"old").isEmpty
       labels = jumped
-      converged = changed == 0
+      converged = !changed
       iter += 1
     }
     sym.unpersist()

@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.LongType
 
 /** URL-seen set construction + frontier dedup (SURVEY.md §2.4 A0, §2.3
   * J2/J3, §2.5 O3) — the reference's single-process bottleneck
@@ -56,43 +56,79 @@ object UrlDedup {
       Seq("url", "warc", "offset", "length"),
       "left_semi")
 
-  /** J2: drop entries whose URL is already in the seen set. The bloom
-    * pre-pass keeps definitely-new URLs out of the anti-join shuffle
-    * entirely — at frontier scale the seen set is orders of magnitude
-    * larger than a day's discoveries, so the join only sees the
-    * maybe-seen sliver (false-positive rate `fpp`).
+  /** A0+J3 fused: the winner *line* per URL in ONE shuffle — row_number
+    * over (url) ordered by the same strict-greater priority, keep rank 1.
+    * Versus winners()+keepWinners() this replaces a groupBy shuffle plus a
+    * semi-join re-shuffle of the full index with a single window shuffle,
+    * and the output retains every input column (file_ord/line_ord feed the
+    * politeness ranking downstream). The priority is a total order per URL
+    * ((file_ord, line_ord) is unique per line), so rank 1 is exactly the
+    * reference's dict winner.
+    */
+  def winnersKept(filtered: DataFrame, keep: String = "biggest"): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(priority(keep).desc)
+    filtered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J2: drop entries whose URL is already in the seen set — a plain
+    * distributed left-anti join. The seen side shuffles by url hash across
+    * executors; no single-node structure is ever built (the previous
+    * driver-side bloom build aggregated the whole seen set into one
+    * driver allocation — ~12 GB at the 10^10-URL north rule — and was a
+    * serial section in every batch). At cluster scale the seen snapshots
+    * are written hash-distributed on xxhash64(url) (Snapshots layout), so
+    * the anti-join's shuffle of the seen side is a co-located re-read;
+    * Spark's runtime row-level bloom (AQE) can further prune the probe
+    * side when beneficial.
     */
   def antiJoinSeen(entries: DataFrame, seenUrls: DataFrame,
                    spark: SparkSession, fpp: Double = 0.01,
-                   expectedItems: Option[Long] = None): DataFrame = {
-    val nSeen = expectedItems.getOrElse(seenUrls.count())
-    if (nSeen == 0) return entries
-    val bloom = seenUrls.stat.bloomFilter("url", math.max(nSeen, 64), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((u: String) => u != null && bloomBc.value.mightContainString(u))
-
-    val definitelyNew = entries.filter(!mightContain(col("url")))
-    val maybeSeen     = entries.filter(mightContain(col("url")))
-      .join(seenUrls.select("url"), Seq("url"), "left_anti")
-    definitelyNew.unionByName(maybeSeen)
-  }
+                   expectedItems: Option[Long] = None): DataFrame =
+    entries.join(seenUrls.select("url"), Seq("url"), "left_anti")
 
   /** O3: global crawl-order sort by (warc, offset) with a stable total
-    * tie-break, plus a contiguous 0-based `ord` column. The `ord` is
-    * assigned per-partition after the range-partitioned sort (no
-    * single-partition window): zipWithIndex runs one lightweight count
-    * job and a narrow map — scale-safe.
+    * tie-break, plus a contiguous 0-based `ord` column — DataFrame-native.
+    *
+    * After the range-partitioned sort, `monotonically_increasing_id()`
+    * encodes (partition << 33 | row-in-partition); partition row counts
+    * are tiny (one row per partition), so the global offset of each
+    * partition is a running sum over that small frame, broadcast back. No RDD
+    * round-trip: rows stay in Tungsten format end-to-end (the previous
+    * zipWithIndex path decoded and re-encoded every row).
+    *
+    * The sorted frame is localCheckpoint'ed: both the offsets aggregate
+    * and the final join must observe the *same* physical partitioning and
+    * row order, and the checkpoint also cuts the upstream chain so the
+    * two consumers don't recompute it (callers no longer need to persist
+    * their input). On a multi-executor cluster an executor loss costs a
+    * stage retry from the checkpoint blocks' lineage — acceptable for a
+    * batch job; use reliable checkpointing if the cluster is preemptible.
     */
   def crawlOrder(kept: DataFrame): DataFrame = {
     val sortCols = Seq(asc("warc"), asc("offset"), asc("url"),
                        asc("file_ord"), asc("line_ord"))
     val sorted = kept.orderBy(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField("ord", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val offsets = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy(asc("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    sorted
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("ord",
+        col("__offset") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__pid", "__mid", "__offset")
   }
 
   /** Fetch-batch assignment: the reference chunks the crawl-ordered index

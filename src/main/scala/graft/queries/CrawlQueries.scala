@@ -86,11 +86,12 @@ object CrawlQueries {
         .select("url").distinct()
     },
 
-    // O3: crawl-order global sort with contiguous ord, via
-    // UrlDedup.crawlOrder (zipWithIndex path — no single-partition window).
+    // O3: crawl-order global sort with contiguous ord, via the fused
+    // winner window (A0+J3 in one shuffle) + DF-native crawlOrder (no
+    // single-partition window, no RDD round-trip).
     "q_crawl_order" -> { (s, dir) =>
-      val idx     = indexFrame(s, dir)
-      val kept    = UrlDedup.keepWinners(idx, UrlDedup.winners(idx))
+      val idx  = indexFrame(s, dir)
+      val kept = UrlDedup.winnersKept(idx)
       UrlDedup.crawlOrder(kept).select("ord", "url", "warc", "offset")
     },
 

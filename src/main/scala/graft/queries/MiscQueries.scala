@@ -95,7 +95,7 @@ object MiscQueries {
                    '^(?:www|ww2|ww3|www2|www3)\\.', '') AS domain,
                  count(*) AS n_entries,
                  count(DISTINCT url) AS n_urls,
-                 sum(length) AS sum_bytes
+                 CAST(sum(length) AS BIGINT) AS sum_bytes
           FROM u GROUP BY 1""",
     "q_corpus_order" ->
       s"""WITH u AS ($urlFrameSql),
@@ -116,7 +116,7 @@ object MiscQueries {
       s"""WITH u AS ($urlFrameSql)
           SELECT regexp_extract(url,
                    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1) AS host,
-                 count(*) AS n, sum(length) AS sum_len
+                 count(*) AS n, CAST(sum(length) AS BIGINT) AS sum_len
           FROM u GROUP BY 1""",
     "q_token_bpe" ->
       """SELECT doc_id,

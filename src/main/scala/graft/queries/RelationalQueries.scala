@@ -218,11 +218,13 @@ object RelationalQueries {
                     ORDER BY ts ASC, event_id ASC) AS rnk
            FROM events) WHERE rnk <= 3""",
     "q_sessionize" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
          FROM (
            SELECT user_id,
                   CASE WHEN prev_ts IS NULL
-                         OR epoch(ts) - epoch(prev_ts) > 1800
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
                        THEN 1 ELSE 0 END AS new_sess
            FROM (
              SELECT user_id, ts,
