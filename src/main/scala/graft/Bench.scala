@@ -115,11 +115,15 @@ object Bench {
     val sHi = session(cpus)
     SparkEntry.queries("q_agg_pricing")(sHi, sfDir).count() // JVM warm-up
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time {
+      val secs = time {
         try fn(sHi, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
+      // queries persist intermediates for their own multi-consumer plans;
+      // drop them so cached blocks never skew later queries' timings
+      sHi.catalog.clearCache()
+      name -> secs
     }
     frontierRun(sHi, nRecords / 10, warm = false) // session warm-up
     val frontierHiSecs = minOf(Trials)(frontierRun(sHi, nRecords, warm = false))

@@ -75,19 +75,93 @@ object MinHashF {
     r
   }
 
-  /** MinHash signature of `text`: min over all char-n-gram shingles. */
+  /** FNV-1a over a window of an ASCII-only string (chars == UTF-8 bytes):
+    * allocation-free, value-identical to fnv64(s.substring(from, from+n)).
+    */
+  private def fnv64AsciiWindow(s: String, from: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + n
+    while (i < end) {
+      h ^= (s.charAt(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Minimal open-addressed long set (power-of-2 capacity, linear probe).
+    * 0 is reserved as the empty marker; the caller remaps it.
+    */
+  private final class LongSet(expected: Int) {
+    private var cap  = Integer.highestOneBit(math.max(expected * 2, 16) - 1) << 1
+    private var tab  = new Array[Long](cap)
+    private var size = 0
+    def add(k0: Long): Boolean = {
+      val k = if (k0 == 0L) 0x9e3779b97f4a7c15L else k0 // remap reserved 0
+      var i = (java.lang.Long.hashCode(k) * 0x9e3779b9) & (cap - 1)
+      while (true) {
+        val cur = tab(i)
+        if (cur == 0L) {
+          tab(i) = k; size += 1
+          if (size * 4 > cap * 3) grow()
+          return true
+        }
+        if (cur == k) return false
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = tab
+      cap *= 2
+      tab = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < old.length) {
+        val k = old(i)
+        if (k != 0L) {
+          var j = (java.lang.Long.hashCode(k) * 0x9e3779b9) & (cap - 1)
+          while (tab(j) != 0L) j = (j + 1) & (cap - 1)
+          tab(j) = k; size += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** MinHash signature of `text`: min over all char-n-gram shingles.
+    * Hot-path form: ASCII texts hash windows without allocating, and each
+    * distinct shingle runs the 256 permutations once (a repeated shingle
+    * cannot lower any minimum) — identical output to the naive loop.
+    */
   def signature(text: String): Array[Long] = {
     val sig = Array.fill(NumPerm)(Long.MaxValue)
     if (text != null && text.length >= ShingleN) {
+      val end   = text.length - ShingleN
+      val ascii = isAscii(text)
+      val seen  = new LongSet(math.min(end + 1, 1 << 16))
       var i = 0
-      val end = text.length - ShingleN
       while (i <= end) {
-        val h0 = fnv64(text.substring(i, i + ShingleN))
-        var j = 0
-        while (j < NumPerm) {
-          val v = permute(as(j), bs(j), h0)
-          if (v < sig(j)) sig(j) = v
-          j += 1
+        val h0 =
+          if (ascii) fnv64AsciiWindow(text, i, ShingleN)
+          else fnv64(text.substring(i, i + ShingleN))
+        if (seen.add(h0)) {
+          var j = 0
+          while (j < NumPerm) {
+            val v = permute(as(j), bs(j), h0)
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
         }
         i += 1
       }

@@ -129,6 +129,13 @@ object FrequentParagraphs {
   val paragraphBandsUdf = udf((paras: Seq[String], b: Int) =>
     paras.map(p => MinHashF.bandHashes(MinHashF.signature(p), b)))
 
+  /** Column form of paragraphBandsUdf on the codegen'd native expression
+    * (`graft_minhash_bands`) — no per-row encoder round-trip. Caller must
+    * have run `MinHashExpressions.register(spark)` on the session.
+    */
+  def paragraphBandsCol(paras: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+    transform(paras, p => call_function("graft_minhash_bands", p, lit(b)))
+
   def textSpans(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(filter(spans, s => s.getField("kind") === "p"),
               s => s.getField("text"))
@@ -232,25 +239,30 @@ object FrequentParagraphs {
       .groupBy("domain", "ord")
       .agg(collect_set($"p_id").as("drop_pids"))
 
-    val dropSpansUdf = udf(
-      (spans: Seq[Row], dropPids: Seq[Long]) => {
-        val drop = if (dropPids == null) Set.empty[Long] else dropPids.toSet
-        var pIdx = 0L
-        val kept = spans.flatMap { s =>
-          val kind = s.getString(0)
-          if (kind == "p") {
-            pIdx += 1
-            if (drop.contains(pIdx)) None else Some(s)
-          } else Some(s)
-        }
-        kept.zipWithIndex.map { case (s, i) =>
-          (s.getString(0), s.getString(1), s.getString(2), i)
-        }
-      })
+    // drop matched paragraphs + re-offset, as a pure column fold (same
+    // pattern as DocPipeline.sameDocDedup) — stays in codegen, no UDF
+    val spanArrayT = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    val pids = coalesce($"drop_pids", array().cast("array<bigint>"))
+    val folded = aggregate(
+      $"spans",
+      struct(lit(0L).as("pidx"), array().cast(spanArrayT).as("kept")),
+      (acc, s) => {
+        val isP  = s.getField("kind") === "p"
+        val pIdx = acc.getField("pidx") + when(isP, 1L).otherwise(0L)
+        val dropIt = isP && array_contains(pids, pIdx)
+        struct(
+          pIdx.as("pidx"),
+          when(dropIt, acc.getField("kept"))
+            .otherwise(concat(acc.getField("kept"), array(s))).as("kept"))
+      },
+      acc => acc.getField("kept"))
+    val reoffset = transform(folded, (s, i) =>
+      struct(s.getField("kind").as("kind"), s.getField("text").as("text"),
+             s.getField("media_ref").as("media_ref"),
+             i.cast("int").as("offset")))
 
     docs.join(dropAll, Seq("domain", "ord"), "left_outer")
-      .withColumn("spans", dropSpansUdf($"spans", $"drop_pids")
-        .cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+      .withColumn("spans", reoffset)
       .drop("drop_pids")
       .filter(size(filter($"spans", s => s.getField("kind") === "p")) > 0)
   }

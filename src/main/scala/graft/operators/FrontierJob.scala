@@ -102,7 +102,8 @@ object FrontierJob {
     val ranked = Frontier.politenessRank(
       gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
       politenessQuota)
-    val ordered = phase("order (df-native)")(UrlDedup.crawlOrder(ranked))
+    val (ordered, sortedCache) =
+      phase("order (df-native)")(UrlDedup.crawlOrderEx(ranked))
     val obsBatch = Observation("frontier_batches")
     val batches0 = UrlDedup.fetchBatches(ordered, fetchBatchSize)
       .observe(obsBatch, count(lit(1)).as("n_scheduled"),
@@ -139,6 +140,7 @@ object FrontierJob {
     val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]
     val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
     val nWinners = phase("winners count")(kept.count())
+    sortedCache.unpersist()
     if (cacheIntermediates) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],

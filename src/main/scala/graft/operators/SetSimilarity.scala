@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact set-similarity self-join (word-set Jaccard >= t) — the n-gram
+  * near-duplicate operator as a scale-safe two-regime plan. A naive
+  * word-bucket self-join is quadratic in the document frequency of common
+  * words (the "the" bucket explodes); both regimes here bound candidate
+  * generation independently of any single token's document frequency:
+  *
+  *  - **Small sets** (n <= nSmallMax, where floor((1-t)*n) <= 1): J >= t
+  *    forces |A\B| <= 1 and |B\A| <= 1, so A∩B is reachable from each set
+  *    by deleting at most one element. Emitting a hash of the full set
+  *    plus each delete-one subset ("deletion signatures", the k-bounded
+  *    symmetric-difference join) makes every qualifying pair collide on
+  *    the hash of A∩B — n+1 signatures per set, bucket sizes ~ true
+  *    duplicate-cluster sizes.
+  *  - **Large sets** (n >= ceil(t*nSmallMax)): AllPairs/PPJoin prefix
+  *    filtering — under a global token order (document frequency asc,
+  *    token asc) two sets with J >= t share a token among their first
+  *    n - ceil(t*n) + 1 tokens (the smallest common token sits in both
+  *    prefixes), so candidates come only from prefix-token buckets.
+  *
+  *  The regimes overlap (length filter: qualifying pairs have sizes
+  *  within factor t of each other, so every pair lands wholly inside at
+  *  least one regime); the union is de-duplicated before the exact
+  *  verification, which computes true Jaccard per candidate pair.
+  */
+object SetSimilarity {
+
+  /** Near-duplicate pairs with word-set Jaccard >= t, blocked by
+    * `blockCol` (pairs are only reported within a block). `items` needs
+    * (idCol, blockCol, ws: sorted array<string>, c: long = size(ws)).
+    * Returns (a_id, b_id, jac) with a_id < b_id, jac rounded to 4dp.
+    */
+  def jaccardSelfJoin(items: DataFrame, t: Double,
+                      idCol: String = "doc_id",
+                      blockCol: String = "source"): DataFrame = {
+    require(t > 0.5 && t < 1.0, s"threshold must be in (0.5, 1): $t")
+    // largest n with floor((1-t)*n) <= 1, i.e. deletion distance <= 1
+    val nSmallMax = math.ceil(2.0 / (1.0 - t)).toInt - 1
+    val nLargeMin = math.floor(t * nSmallMax).toInt
+
+    val sets = items.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                            col("ws"), col("c"))
+
+    // -- small regime: deletion signatures (full set + delete-one) --
+    val DELIM = "\u0001"
+    val small = sets.filter(col("c") <= nSmallMax)
+    val smallSigs = small.select(
+      col("id"), col("blk"),
+      explode(concat(
+        array(xxhash64(concat_ws(DELIM, col("ws")))),
+        transform(sequence(lit(1L), greatest(col("c"), lit(1L))), j =>
+          xxhash64(concat_ws(DELIM,
+            concat(slice(col("ws"), lit(1), (j - 1).cast("int")),
+                   slice(col("ws"), (j + 1).cast("int"),
+                         col("c").cast("int")))))))).as("sig"))
+    val candSmall = smallSigs.alias("a")
+      .join(smallSigs.alias("b"),
+            col("a.sig") === col("b.sig") && col("a.blk") === col("b.blk") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+
+    // -- large regime: prefix filtering under (df asc, token asc) --
+    val large = sets.filter(col("c") >= nLargeMin)
+    val largeTokens = large.select(col("id"), col("blk"), col("c"),
+                                   explode(col("ws")).as("word"))
+    val dfreq = largeTokens.groupBy("word").agg(count(lit(1)).as("df"))
+    val prefix = largeTokens.join(dfreq, Seq("word"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(asc("df"), asc("word"))))
+      .filter(col("rk") <= col("c") - ceil(col("c") * lit(t)) + 1)
+      .select("id", "blk", "word", "c")
+    val candLarge = prefix.alias("a")
+      .join(prefix.alias("b"),
+            col("a.word") === col("b.word") && col("a.blk") === col("b.blk") &&
+              col("a.id") < col("b.id") &&
+              // length filter: t*na <= nb <= na/t
+              col("b.c") * lit(t) <= col("a.c") &&
+              col("a.c") * lit(t) <= col("b.c"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+
+    val cand = candSmall.unionByName(candLarge).distinct()
+
+    // -- exact verification --
+    cand
+      .join(sets.select(col("id").as("a_id"), col("ws").as("wa"),
+                        col("c").as("na")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("ws").as("wb"),
+                        col("c").as("nb")), Seq("b_id"))
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast(LongType))
+      .withColumn("jac",
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jac") >= t)
+      .select(col("a_id").as("a_id"), col("b_id").as("b_id"), col("jac"))
+  }
+
+  /** Convenience: word sets from a text column (whitespace tokens,
+    * de-duplicated, sorted).
+    */
+  def wordSets(docs: DataFrame, idCol: String = "doc_id",
+               blockCol: String = "source",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(blockCol),
+                array_sort(array_distinct(
+                  split(trim(col(textCol)), "\\s+"))).as("ws"))
+      .withColumn("c", size(col("ws")).cast(LongType))
+}

@@ -38,32 +38,62 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol).asc)
       .limit(k)
 
-  /** LSH-bucketed ANN: random-hyperplane signatures (simhash for vectors)
-    * put near vectors in shared buckets; queries only scan their bucket
-    * union. `planes` deterministic from the seed. This is the 100-TB
-    * path: bucket id is a partition key, the per-bucket scan is local.
+  /** Deterministic pseudo-gaussian hyperplanes (sum of seeded uniforms).
+    * Public so the DuckDB oracle can embed the identical literals.
     */
-  def hyperplaneBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int,
-                        seed: Long = 42L,
-                        embCol: String = "embedding"): DataFrame = {
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
-        // deterministic pseudo-gaussian via sum of uniforms
         val u = (0 until 4).map(r =>
           graft.fixtures.CrawlFixtures.draw(seed + p * 1000 + d, 50 + r,
                                             1 << 20).toDouble / (1 << 20))
         u.sum - 2.0
       }
     }
-    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+
+  /** LSH-bucketed ANN: random-hyperplane signatures (simhash for vectors)
+    * put near vectors in shared buckets; queries only scan their bucket
+    * union. `planes` deterministic from the seed. This is the 100-TB
+    * path: bucket id is a partition key, the per-bucket scan is local.
+    * The sign test rounds the dot product to 8dp so engines summing in a
+    * different order (the oracle) agree on the bucket bit.
+    */
+  def hyperplaneBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int,
+                        seed: Long = 42L,
+                        embCol: String = "embedding"): DataFrame = {
+    val sigBits = planes(nPlanes, dim, seed).zipWithIndex.map { case (plane, i) =>
       val dot = aggregate(
         zip_with(col(embCol).cast("array<double>"),
                  array(plane.map(lit): _*), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(round(dot, 8) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     embeddings.withColumn("bucket",
       sigBits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** ANN query: multi-probe bucket search. Candidates are vectors whose
+    * hyperplane bucket differs from the query's in <= maxHamming bits
+    * (flipping one plane's sign probes the adjacent buckets — standard
+    * multi-probe LSH), verified by exact cosine, top-k returned. At scale
+    * the bucket column is the partition key: the probe reads
+    * nPlanes+1 buckets, not the corpus; the head() is a single-row
+    * query-vector lookup, not a data collect.
+    */
+  def annSearch(embeddings: DataFrame, queryVecId: Long, k: Int,
+                nPlanes: Int, dim: Int, maxHamming: Int = 1,
+                seed: Long = 42L,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val bucketed = hyperplaneBuckets(embeddings, nPlanes, dim, seed, embCol)
+    val q = bucketed.filter(col(idCol) === queryVecId)
+      .select(col("bucket"), col(embCol).cast("array<double>")).head()
+    val qBucket = q.getLong(0)
+    val qVec    = q.getSeq[Double](1)
+    val cands = bucketed.filter(
+      col(idCol) =!= queryVecId &&
+        expr(s"bit_count(bucket ^ ${qBucket}L) <= $maxHamming"))
+    bruteForceTopK(cands.drop("bucket"), qVec, k, idCol, embCol)
   }
 
   /** Simhash near-duplicate pairs: 4x16-bit band blocking over the 64-bit

@@ -99,20 +99,26 @@ object UrlDedup {
     * round-trip: rows stay in Tungsten format end-to-end (the previous
     * zipWithIndex path decoded and re-encoded every row).
     *
-    * The sorted frame is localCheckpoint'ed: both the offsets aggregate
-    * and the final join must observe the *same* physical partitioning and
-    * row order, and the checkpoint also cuts the upstream chain so the
-    * two consumers don't recompute it (callers no longer need to persist
-    * their input). On a multi-executor cluster an executor loss costs a
-    * stage retry from the checkpoint blocks' lineage — acceptable for a
-    * batch job; use reliable checkpointing if the cluster is preemptible.
+    * The sorted frame is persisted: both the offsets aggregate and the
+    * final join must observe the *same* physical partitioning and row
+    * order — the cache materializes once, so the nondeterministic mid is
+    * pinned, and the upstream chain runs once for the two consumers
+    * (callers no longer need to persist their input). `crawlOrderEx`
+    * hands the persisted intermediate back so batch drivers can release
+    * it deterministically (leaked cache blocks from previous batches
+    * otherwise accumulate and evict-thrash the block manager).
     */
-  def crawlOrder(kept: DataFrame): DataFrame = {
+  def crawlOrder(kept: DataFrame): DataFrame = crawlOrderEx(kept)._1
+
+  /** As crawlOrder, also returning the persisted sort intermediate; the
+    * caller should `unpersist()` it once the result is fully consumed.
+    */
+  def crawlOrderEx(kept: DataFrame): (DataFrame, DataFrame) = {
     val sortCols = Seq(asc("warc"), asc("offset"), asc("url"),
                        asc("file_ord"), asc("line_ord"))
     val sorted = kept.orderBy(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
@@ -123,12 +129,13 @@ object UrlDedup {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__pid"), col("__offset"))
-    sorted
+    val ordered = sorted
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn("ord",
         col("__offset") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__pid", "__mid", "__offset")
+    (ordered, sorted)
   }
 
   /** Fetch-batch assignment: the reference chunks the crawl-ordered index

@@ -56,19 +56,21 @@ object PipelineQueries {
     // A3 frequent-paragraph collection per "domain" (= source), docs in
     // doc_id order, via the production secondary-sort collector.
     "q_frequent_collect" -> { (s, dir) =>
+      graft.expressions.MinHashExpressions.register(s)
       val b = graft.functions.MinHashF.optimalBands(0.95)
       val docs = DocPipeline.spanize(htmlFrame(s, dir))
         .select(col("source").as("domain"),
                 col("doc_id").cast(LongType).as("ord"),
                 col("doc_id"), col("spans"))
-        .withColumn("pbands", FrequentParagraphs.paragraphBandsUdf(
-          FrequentParagraphs.textSpans(col("spans")), lit(b)))
+        .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
+          FrequentParagraphs.textSpans(col("spans")), b))
       FrequentParagraphs.collect(docs)
         .select("domain", "pdata_id", "score", "count")
     },
 
     // A4 frequent-paragraph removal end-to-end (doc survival counts).
     "q_frequent_filter" -> { (s, dir) =>
+      graft.expressions.MinHashExpressions.register(s)
       val b = graft.functions.MinHashF.optimalBands(0.95)
       // persist: the spanize + per-paragraph 256-perm minhash chain is the
       // dominant cost and is consumed 3x (collect, band rows, final join)
@@ -76,8 +78,8 @@ object PipelineQueries {
         .select(col("source").as("domain"),
                 col("doc_id").cast(LongType).as("ord"),
                 col("doc_id"), col("spans"))
-        .withColumn("pbands", FrequentParagraphs.paragraphBandsUdf(
-          FrequentParagraphs.textSpans(col("spans")), lit(b)))
+        .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
+          FrequentParagraphs.textSpans(col("spans")), b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freq = FrequentParagraphs.collect(docs)
       FrequentParagraphs.filterFrequent(docs, freq)

@@ -57,29 +57,15 @@ object TextQueries {
         col("doc_id"), md5(col("text")).as("fp"))
     },
 
-    // N-gram (word-set) Jaccard near-dup pairs, blocked by source.
+    // N-gram (word-set) Jaccard near-dup pairs, blocked by source —
+    // exact two-regime set-similarity join (deletion signatures + prefix
+    // filter; see SetSimilarity). The word sets feed both regimes and
+    // the verification joins -> persist.
     "q_ngram_jaccard" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      // persisted: the explode+distinct shuffle feeds three consumers
-      // (per-doc counts and both sides of the word self-join)
-      val words = docs.select(col("doc_id"), col("source"),
-        explode(split(trim(col("text")), "\\s+")).as("word")).distinct()
+      val sets = graft.operators.SetSimilarity
+        .wordSets(table(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = words.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = words.alias("a")
-        .join(words.alias("b"),
-              col("a.word") === col("b.word") &&
-                col("a.source") === col("b.source") &&
-                col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(n.select(col("doc_id").as("a_id"), col("c").as("na")), Seq("a_id"))
-        .join(n.select(col("doc_id").as("b_id"), col("c").as("nb")), Seq("b_id"))
-        .withColumn("jac",
-          round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4))
-        .filter(col("jac") >= 0.95)
-        .select("a_id", "b_id", "jac")
+      graft.operators.SetSimilarity.jaccardSelfJoin(sets, t = 0.95)
     },
 
     // Brute-force cosine top-k against vec_id=0's embedding.
@@ -120,8 +106,39 @@ object TextQueries {
       Similarity.hyperplaneBuckets(
         table(s, dir, "embeddings"), nPlanes = 8, dim = 64)
         .groupBy("bucket").agg(count(lit(1)).as("n"))
+    },
+
+    // ANN query path: multi-probe bucket search (<=1 flipped plane) +
+    // exact cosine verification, top-k.
+    "q_ann_search" -> { (s, dir) =>
+      Similarity.annSearch(table(s, dir, "embeddings"),
+        queryVecId = 0, k = 10, nPlanes = 8, dim = 64)
     }
   )
+
+  /** The hyperplane table as DuckDB VALUES literals (1-based idx to match
+    * generate_subscripts). Doubles print in round-trip form, so both
+    * engines bucket with bit-identical weights.
+    */
+  private def planesValuesSql(nPlanes: Int, dim: Int): String =
+    Similarity.planes(nPlanes, dim).zipWithIndex.flatMap { case (pl, p) =>
+      pl.zipWithIndex.map { case (w, d) => s"($p,${d + 1},$w)" }
+    }.mkString(",")
+
+  private def bucketsCte(nPlanes: Int, dim: Int): String =
+    s"""p(plane, idx, w) AS (VALUES ${planesValuesSql(nPlanes, dim)}),
+       e AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       dots AS (
+         SELECT e.vec_id, p.plane, round(sum(e.v * p.w), 8) AS d
+         FROM e JOIN p USING (idx) GROUP BY 1, 2),
+       b AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << plane)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY 1)"""
 
   private val docIdNonNull = "doc_id IS NOT NULL"
 
@@ -190,6 +207,27 @@ object TextQueries {
          JOIN n na ON na.doc_id = a_id
          JOIN n nb ON nb.doc_id = b_id
          WHERE round(i * 1.0 / (na.c + nb.c - i), 4) >= 0.95""",
+    "q_ann_buckets" ->
+      s"""WITH ${bucketsCte(8, 64)}
+          SELECT bucket, count(*) AS n FROM b GROUP BY 1""",
+    "q_ann_search" ->
+      s"""WITH ${bucketsCte(8, 64)},
+          qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+          cands AS (
+            SELECT b.vec_id FROM b, qb
+            WHERE b.vec_id <> 0
+              AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+          q AS (SELECT idx, v AS qv FROM e WHERE vec_id = 0),
+          sims AS (
+            SELECT e.vec_id,
+                   round(sum(e.v * q.qv) /
+                         (sqrt(sum(e.v * e.v)) * sqrt(sum(q.qv * q.qv))), 4)
+                     AS sim
+            FROM e JOIN q USING (idx)
+            WHERE e.vec_id IN (SELECT vec_id FROM cands)
+            GROUP BY 1)
+          SELECT vec_id, sim FROM sims
+          ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     "q_ann_cosine" ->
       """WITH q AS (
            SELECT generate_subscripts(embedding, 1) AS idx,
