@@ -8,7 +8,7 @@ object FBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n    = sys.env.getOrElse("SPARK_GRAFT_N", "4000000").toLong
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
@@ -31,5 +31,7 @@ object FBench {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round}")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtable))
   }
 }

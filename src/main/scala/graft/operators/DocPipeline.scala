@@ -106,9 +106,15 @@ object DocPipeline {
   def spanize(docs: DataFrame,
               minChars: Int = 10,
               tokenFiltering: Boolean = true,
-              cookiePatterns: Seq[String] = DefaultCookiePatterns): DataFrame = {
+              cookiePatterns: Seq[String] = DefaultCookiePatterns,
+              justext: Boolean = false): DataFrame = {
     val chunks = convertChunks(col("chunk_body"), col("mime"))
-    val rawParas = flatten(transform(chunks, c => extractParagraphs(c, minChars)))
+    // extractor: the simple block-splitter (SQL-mirrorable, used by the
+    // oracle-gated queries) or the JusText-core classifier
+    // (graft.functions.Boilerplate — the reference's removal quality)
+    val rawParas =
+      if (justext) graft.functions.Boilerplate.extractGoodChunksUdf(chunks)
+      else flatten(transform(chunks, c => extractParagraphs(c, minChars)))
     val escaped  = transform(rawParas, p => escapeParagraph(p))
     val tokened =
       if (tokenFiltering) transform(escaped, p => filterTokens(p))

@@ -77,10 +77,14 @@ object FrontierJob {
 
     // 3. A0+J3 fused: the winner LINE per URL in one window shuffle (the
     // groupBy + semi-join pair re-shuffled the full index twice). kept
-    // feeds the order chain once (into the crawl-order checkpoint) and
-    // the seen-delta/cuckoo/count branch -> persist
+    // feeds the order chain once (into the crawl-order cache) and the
+    // seen-delta/cuckoo/count branch. When neither robots nor the quota
+    // can drop rows, the crawl-order cache already holds exactly the
+    // winner rows — reuse it instead of materializing kept twice (one
+    // full pass through the memory subsystem per batch saved).
+    val keptIsOrdered = robots.isEmpty && politenessQuota == Int.MaxValue
     val kept0 = UrlDedup.winnersKept(fresh, keep)
-    val kept = if (cacheIntermediates)
+    val kept = if (cacheIntermediates && !keptIsOrdered)
       kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else kept0
 
@@ -114,11 +118,12 @@ object FrontierJob {
     // returned frame re-read the written parquet instead of re-running
     // the sort chain.
     val (snapId, dataDir, stateDir) = Snapshots.stage(tableDir)
-    // kept has exactly one row per URL (winnersKept) — the delta IS the
-    // winner URL set, already hash-distributed by url from the winner
-    // window, so files come out evenly spread at any scale.
+    // winnerSrc has exactly one row per URL — the delta IS the winner URL
+    // set, hash-distributed by url from the winner window, so files come
+    // out evenly spread at any scale.
+    val winnerSrc = if (keptIsOrdered) sortedCache else kept
     phase("write seen delta") {
-      kept.select("url").write.mode("overwrite").parquet(dataDir.toString)
+      winnerSrc.select("url").write.mode("overwrite").parquet(dataDir.toString)
     }
 
     val batchesPath = dataDir.resolveSibling(s"snap-$snapId-batches").toString
@@ -133,15 +138,17 @@ object FrontierJob {
       .map(m => Paths.get(tableDir, m.statePath))
       .filter(java.nio.file.Files.isDirectory(_))
     val perPartInserts = phase("cuckoo update")(UrlSeenState.updateDistributed(
-      spark, kept.select(xxhash64(col("url")).as("h")),
+      spark, winnerSrc.select(xxhash64(col("url")).as("h")),
       prevStateDir, stateDir, partitions = 16,
       capacityPerPartition = 1 << 16))
 
     val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]
     val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
-    val nWinners = phase("winners count")(kept.count())
+    val nWinners =
+      if (keptIsOrdered) nKept
+      else phase("winners count")(kept.count())
     sortedCache.unpersist()
-    if (cacheIntermediates) kept.unpersist()
+    if (cacheIntermediates && !keptIsOrdered) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],
       "n_winners"     -> nWinners,

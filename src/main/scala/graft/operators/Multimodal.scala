@@ -60,6 +60,33 @@ object Multimodal {
       decodeFeaturesUdf(col("bytes"), lit(dim)))
   }
 
+  /** Byte-value histogram over the raw payload — a real (not stubbed)
+    * content feature computable without any decode library: bin counts of
+    * `byte % bins`. Cheap, deterministic, and SQL-mirrorable, so the
+    * binary-column feature path sits under the DuckDB oracle gate.
+    */
+  def byteHistogram(bytes: Array[Byte], bins: Int): Array[Long] = {
+    val out = new Array[Long](bins)
+    if (bytes != null) {
+      var i = 0
+      while (i < bytes.length) {
+        out((bytes(i) & 0xff) % bins) += 1
+        i += 1
+      }
+    }
+    out
+  }
+
+  val byteHistogramUdf = udf((b: Array[Byte], bins: Int) => byteHistogram(b, bins))
+
+  /** extractFeatures with the histogram feature (real path). */
+  def byteFeatures(media: DataFrame, bins: Int = 16,
+                   partitions: Int = 0): DataFrame = {
+    val repart = if (partitions > 0)
+      media.repartition(partitions, col("media_ref")) else media
+    repart.withColumn("features", byteHistogramUdf(col("bytes"), lit(bins)))
+  }
+
   /** Synthetic thumbnail/resize stage (STUB): emits deterministic resized
     * metadata; real implementation would transcode `bytes`.
     */

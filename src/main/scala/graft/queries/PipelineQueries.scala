@@ -88,8 +88,28 @@ object PipelineQueries {
              sum(size(col("spans"))).as("n_spans"))
     },
 
-    // Multimodal plumbing: synthetic media bytes -> stub features ->
-    // per-prefix feature norms (binary column + typed metadata shape).
+    // JusText-core boilerplate classification: HTML with a link-heavy nav
+    // block, content paragraphs and a © footer; the Spark side runs the
+    // production parser + column/window classifier (Boilerplate.classify),
+    // the oracle re-derives blocks from the generative recipe and mirrors
+    // the context-free rules and neighbour revision in SQL windows.
+    "q_boilerplate" -> { (s, dir) =>
+      val html = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(
+          lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About links navigation</a></div><p>"),
+          call_function("replace", col("text"), lit(" slow "), lit("</p><p>")),
+          lit("</p><p>© 2024 footer for "), col("source"), lit("</p>")
+        ).as("chunk_body"))
+      graft.functions.Boilerplate.classify(html, "chunk_body", "doc_id")
+        .select(col("doc_id"), col("p_idx").cast(LongType).as("p_idx"),
+                col("cf"), col("final_class"))
+    },
+
+    // Multimodal plumbing: media bytes as a binary column with typed
+    // metadata -> byte-histogram features (real, decode-free) -> feature
+    // norm. The binary path is what's exercised; the oracle recomputes
+    // the histogram from the characters (payload is ASCII text bytes).
     "q_media_features" -> { (s, dir) =>
       val media = table(s, dir, "documents").select(
         concat(lit("media://img/"), col("doc_id")).as("media_ref"),
@@ -98,14 +118,101 @@ object PipelineQueries {
         (length(col("text")) % 640).cast("int").as("width"),
         (length(col("text")) % 480 + 1).cast("int").as("height"),
         lit(null).cast(LongType).as("duration_ms"))
-      Multimodal.extractFeatures(media, dim = 16)
+      Multimodal.byteFeatures(media, bins = 16)
         .select(col("media_ref"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0),
-                          (acc, x) => acc + x * x), 4).as("feat_sq"))
+          aggregate(col("features"), lit(0L),
+                    (acc, x) => acc + x * x).as("feat_sq"))
     }
   )
 
+  /** StopwordsEn as a DuckDB list literal — must match Boilerplate. */
+  private val stopListSql = graft.functions.Boilerplate.StopwordsEn
+    .toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+
   val oracles: Map[String, String] = Map(
+    "q_media_features" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  unnest(list_transform(string_split(text, ''),
+                                        x -> unicode(x) % 16)) AS bin
+           FROM documents),
+         g AS (SELECT doc_id, bin, count(*) AS n FROM c GROUP BY 1, 2)
+         SELECT 'media://img/' || d.doc_id AS media_ref,
+                CAST(coalesce(sum(n * n), 0) AS BIGINT) AS feat_sq
+         FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+         GROUP BY 1""",
+    "q_boilerplate" ->
+      s"""WITH s AS (
+            SELECT doc_id, source,
+                   list_filter(
+                     list_transform(string_split(text, ' slow '),
+                                    x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                     x -> x <> '') AS paras
+            FROM documents),
+          blocks AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS p_idx,
+                   'Home About links navigation' AS text, 26 AS link_chars
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(generate_subscripts(paras, 1) AS BIGINT),
+                   unnest(paras), 0
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(len(paras) + 1 AS BIGINT),
+                   '© 2024 footer for ' || source, 0
+            FROM s),
+          feat AS (
+            SELECT doc_id, p_idx, text, link_chars,
+                   length(text) AS len,
+                   len(string_split_regex(lower(text), '\\s+')) AS nw,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> list_contains($stopListSql, w))) AS ns
+            FROM blocks),
+          cf AS (
+            SELECT doc_id, p_idx,
+                   CASE WHEN link_chars * 1.0 / len > 0.2 THEN 'bad'
+                        WHEN contains(text, '©') THEN 'bad'
+                        WHEN len < 70 THEN
+                          CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+                        WHEN ns * 1.0 / nw >= 0.32 THEN
+                          CASE WHEN len > 200 THEN 'good' ELSE 'neargood' END
+                        WHEN ns * 1.0 / nw >= 0.30 THEN 'neargood'
+                        ELSE 'bad' END AS cf
+            FROM feat),
+          rev AS (
+            SELECT doc_id, p_idx, cf,
+                   coalesce(last_value(CASE WHEN cf IN ('good','bad')
+                                            THEN cf END IGNORE NULLS)
+                            OVER w_prec, 'bad') AS prev_gb,
+                   coalesce(first_value(CASE WHEN cf IN ('good','bad')
+                                             THEN cf END IGNORE NULLS)
+                            OVER w_fol, 'bad') AS next_gb,
+                   coalesce(last_value(CASE WHEN cf IN ('good','bad','neargood')
+                                            THEN cf END IGNORE NULLS)
+                            OVER w_prec, 'bad') AS prev_gnb,
+                   coalesce(first_value(CASE WHEN cf IN ('good','bad','neargood')
+                                             THEN cf END IGNORE NULLS)
+                            OVER w_fol, 'bad') AS next_gnb
+            FROM cf
+            WINDOW w_prec AS (PARTITION BY doc_id ORDER BY p_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   w_fol AS (PARTITION BY doc_id ORDER BY p_idx
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          SELECT doc_id, p_idx, cf,
+                 CASE WHEN cf = 'good' THEN 'good'
+                      WHEN cf = 'bad' THEN 'bad'
+                      WHEN cf = 'neargood' THEN
+                        CASE WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                             THEN 'bad' ELSE 'good' END
+                      ELSE
+                        CASE WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+                             WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+                             WHEN (prev_gb = 'bad' AND prev_gnb = 'neargood')
+                               OR (next_gb = 'bad' AND next_gnb = 'neargood')
+                             THEN 'good'
+                             ELSE 'bad' END
+                 END AS final_class
+          FROM rev""",
     "q_spanize_wc" ->
       """WITH s AS (
            SELECT doc_id,
