@@ -168,10 +168,11 @@ object Bench {
            |
            |Headline (BASELINE.json): URLs scheduled+deduped/sec — the full
            |frontier slice per batch (parquet scan → JSON parse → index
-           |filters → bloom+anti-join vs seen → argmax winners → winner
-           |semi-join → politeness ranking → global crawl-order sort →
-           |fetch batching → snapshot commit with per-partition metrics),
-           |two incremental dumps per run, identical input at both levels.
+           |filters → distributed anti-join vs seen → fused winner window
+           |(argmax+keep in one shuffle) → politeness ranking → DF-native
+           |crawl-order sort with partition-offset ord → fetch batching →
+           |snapshot commit with per-partition metrics), two incremental
+           |dumps per run, identical input at both levels.
            |
            |No real cluster exists in this sandbox; local[8] vs local[$cpus]
            |on one VM stands in for N vs 4N executors. Method: min of

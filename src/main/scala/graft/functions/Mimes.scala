@@ -54,6 +54,85 @@ object Mimes {
     }
   }
 
+  /** F18 MIME sniffing: magic-bytes content detection over the first
+    * `SniffLen` bytes (cc_corpus/mime.py:19–38 rides libmagic; this is a
+    * dependency-free signature table covering the formats the pipeline
+    * routes on). Returns the detected full mime; `simplify` maps it to
+    * the reference's simplified classes ("txt" | "html" | null).
+    */
+  val SniffLen = 2048
+
+  private def startsWith(b: Array[Byte], sig: Int*): Boolean =
+    b.length >= sig.length && sig.zipWithIndex.forall { case (s, i) =>
+      (b(i) & 0xff) == s
+    }
+
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return "application/octet-stream"
+    val b = if (bytes.length > SniffLen) bytes.take(SniffLen) else bytes
+    if (startsWith(b, 0x25, 0x50, 0x44, 0x46, 0x2d)) return "application/pdf" // %PDF-
+    if (startsWith(b, 0x89, 0x50, 0x4e, 0x47))       return "image/png"
+    if (startsWith(b, 0xff, 0xd8, 0xff))             return "image/jpeg"
+    if (startsWith(b, 0x47, 0x49, 0x46, 0x38))       return "image/gif"     // GIF8
+    if (startsWith(b, 0x50, 0x4b, 0x03, 0x04))       return "application/zip"
+    if (startsWith(b, 0x1f, 0x8b))                   return "application/gzip"
+    if (startsWith(b, 0x4f, 0x67, 0x67, 0x53))       return "audio/ogg"     // OggS
+    if (startsWith(b, 0x49, 0x44, 0x33))             return "audio/mpeg"    // ID3
+    if (b.length >= 12 && (b(0) & 0xff) == 0x52 && (b(1) & 0xff) == 0x49 &&
+        (b(2) & 0xff) == 0x46 && (b(3) & 0xff) == 0x46) {                   // RIFF
+      val kind = new String(b.slice(8, 12), "ISO-8859-1")
+      return if (kind == "WAVE") "audio/wav"
+             else if (kind == "AVI ") "video/x-msvideo"
+             else "application/octet-stream"
+    }
+    if (b.length >= 12 && new String(b.slice(4, 8), "ISO-8859-1") == "ftyp")
+      return "video/mp4"
+    // text-ish: decode the head, look for markup
+    val head = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val t = head.dropWhile(c => c.isWhitespace || c == '\uFEFF').toLowerCase
+    if (t.startsWith("<!doctype html") || t.startsWith("<html") ||
+        t.contains("<head") || t.contains("<body")) return "text/html"
+    if (t.startsWith("<?xml")) {
+      if (t.contains("<rss"))  return "application/rss+xml"
+      if (t.contains("<feed")) return "application/atom+xml"
+      return "application/xml"
+    }
+    // printable heuristic: >= 95% printable/whitespace bytes -> text
+    val printable = b.count(x => { val v = x & 0xff
+      v == 9 || v == 10 || v == 13 || (v >= 32 && v < 127) || v >= 128 })
+    if (printable.toDouble / b.length >= 0.95) "text/plain"
+    else "application/octet-stream"
+  }
+
+  /** The reference's simplified mime ("txt" | "html" | null),
+    * mime.py:13–16: txt = exactly text/plain, html = contains "html".
+    */
+  def simplify(fullMime: String): String =
+    if (fullMime == "text/plain") "txt"
+    else if (fullMime != null && fullMime.contains("html")) "html"
+    else null
+
+  /** F19 content normalization (mime.py:41–70 semantics, sans BS4
+    * re-serialization): txt/html content is guaranteed the html/body
+    * boilerplate — fragments get wrapped; other types return null.
+    */
+  def normalizeContent(bytes: Array[Byte]): String = {
+    simplify(sniff(bytes)) match {
+      case null => null
+      case _ =>
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val l = s.toLowerCase
+        if (l.contains("<body")) s
+        else if (l.contains("<html"))
+          s.replaceAll("(?i)(<html[^>]*>)", "$1<body>") + "</body>"
+        else s"<html><body>$s</body></html>"
+    }
+  }
+
+  val sniffUdf            = org.apache.spark.sql.functions.udf(sniff _)
+  val simplifyUdf         = org.apache.spark.sql.functions.udf(simplify _)
+  val normalizeContentUdf = org.apache.spark.sql.functions.udf(normalizeContent _)
+
   /** Column form — pure `functions._` chain, stays in codegen. */
   def normalizeCol(mime: Column): Column = {
     val stripped = regexp_replace(

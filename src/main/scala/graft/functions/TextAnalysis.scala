@@ -104,6 +104,21 @@ object TextAnalysis {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Min polynomial rolling hash over char n-grams, as a pure column —
+    * codegen'd and exactly SQL-mirrorable (base-131 polynomial of the
+    * char codes fits in int64 for n <= 7 ASCII chars, so both engines
+    * compute identical values with no overflow). Texts shorter than n
+    * chars fingerprint as -1.
+    */
+  def polyShingleFpCol(text: org.apache.spark.sql.Column, n: Int = 5): org.apache.spark.sql.Column = {
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    val hashes = transform(sequence(lit(1), size(codes) - (n - 1)), i =>
+      (1 until n).foldLeft(element_at(codes, i)) { (acc, k) =>
+        acc * 131L + element_at(codes, i + k)
+      })
+    when(length(text) >= n, array_min(hashes)).otherwise(lit(-1L))
+  }
+
   /** F24: greedy longest-match wordpiece tokenization
     * (cc_corpus/wordpiece.py:12–82): per whitespace token, repeatedly
     * take the longest vocab prefix; continuation pieces are looked up

@@ -94,11 +94,12 @@ object TextQueries {
         table(s, dir, "documents").select("doc_id", "text"))
     },
 
-    // Rolling-hash shingle fingerprint.
+    // Rolling-hash shingle fingerprint: min base-131 polynomial over char
+    // 5-grams — pure codegen columns, exactly mirrored by the oracle.
     "q_fingerprint_shingle" -> { (s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.minShingleHashUdf(col("text")).as("fp"))
+        TextAnalysis.polyShingleFpCol(col("text")).as("fp"))
     },
 
     // Hyperplane-LSH bucket histogram (the ANN scale path).
@@ -189,6 +190,16 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_fingerprint_shingle" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) >= 5 THEN
+             list_aggregate(list_transform(range(1, length(text) - 3),
+               i -> ((((CAST(unicode(text[i]) AS BIGINT) * 131 + unicode(text[i+1])) * 131
+                       + unicode(text[i+2])) * 131
+                      + unicode(text[i+3])) * 131
+                     + unicode(text[i+4]))), 'min')
+           ELSE -1 END AS fp
+         FROM documents""",
     "q_ngram_jaccard" ->
       """WITH w AS (
            SELECT DISTINCT doc_id, source,

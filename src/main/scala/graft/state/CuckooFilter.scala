@@ -17,7 +17,13 @@ final class CuckooFilter private (
     val slotsPerBucket: Int,
     private val table: Array[Short],
     private var count: Long,
-    private var kickSeed: Long
+    private var kickSeed: Long,
+    // one-slot victim stash: a failed insert's kick loop has already
+    // displaced resident fingerprints; the final orphan lands here so a
+    // full filter never loses a previously-inserted key (false negative).
+    // A filter with an occupied stash is "closed": inserts return false
+    // immediately without churning the table.
+    private var stash: Short
 ) extends Serializable {
 
   import CuckooFilter._
@@ -25,7 +31,7 @@ final class CuckooFilter private (
   def this(numBuckets: Int, slotsPerBucket: Int = 4) =
     this(CuckooFilter.nextPow2(numBuckets), slotsPerBucket,
          new Array[Short](CuckooFilter.nextPow2(numBuckets) * slotsPerBucket),
-         0L, 0L)
+         0L, 0L, 0)
 
   private def mask: Int = numBuckets - 1
 
@@ -65,6 +71,7 @@ final class CuckooFilter private (
     * (max kicks exhausted) — caller should have sized for the load.
     */
   def insert(h: Long): Boolean = {
+    if (stash != 0) return false // closed: see stash doc above
     var f  = fingerprint(h)
     val b1 = bucket1(h)
     val b2 = altBucket(b1, f)
@@ -83,6 +90,7 @@ final class CuckooFilter private (
       if (tryInsertAt(b, f)) { count += 1; return true }
       kicks += 1
     }
+    stash = f // orphaned resident fingerprint: retained, filter closed
     false
   }
 
@@ -92,7 +100,8 @@ final class CuckooFilter private (
   def contains(h: Long): Boolean = {
     val f  = fingerprint(h)
     val b1 = bucket1(h)
-    bucketContains(b1, f) || bucketContains(altBucket(b1, f), f)
+    f == stash || bucketContains(b1, f) ||
+      bucketContains(altBucket(b1, f), f)
   }
 
   /** Delete one copy of the key's fingerprint. Returns whether a slot was
@@ -100,6 +109,7 @@ final class CuckooFilter private (
     */
   def delete(h: Long): Boolean = {
     val f  = fingerprint(h)
+    if (f == stash) { stash = 0; count -= 1; return true }
     val b1 = bucket1(h)
     val b2 = altBucket(b1, f)
     var b  = b1
@@ -128,9 +138,68 @@ final class CuckooFilter private (
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(32 + table.length * 2)
     bb.putInt(Magic).putInt(numBuckets).putInt(slotsPerBucket)
-    bb.putLong(count).putLong(kickSeed).putInt(0)
+    bb.putLong(count).putLong(kickSeed).putInt(stash & 0xffff)
     table.foreach(bb.putShort)
     bb.array()
+  }
+}
+
+/** Growable chain of cuckoo filters (the "scalable filter" pattern):
+  * when the active segment rejects an insert (kick exhaustion at high
+  * load), a new segment with twice the previous capacity is appended, so
+  * a partition's capacity is never a hard ceiling — URLs can't silently
+  * fail to enter the live-session filter. Lookups OR across segments
+  * (false-positive rate grows linearly with the segment count, which is
+  * logarithmic in total inserts); deletes try segments newest-first.
+  */
+final class CuckooChain private (
+    private var segments: Vector[CuckooFilter]) extends Serializable {
+
+  def insert(h: Long): Boolean = {
+    if (segments.last.insert(h)) true
+    else {
+      val grown = CuckooFilter.forCapacity(
+        segments.last.numBuckets.toLong * segments.last.slotsPerBucket * 2)
+      segments = segments :+ grown
+      grown.insert(h)
+    }
+  }
+
+  def contains(h: Long): Boolean = segments.exists(_.contains(h))
+
+  def delete(h: Long): Boolean =
+    segments.reverseIterator.exists(_.delete(h))
+
+  def size: Long = segments.map(_.size).sum
+  def numSegments: Int = segments.length
+
+  def toBytes: Array[Byte] = {
+    val blobs = segments.map(_.toBytes)
+    val bb = java.nio.ByteBuffer.allocate(
+      12 + blobs.map(_.length + 4).sum)
+    bb.putInt(CuckooChain.Magic).putInt(blobs.length).putInt(0)
+    blobs.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+}
+
+object CuckooChain {
+  private val Magic = 0x43554b43 // "CUKC"
+
+  def forCapacity(n: Long): CuckooChain =
+    new CuckooChain(Vector(CuckooFilter.forCapacity(n)))
+
+  def fromBytes(bytes: Array[Byte]): CuckooChain = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == Magic, "not a cuckoo chain blob")
+    val n = bb.getInt(); bb.getInt()
+    val segs = Vector.fill(n) {
+      val len  = bb.getInt()
+      val blob = new Array[Byte](len)
+      bb.get(blob)
+      CuckooFilter.fromBytes(blob)
+    }
+    new CuckooChain(segs)
   }
 }
 
@@ -159,10 +228,10 @@ object CuckooFilter {
     val spb   = bb.getInt()
     val count = bb.getLong()
     val seed  = bb.getLong()
-    bb.getInt()
+    val stash = (bb.getInt() & 0xffff).toShort
     val table = new Array[Short](nb * spb)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort(); i += 1 }
-    new CuckooFilter(nb, spb, table, count, seed)
+    new CuckooFilter(nb, spb, table, count, seed, stash)
   }
 }

@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 /** Partitioned cuckoo-filter state for the live frontier (scheduled /
   * in-flight URL hashes): exact-ish membership with delete support so a
   * URL can be retired and become eligible for recrawl — the operation a
-  * bloom filter cannot do. Partition = bits of the url hash, pinned in
+  * bloom filter cannot do. Partitions are growable chains (CuckooChain):
+  * capacityPerPartition sizes the first segment only, overflow appends
+  * doubled segments — no silent insert failures at any scale. Partition = bits of the url hash, pinned in
   * the serialized form (SURVEY.md §7.4 risk 5: P is part of the state).
   *
   * Role split in the frontier (north rule "bloom/cuckoo URL-seen"):
@@ -16,7 +18,7 @@ import scala.jdk.CollectionConverters._
   * this cuckoo state deduplicates within the live crawl session and
   * supports retirement, and rides in every snapshot's state dir.
   */
-final class UrlSeenState private (val parts: Array[CuckooFilter])
+final class UrlSeenState private (val parts: Array[CuckooChain])
     extends Serializable {
 
   require((parts.length & (parts.length - 1)) == 0,
@@ -43,7 +45,7 @@ object UrlSeenState {
 
   def create(partitions: Int, capacityPerPartition: Long): UrlSeenState =
     new UrlSeenState(Array.fill(CuckooFilter.nextPow2(partitions))(
-      CuckooFilter.forCapacity(capacityPerPartition)))
+      CuckooChain.forCapacity(capacityPerPartition)))
 
   def load(dir: Path): UrlSeenState = {
     val blobs = Files.list(dir).iterator().asScala
@@ -51,7 +53,7 @@ object UrlSeenState {
       .toSeq.sortBy(_.getFileName.toString)
     require(blobs.nonEmpty, s"no cuckoo partitions in $dir")
     new UrlSeenState(blobs.map(p =>
-      CuckooFilter.fromBytes(Files.readAllBytes(p))).toArray)
+      CuckooChain.fromBytes(Files.readAllBytes(p))).toArray)
   }
 
   def partitionOf(h: Long, numParts: Int): Int =
@@ -86,8 +88,8 @@ object UrlSeenState {
       .mapGroups { (pid, it) =>
         val blob = prevStr.map(d => java.nio.file.Paths.get(d, blobName(pid)))
           .filter(Files.exists(_))
-        val filter = blob.map(b => CuckooFilter.fromBytes(Files.readAllBytes(b)))
-          .getOrElse(CuckooFilter.forCapacity(cap))
+        val filter = blob.map(b => CuckooChain.fromBytes(Files.readAllBytes(b)))
+          .getOrElse(CuckooChain.forCapacity(cap))
         var n = 0L
         it.foreach { case (_, h) => if (filter.insert(h)) n += 1 }
         Files.write(java.nio.file.Paths.get(outStr, blobName(pid)),
@@ -102,7 +104,7 @@ object UrlSeenState {
         prevDir.map(_.resolve(blobName(pid))).filter(Files.exists(_)) match {
           case Some(prev) => Files.copy(prev, out)
           case None => Files.write(out,
-            CuckooFilter.forCapacity(cap).toBytes)
+            CuckooChain.forCapacity(cap).toBytes)
         }
       }
     }

@@ -39,6 +39,18 @@ class StateSpec extends AnyFunSuite {
     assert(c.size == a.size)
   }
 
+  test("cuckoo chain grows past the first segment's capacity") {
+    val chain = CuckooChain.forCapacity(100)
+    val keys  = (0L until 5000L).map(CrawlFixtures.mix)
+    keys.foreach(k => assert(chain.insert(k), s"insert must never fail: $k"))
+    assert(chain.numSegments > 1, "overflow must append segments")
+    assert(keys.forall(chain.contains), "no false negatives across segments")
+    val rt = CuckooChain.fromBytes(chain.toBytes)
+    assert(keys.forall(rt.contains))
+    assert(rt.size == chain.size && rt.numSegments == chain.numSegments)
+    assert(rt.delete(keys.head))
+  }
+
   test("snapshot log: stage/commit/latest/parent chain + commit race") {
     val dir = Files.createTempDirectory("snaptest").toString
     assert(Snapshots.latest(dir).isEmpty)
