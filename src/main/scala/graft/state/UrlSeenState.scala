@@ -13,8 +13,8 @@ import scala.jdk.CollectionConverters._
   * the serialized form (SURVEY.md §7.4 risk 5: P is part of the state).
   *
   * Role split in the frontier (north rule "bloom/cuckoo URL-seen"):
-  * the *url_seen table* + broadcast bloom pre-pass is the cross-batch
-  * authority (exact anti-join on the maybe-seen sliver, no false drops);
+  * the *url_seen table*'s distributed anti-join is the cross-batch
+  * authority (exact, no false drops, no driver-side structure);
   * this cuckoo state deduplicates within the live crawl session and
   * supports retirement, and rides in every snapshot's state dir.
   */

@@ -62,6 +62,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "winners must not need a window")
   }
 
+  test("fused winner window is ONE shuffle (no groupBy + semi-join pair)") {
+    import org.apache.spark.sql.functions._
+    val idx = spark.read.parquet(s"$dir/events.parquet").select(
+      concat(lit("u"), pmod(col("event_id"), lit(50L))).as("url"),
+      lit("w").as("warc"), col("event_id").as("offset"),
+      col("user_id").as("length"), lit(0L).as("file_ord"),
+      col("event_id").as("line_ord"), lit("f").as("file"))
+    val kept = graft.operators.UrlDedup.winnersKept(idx)
+    kept.collect()
+    // AQE prints Final + Initial plans; count the final section only
+    val p = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly one shuffle, plan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+           "fused path must not join")
+  }
+
+  test("crawl order is DF-native (no RDD scan, ord via partition offsets)") {
+    import org.apache.spark.sql.functions._
+    val idx = spark.read.parquet(s"$dir/events.parquet").select(
+      concat(lit("u"), col("event_id")).as("url"),
+      lit("w").as("warc"), col("event_id").as("offset"),
+      col("user_id").as("length"), lit(0L).as("file_ord"),
+      col("event_id").as("line_ord"), lit("f").as("file"))
+    val (ordered, cache) = graft.operators.UrlDedup.crawlOrderEx(idx)
+    ordered.collect()
+    val p = ordered.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
+           "must not round-trip through an RDD")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+           "offsets must broadcast-join, not shuffle")
+    cache.unpersist()
+  }
+
   test("index filter chain is codegen'd column work (no UDF)") {
     import spark.implicits._
     val p0 = graft.fixtures.CrawlFixtures.Params(nRecords = 200)

@@ -110,7 +110,7 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
-  test("J2 anti-join vs seen set (bloom pre-pass) drops exactly seen URLs") {
+  test("J2 anti-join vs seen set drops exactly seen URLs") {
     val f = sparkFiltered(4)
     // take every 3rd winner URL as "seen yesterday"
     val seenUrls = refWinners.keys.zipWithIndex.collect {

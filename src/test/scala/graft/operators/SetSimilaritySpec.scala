@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness of the two-regime set-similarity join against a brute-force
+  * all-pairs reference — including the large-set prefix regime and pairs
+  * straddling the regime boundary, which the driver's small-vocabulary
+  * tables never exercise.
+  */
+class SetSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val T = 0.95
+
+  /** Deterministic word pool. */
+  private def w(i: Int) = f"w$i%04d"
+
+  /** Brute-force qualifying pairs (the semantics oracle). */
+  private def bruteForce(sets: Seq[(String, String, Set[String])])
+      : Set[(String, String)] = {
+    (for {
+      a <- sets; b <- sets
+      if a._2 == b._2 && a._1 < b._1
+      i = (a._3 & b._3).size
+      u = (a._3 | b._3).size
+      if u > 0 &&
+        BigDecimal(i.toDouble / u).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble >= T
+    } yield (a._1, b._1)).toSet
+  }
+
+  private def run(sets: Seq[(String, String, Set[String])])
+      : Set[(String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = sets.map { case (id, blk, ws) =>
+      (id, blk, ws.toSeq.sorted, ws.size.toLong)
+    }.toDF("doc_id", "source", "ws", "c")
+    SetSimilarity.jaccardSelfJoin(df, T)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("small regime: identical, one-extra-word, and disjoint sets") {
+    val base = (1 to 20).map(w).toSet // n=20: subset pairs need n>=19 for J>=.95
+    val sets = Seq(
+      ("a", "s", base),
+      ("b", "s", base),                     // identical -> pair
+      ("c", "s", base + w(99)),             // superset by one: 20/21 = .9524 -> pair
+      ("d", "s", (1 to 19).map(w).toSet),   // subset by one: 19/20 = .95 -> pair
+      ("e", "s", (100 to 119).map(w).toSet) // disjoint -> no
+    )
+    val got = run(sets)
+    assert(got == bruteForce(sets))
+    assert(got.contains(("a", "b")) && got.contains(("a", "d")) &&
+           got.contains(("a", "c")))
+    assert(!got.contains(("c", "d")) && !got.exists(p => p._1 == "e" || p._2 == "e"))
+  }
+
+  test("large regime: prefix filter finds near-identical 60-word sets") {
+    val base = (1 to 60).map(w).toSet
+    val sets = Seq(
+      ("a", "s", base),
+      ("b", "s", base - w(60) + w(200)),    // swap 1 of 60: 59/61 < .95 -> no
+      ("c", "s", base),                     // identical -> pair
+      ("d", "s", base - w(1)),              // subset by one: 59/60 >= .95? 0.9833 -> pair
+      ("e", "s", (300 to 359).map(w).toSet) // disjoint
+    )
+    val got = run(sets)
+    assert(got == bruteForce(sets))
+    assert(got.contains(("a", "c")) && got.contains(("a", "d")))
+  }
+
+  test("boundary-straddling pair (39 vs 41 words) is found") {
+    val small = (1 to 39).map(w).toSet
+    val large = small ++ Set(w(40), w(41))  // 41 words; 39/41 = 0.9512 -> pair
+    val sets = Seq(("a", "s", small), ("b", "s", large))
+    assert(run(sets) == bruteForce(sets))
+    assert(run(sets) == Set(("a", "b")))
+  }
+
+  test("blocking: identical sets in different blocks never pair") {
+    val base = (1 to 25).map(w).toSet
+    val sets = Seq(("a", "s1", base), ("b", "s2", base))
+    assert(run(sets).isEmpty)
+  }
+
+  test("randomized cross-check vs brute force") {
+    // deterministic pseudo-random family around shared cores; mixes
+    // sizes on both sides of the regime boundary
+    val sets = (0 until 60).map { i =>
+      val size = 10 + (i * 7) % 70
+      val core = (1 to size).map(w).toSet
+      val mutated =
+        if (i % 3 == 0) core
+        else if (i % 3 == 1) core - w(1 + i % size)
+        else core + w(500 + i)
+      (f"d$i%03d", s"s${i % 2}", mutated)
+    }
+    assert(run(sets) == bruteForce(sets))
+  }
+}
