@@ -9,7 +9,7 @@ object FBench {
     val n    = sys.env.getOrElse("SPARK_GRAFT_N", "4000000").toLong
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString))
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_SHUFFLE_COMPRESS", "true"))

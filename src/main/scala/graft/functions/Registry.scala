@@ -23,5 +23,15 @@ object Registry {
     spark.udf.register("graft_est_jaccard",
       (a: Seq[Long], b: Seq[Long]) =>
         MinHashF.estJaccard(a.toArray, b.toArray))
+    spark.udf.register("graft_sniff_mime", (b: Array[Byte]) => Mimes.sniff(b))
+    spark.udf.register("graft_mime_simplify",
+      (m: String) => Mimes.simplify(m))
+    spark.udf.register("graft_normalize_content",
+      (b: Array[Byte]) => Mimes.normalizeContent(b))
+    spark.udf.register("graft_boilerplate_extract",
+      (html: String) => Boilerplate.extractLocal(html))
+    // the codegen'd native forms (graft_minhash_sig/graft_minhash_bands
+    // as Catalyst expressions) register via MinHashExpressions.register
+    graft.expressions.MinHashExpressions.register(spark)
   }
 }

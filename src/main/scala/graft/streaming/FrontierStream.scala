@@ -62,6 +62,38 @@ object FrontierStream {
       }
   }
 
+  case class BandRow(doc_id: String, band: Int, bhash: Long)
+  case class DedupVerdict(doc_id: String, dup: Boolean)
+
+  /** Streaming LSH cross-dedup — the cumulative dedup chain
+    * (lsh.py:138–157) as a stream. Band rows arrive keyed by
+    * (band, bhash); state per bucket is the first doc_id that claimed it.
+    * A doc is a duplicate iff ANY of its buckets is owned by another doc
+    * (downstream: doc survives iff max(dup) over its verdicts is false).
+    *
+    * Semantics: ACROSS micro-batches this equals the batch A2 query-only
+    * dedup (any collision with an earlier batch drops the doc). WITHIN a
+    * micro-batch it is bucket-claim first-wins by doc_id — slightly
+    * stricter than A1's sequential replay, where a doc dropped earlier
+    * never suppresses later docs; run per-batch A1 first (LshDedup
+    * .selfDedup) when that distinction matters, exactly like the
+    * reference runs self-dedup before the cross-dedup chain.
+    */
+  def crossDedupUpdates(bands: Dataset[BandRow]): Dataset[DedupVerdict] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.band, b.bhash))
+      .flatMapGroupsWithState[String, DedupVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandRow], state: GroupState[String]) =>
+          val docs = it.map(_.doc_id).toArray.sorted.distinct
+          val owner0 = state.getOption.orNull
+          val owner  = if (owner0 != null) owner0 else docs.head
+          if (owner0 == null) state.update(owner)
+          docs.iterator.map(d => DedupVerdict(d, d != owner))
+      }
+  }
+
   /** Windowed crawl statistics over a fetch-event stream (per-host
     * throughput with watermarked tumbling windows) — the streaming
     * counterpart of A6 index statistics.

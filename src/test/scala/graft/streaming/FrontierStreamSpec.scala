@@ -59,6 +59,34 @@ class FrontierStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS winner_updates")
   }
 
+  test("streaming cross-dedup: later batches drop on any band collision") {
+    import FrontierStream.{BandRow, DedupVerdict}
+    val dir = Files.createTempDirectory("stream-bands").toString
+    // batch 1 (file b1): docs a, b with disjoint buckets
+    Seq(BandRow("a", 0, 100L), BandRow("a", 1, 101L),
+        BandRow("b", 0, 200L), BandRow("b", 1, 201L))
+      .toDF().coalesce(1).write.parquet(s"$dir/b1")
+    // batch 2 (file b2): c collides with a on band 1; d is clean
+    Seq(BandRow("c", 0, 300L), BandRow("c", 1, 101L),
+        BandRow("d", 0, 400L), BandRow("d", 1, 401L))
+      .toDF().coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream
+      .schema(Seq.empty[BandRow].toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[BandRow]
+    val q = FrontierStream.crossDedupUpdates(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dedup_verdicts").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val survived = spark.sql(
+      "SELECT doc_id, max(CAST(dup AS INT)) AS d FROM dedup_verdicts GROUP BY doc_id")
+      .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+    assert(survived == Map("a" -> false, "b" -> false,
+                           "c" -> true, "d" -> false))
+    spark.sql("DROP TABLE IF EXISTS dedup_verdicts")
+  }
+
   test("windowed host stats run on a bounded stream") {
     val dir = Files.createTempDirectory("stream-ev").toString
     val ev = (0 until 500).map { i =>
