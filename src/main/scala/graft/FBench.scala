@@ -14,6 +14,8 @@ object FBench {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_SHUFFLE_COMPRESS", "true"))
       .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_SHUFFLE_COMPRESS", "true"))
+      .config("spark.memory.offHeap.enabled", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "true"))
+      .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_SIZE", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val p = CrawlFixtures.Params(nRecords = n, nUrls = math.max(n / 3, 100),
@@ -25,11 +27,26 @@ object FBench {
     // warmup on a small slice
     val wtable = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "fbw").toString
     FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1").limit(100000), wtable, politenessQuota = Int.MaxValue)
+    // task-time listener: average active cores = task-seconds / wall
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMillis  = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null) {
+            taskNanos.addAndGet(e.taskMetrics.executorRunTime * 1000000L)
+            gcMillis.addAndGet(e.taskMetrics.jvmGCTime)
+          }
+        }
+      })
     val t0 = System.nanoTime()
     FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1"), table, politenessQuota = Int.MaxValue, dumpId = "1", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
     FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in2"), table, politenessQuota = Int.MaxValue, dumpId = "2", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round}")
+    val activeCores = taskNanos.get() / 1e9 / secs
+    println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round} " +
+      f"avg_active_cores=$activeCores%.1f gc_s=${gcMillis.get() / 1e3}%.1f")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtable))

@@ -22,6 +22,8 @@ object QBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("q_agg_pricing")(spark, sfDir).count() // warm-up

@@ -147,7 +147,7 @@ object FrontierJob {
     val nWinners =
       if (keptIsOrdered) nKept
       else phase("winners count")(kept.count())
-    sortedCache.unpersist()
+    UrlDedup.releaseOrderCache(sortedCache)
     if (cacheIntermediates && !keptIsOrdered) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],

