@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Real source-format handling for the fetch path:
+  *
+  *  - **S3 multi-stream gzip** (cc_corpus/index.py:250–268): Common Crawl
+  *    cluster index .gz files are CONCATENATED gzip members — one member
+  *    per 3000-line cluster. `gzipMembers` loops an inflater over the
+  *    remaining bytes exactly like the reference loops `decompressobj`
+  *    over `unused_data`; `gzipMemberAt` decodes the single member at a
+  *    (offset, length) byte range — the ranged-fetch decode (S2).
+  *  - **S4 WARC record scan** (download_pages.py / warc usage): a WARC
+  *    response record is `WARC/1.x` headers, a blank line, an HTTP
+  *    response (status + headers), a blank line, the payload. CC WARCs
+  *    store one gzip member per record, so (warc, offset, length) →
+  *    `gzipMemberAt` → `parseWarcRecord` is the reference's fetch+decode
+  *    unit, minus the network.
+  */
+object WarcGzip {
+
+  /** Decode one gzip member from a byte range of a multi-member file. */
+  def gzipMemberAt(bytes: Array[Byte], offset: Long, length: Long): Array[Byte] = {
+    val slice = java.util.Arrays.copyOfRange(
+      bytes, offset.toInt, (offset + length).toInt)
+    decodeAll(slice)
+  }
+
+  /** All members of a concatenated-gzip buffer, one byte array each.
+    * GZIPInputStream silently concatenates members (losing boundaries),
+    * so members are split with a raw Inflater: parse each member's gzip
+    * header by hand, inflate (nowrap), skip the 8-byte trailer, repeat —
+    * the same walk the reference does with decompressobj/unused_data.
+    */
+  def gzipMembers(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos + 10 <= bytes.length) {
+      pos = skipGzipHeader(bytes, pos)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n > 0) buf.write(tmp, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary())
+          throw new java.util.zip.ZipException("truncated gzip member")
+      }
+      out += buf.toByteArray
+      pos += inf.getBytesRead.toInt + 8 // deflate stream + CRC32 + ISIZE
+      inf.end()
+    }
+    out.toSeq
+  }
+
+  /** RFC 1952 header: magic, CM, FLG, MTIME, XFL, OS + optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields. Returns the deflate-data offset.
+    */
+  private def skipGzipHeader(b: Array[Byte], start: Int): Int = {
+    require((b(start) & 0xff) == 0x1f && (b(start + 1) & 0xff) == 0x8b,
+            s"not a gzip member at offset $start")
+    val flg = b(start + 3) & 0xff
+    var p = start + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 0x10) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 0x02) != 0) p += 2                               // FHCRC
+    p
+  }
+
+  /** Decode a whole (possibly multi-member) gzip buffer to one payload
+    * (GZIPInputStream concatenates members natively).
+    */
+  def decodeAll(bytes: Array[Byte]): Array[Byte] =
+    readFully(new GZIPInputStream(new ByteArrayInputStream(bytes)))
+
+  private def readFully(in: java.io.InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](65536)
+    var n = in.read(tmp)
+    while (n >= 0) {
+      buf.write(tmp, 0, n)
+      n = in.read(tmp)
+    }
+    buf.toByteArray
+  }
+
+  case class WarcRecord(warcHeaders: Map[String, String],
+                        httpStatus: Int,
+                        httpHeaders: Map[String, String],
+                        payload: Array[Byte])
+
+  /** Parse one WARC record's bytes (already gunzipped). Returns null for
+    * non-response records or malformed input (the reference logs and
+    * skips, remove_boilerplate.py-adjacent behavior).
+    */
+  def parseWarcRecord(bytes: Array[Byte]): WarcRecord = {
+    val crlf2 = indexOfDoubleNewline(bytes, 0)
+    if (crlf2 < 0) return null
+    val warcHead = new String(bytes, 0, crlf2, "ISO-8859-1")
+    val warcLines = warcHead.split("\r?\n")
+    if (warcLines.isEmpty || !warcLines.head.startsWith("WARC/")) return null
+    val warcHeaders = headerMap(warcLines.drop(1))
+    val bodyStart = skipNewlines(bytes, crlf2)
+    if (!warcHeaders.get("WARC-Type").map(_.toLowerCase).contains("response"))
+      return WarcRecord(warcHeaders, 0, Map.empty,
+        java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length))
+    val httpEnd = indexOfDoubleNewline(bytes, bodyStart)
+    if (httpEnd < 0) return null
+    val httpHead  = new String(bytes, bodyStart, httpEnd - bodyStart, "ISO-8859-1")
+    val httpLines = httpHead.split("\r?\n")
+    val status = httpLines.headOption
+      .flatMap(l => "HTTP/\\S+\\s+(\\d{3})".r.findFirstMatchIn(l))
+      .map(_.group(1).toInt).getOrElse(0)
+    val payloadStart = skipNewlines(bytes, httpEnd)
+    WarcRecord(warcHeaders, status, headerMap(httpLines.drop(1)),
+               java.util.Arrays.copyOfRange(bytes, payloadStart, bytes.length))
+  }
+
+  private def headerMap(lines: Array[String]): Map[String, String] =
+    lines.iterator.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i <= 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
+    }.toMap
+
+  /** Index just past the first blank line (\r\n\r\n or \n\n) from `from`,
+    * i.e. the offset OF the blank-line separator; -1 if none.
+    */
+  private def indexOfDoubleNewline(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length - 1) {
+      if (b(i) == '\n' &&
+          (b(i + 1) == '\n' || (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n')))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def skipNewlines(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && (b(i) == '\n' || b(i) == '\r')) i += 1
+    i
+  }
+
+  // ---- Spark surface ----
+
+  val gzipMemberAtUdf = udf(gzipMemberAt _)
+  val decodeAllUdf    = udf((b: Array[Byte]) => decodeAll(b))
+
+  val warcResponseUdf = udf((b: Array[Byte]) => {
+    val r = parseWarcRecord(b)
+    if (r == null) null
+    else (r.warcHeaders.getOrElse("WARC-Target-URI", null),
+          r.httpStatus,
+          r.httpHeaders.find(_._1.equalsIgnoreCase("Content-Type"))
+            .map(_._2).orNull,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+  })
+
+  /** Distributed ranged decode: rows of (file bytes, offset, length) →
+    * (url, status, mime, body). Each row is an independent gzip member +
+    * WARC parse — embarrassingly parallel, the reference's per-document
+    * S3 range request with the network swapped for a bytes column.
+    */
+  def decodeRanges(df: DataFrame,
+                   bytesCol: String = "file_bytes",
+                   offsetCol: String = "offset",
+                   lengthCol: String = "length"): DataFrame =
+    df.withColumn("__rec",
+        warcResponseUdf(gzipMemberAtUdf(col(bytesCol), col(offsetCol),
+                                        col(lengthCol))))
+      .withColumn("url", col("__rec._1"))
+      .withColumn("status", col("__rec._2"))
+      .withColumn("mime", col("__rec._3"))
+      .withColumn("body", col("__rec._4"))
+      .drop("__rec")
+
+  /** Multi-stream cluster index reader (S3): binaryFile scan → member
+    * decode → one row per index line, with the (file, member, line)
+    * provenance the per-file sort (F6) keys on.
+    */
+  def readClusterGz(spark: SparkSession, path: String): DataFrame = {
+    val membersUdf = udf((b: Array[Byte]) =>
+      gzipMembers(b).map(m => new String(m, java.nio.charset.StandardCharsets.UTF_8)))
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").as("file"), membersUdf(col("content")).as("members"))
+      .select(col("file"), posexplode(col("members")).as(Seq("member_ord", "member")))
+      .select(col("file"), col("member_ord"),
+              posexplode(split(col("member"), "\n")).as(Seq("line_ord", "line")))
+      .filter(length(trim(col("line"))) > 0)
+  }
+}
