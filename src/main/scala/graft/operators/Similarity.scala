@@ -96,6 +96,32 @@ object Similarity {
     bruteForceTopK(cands.drop("bucket"), qVec, k, idCol, embCol)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact within blocks: the
+    * all-pairs cosine is quadratic, so a block column (a shard key —
+    * here supplied by the caller) bounds each task's pair count; within
+    * a block every pair with cosine >= t is emitted exactly. This is the
+    * controlled-exact complement of the approximate ANN path
+    * (hyperplane buckets + multi-probe): block = recall contract,
+    * buckets = probabilistic recall at lower cost.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, t: Double,
+                         idCol: String = "vec_id",
+                         blockCol: String = "block",
+                         embCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                              col(embCol).cast("array<double>").as("v"))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+                        lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("b.v"), lit(0.0), (acc, x) => acc + x * x))
+    e.alias("a")
+      .join(e.alias("b"),
+            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(dot / (na * nb), 4))
+      .filter(col("sim") >= t)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("sim"))
+  }
+
   /** Simhash near-duplicate pairs: 4x16-bit band blocking over the 64-bit
     * simhash, exact Hamming verification <= maxDist. Band blocking is
     * exact for maxDist <= 3 (pigeonhole: 4 bands, <=3 differing bits ->

@@ -114,6 +114,21 @@ object TextQueries {
     "q_ann_search" -> { (s, dir) =>
       Similarity.annSearch(table(s, dir, "embeddings"),
         queryVecId = 0, k = 10, nPlanes = 8, dim = 64)
+    },
+
+    // Embedding-cosine near-dup pairs, exact within blocks. The raw
+    // embeddings carry no near-duplicates (max pairwise cosine ~0.51),
+    // so the frame plants exact copies of vec_id < 50 at id+10000
+    // (same block: 10000 % 25 = 0) — the operator must find exactly
+    // those pairs and nothing else.
+    "q_cosine_neardup" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val frame = e.unionByName(planted)
+        .withColumn("block", pmod(col("vec_id"), lit(25L)))
+      Similarity.cosineNearDupPairs(frame, t = 0.99)
     }
   )
 
@@ -239,6 +254,23 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_cosine_neardup" ->
+      """WITH e0 AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, vec_id % 25 AS blk, v FROM e0
+           UNION ALL
+           SELECT vec_id + 10000, (vec_id + 10000) % 25, v
+           FROM e0 WHERE vec_id < 50),
+         p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+         SELECT a_id, b_id, sim FROM p WHERE sim >= 0.99""",
     "q_ann_cosine" ->
       """WITH q AS (
            SELECT generate_subscripts(embedding, 1) AS idx,
