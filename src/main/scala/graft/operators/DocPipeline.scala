@@ -115,7 +115,14 @@ object DocPipeline {
     val rawParas =
       if (justext) graft.functions.Boilerplate.extractGoodChunksUdf(chunks)
       else flatten(transform(chunks, c => extractParagraphs(c, minChars)))
-    val escaped  = transform(rawParas, p => escapeParagraph(p))
+    // both extractors emit whitespace-collapsed text, so escaping needs
+    // only the literal entity replacements (no regex, no re-collapse)
+    val escaped = transform(rawParas, p =>
+      call_function("replace",
+        call_function("replace",
+          call_function("replace", p, lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;")))
     val tokened =
       if (tokenFiltering) transform(escaped, p => filterTokens(p))
       else escaped

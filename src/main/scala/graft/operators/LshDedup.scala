@@ -89,9 +89,12 @@ object LshDedup {
     val sym = edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"comp".cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.groupBy($"a".as("ord"))
       .agg(least(min($"b"), first($"a")).as("comp"))
       .localCheckpoint()
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -109,11 +112,13 @@ object LshDedup {
               Seq("comp"), "left_outer")
         .select($"ord", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
         .localCheckpoint()
-      val changed = !jumped
-        .join(labels.withColumnRenamed("comp", "old"), Seq("ord"))
-        .filter($"comp" =!= $"old").isEmpty
+      // convergence probe: labels only ever decrease (least of mins), so
+      // the label sum strictly decreases on any change — one tiny agg on
+      // the checkpointed frame instead of a join against the previous one
+      val newSum = checksum(jumped)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = jumped
-      converged = !changed
       iter += 1
     }
     sym.unpersist()
