@@ -22,6 +22,10 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // off-heap Tungsten buffers: task GC drops ~4x on shuffle/sort-heavy
+      // pipelines (see Bench.session) — same default for library users
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
