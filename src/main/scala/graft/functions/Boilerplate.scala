@@ -74,8 +74,12 @@ object Boilerplate {
     }
     def decode(s: String): String = {
       if (!s.contains('&')) s
-      else Entities.foldLeft(s) { case (acc, (k, v)) =>
-        acc.replace(s"&$k;", v)
+      else {
+        // &amp; decodes LAST so "&amp;lt;" yields "&lt;", not "<"
+        val ordered = Entities.toSeq.sortBy(_._1 == "amp")
+        ordered.foldLeft(s) { case (acc, (k, v)) =>
+          acc.replace(s"&$k;", v)
+        }
       }
     }
     var i = 0
