@@ -133,7 +133,9 @@ object LshDedup {
   def selfDedup(mh: DataFrame): DataFrame = {
     val spark = mh.sparkSession
     import spark.implicits._
-    val mhp    = mh.persist(StorageLevel.MEMORY_AND_DISK)
+    // raw-row checkpoint: columnar caching of the bands array column is
+    // slower than the minhash chain it memoizes
+    val mhp    = mh.localCheckpoint()
     val edges  = chainEdges(mhp)
     val comps  = connectedComponents(edges)
     val member = mhp.select($"doc_id", $"ord", $"bands")

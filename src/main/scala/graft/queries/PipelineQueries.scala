@@ -72,7 +72,7 @@ object PipelineQueries {
     "q_frequent_filter" -> { (s, dir) =>
       graft.expressions.MinHashExpressions.register(s)
       val b = graft.functions.MinHashF.optimalBands(0.95)
-      // persist: the spanize + per-paragraph 256-perm minhash chain is the
+      // the spanize + per-paragraph 256-perm minhash chain is the
       // dominant cost and is consumed 3x (collect, band rows, final join)
       val docs = DocPipeline.spanize(htmlFrame(s, dir))
         .select(col("source").as("domain"),
@@ -80,7 +80,9 @@ object PipelineQueries {
                 col("doc_id"), col("spans"))
         .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
           FrequentParagraphs.textSpans(col("spans")), b))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist: columnar cache encoding of the
+        // nested spans/pbands arrays costs more than the chain it saves
+        .localCheckpoint()
       val freq = FrequentParagraphs.collect(docs)
       FrequentParagraphs.filterFrequent(docs, freq)
         .groupBy("domain")

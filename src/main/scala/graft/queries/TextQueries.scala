@@ -64,7 +64,7 @@ object TextQueries {
     "q_ngram_jaccard" -> { (s, dir) =>
       val sets = graft.operators.SetSimilarity
         .wordSets(table(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       graft.operators.SetSimilarity.jaccardSelfJoin(sets, t = 0.95)
     },
 
