@@ -88,7 +88,9 @@ object TextQueries {
       LshDedup.selfDedup(LshDedup.minhashed(docs, b))
     },
 
-    // Simhash near-duplicate pairs (Hamming <= 3, exact via 4-band block).
+    // Simhash near-duplicate pairs (Hamming <= 3, exact via 4-band
+    // block). The oracle replays the FNV64 token hash with HUGEINT
+    // wrap-around arithmetic and the per-bit voting in SQL.
     "q_simhash_neardup" -> { (s, dir) =>
       Similarity.simhashNearDupPairs(
         table(s, dir, "documents").select("doc_id", "text"))
@@ -254,6 +256,49 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_simhash_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                      list_transform(string_split(tok, ''),
+                                     c -> CAST(unicode(c) AS HUGEINT))),
+                    (h, b) -> (xor(h, b) * 1099511628211)
+                              % 18446744073709551616) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h // power(2::HUGEINT, j)::HUGEINT) % 2 = 1
+                           THEN 1 ELSE -1 END) AS acc
+           FROM th, range(64) t(j)
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN acc > 0 AND j < 32
+                                THEN (1::BIGINT << CAST(j AS INT))
+                                ELSE 0 END) AS BIGINT) AS lo,
+                  CAST(sum(CASE WHEN acc > 0 AND j >= 32
+                                THEN (1::BIGINT << CAST(j - 32 AS INT))
+                                ELSE 0 END) AS BIGINT) AS hi
+           FROM bits GROUP BY 1),
+         banded AS (
+           SELECT doc_id, lo, hi, b.band,
+                  CASE b.band WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bh
+           FROM sh, (SELECT unnest([0,1,2,3]) AS band) b),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.lo, b.lo))
+                       + bit_count(xor(a.hi, b.hi)) AS INT) AS dist
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3""",
     "q_cosine_neardup" ->
       """WITH e0 AS (
            SELECT vec_id,
