@@ -51,6 +51,20 @@ object Frontier {
       .filter(col("wave") <= quota)
   }
 
+  /** Politeness schedule: earliest-fetch epoch second per candidate —
+    * wave w of a host fetches no earlier than t0 + (w-1) * its
+    * crawl-delay (the reference's 1 s/host budget, get_indexfiles.py
+    * politeness; robots Crawl-delay can override per host via the
+    * delaySeconds column). Pure column arithmetic over politenessRank's
+    * `wave`, so the schedule is data, not threads — any fetch executor
+    * that respects `not_before_epoch` is polite by construction.
+    */
+  def scheduleWaves(ranked: DataFrame,
+                    t0Epoch: Column,
+                    delaySeconds: Column = lit(1L)): DataFrame =
+    ranked.withColumn("not_before_epoch",
+      t0Epoch + (col("wave") - 1).cast(LongType) * delaySeconds)
+
   /** J8 robots gating: keep candidates not disallowed by the most
     * specific (longest-prefix) matching rule for their host; hosts with
     * no matching rule are allowed. The rules table is small relative to

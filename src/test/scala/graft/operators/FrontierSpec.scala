@@ -38,6 +38,26 @@ class FrontierSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 == "h0" && r._3 == 1).head._2 == "u0")
   }
 
+  test("scheduleWaves: not_before = t0 + (wave-1) * per-host delay") {
+    val cand = (0 until 12).map(i =>
+      (s"h${i % 2}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")
+    val ranked = Frontier.politenessRank(cand, "host_key",
+      Seq(asc("pri")), quota = 100)
+      // h0 uses a 2s crawl-delay, h1 the default 1s
+      .withColumn("delay", when($"host_key" === "h0", 2L).otherwise(1L))
+    val got = Frontier.scheduleWaves(ranked, lit(1000L), $"delay")
+      .select("host_key", "wave", "not_before_epoch")
+      .as[(String, Int, Long)].collect()
+    assert(got.forall { case (h, w, t) =>
+      t == 1000L + (w - 1).toLong * (if (h == "h0") 2 else 1)
+    })
+    // each host's waves are strictly increasing in time
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val ts = rows.sortBy(_._2).map(_._3)
+      assert(ts.zip(ts.tail).forall { case (a, b) => b > a })
+    }
+  }
+
   test("robotsGate: longest prefix wins, allow on tie, default allow") {
     val cand = Seq(
       ("h1", "u1", "/a/b/c"),   // disallowed by /a
