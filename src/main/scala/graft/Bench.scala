@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *     itself scales when compute dominates, as added cluster *nodes*
   *     (more memory channels + disks) would restore for the data path.
   *
-  * Methodology: min of `Trials` runs per level (the VM shows steal-time
+  * Methodology: min of 3 runs per level (the VM shows steal-time
   * noise of ±30%); spark.local.dir on tmpfs (the VM disk writes at
   * ~150 MB/s and would serialize every shuffle).
   *
@@ -28,7 +28,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val Trials = 2
+  // 3 trials per level: host steal noise inflates individual runs ±30%
+  // (it surfaces as GC-time spikes); the min needs a clean window
+  private val Trials = 3
 
   private def session(cores: Int): SparkSession = {
     Files.createDirectories(Paths.get("/dev/shm/graft-spark"))
