@@ -141,6 +141,16 @@ object FrontierJob {
       spark, winnerSrc.select(xxhash64(col("url")).as("h")),
       prevStateDir, stateDir, partitions = 16,
       capacityPerPartition = 1 << 16))
+    // FP-rate bound: a chain that has grown past 2 segments gets rebuilt
+    // into one right-sized filter from the authoritative seen set (old
+    // chain ∪ this batch's winners). Grow-cycles are logarithmic in total
+    // inserts, so this full pass amortizes to ~O(1) per batch.
+    if (perPartInserts.values.exists(_.segments > 2)) phase("cuckoo compact") {
+      val allSeen = seenUrls.select(xxhash64(col("url")).as("h"))
+        .union(winnerSrc.select(xxhash64(col("url")).as("h")))
+      UrlSeenState.compactDistributed(spark, allSeen, stateDir,
+        partitions = 16, capacityPerPartition = 1 << 16)
+    }
 
     val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]
     val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
@@ -157,8 +167,9 @@ object FrontierJob {
       // winners are all unseen (anti-joined), so the new seen-set size is
       // exactly parent + winners — no counting pass over the union
       "n_seen_urls"   -> (prevSeenCount.getOrElse(0L) + nWinners)
-    ) ++ perPartInserts.map { case (pid, n) =>
-      f"part_$pid%05d_inserted" -> n
+    ) ++ perPartInserts.flatMap { case (pid, st) =>
+      Seq(f"part_$pid%05d_inserted" -> st.inserted,
+          f"part_$pid%05d_segments" -> st.segments.toLong)
     }
     val manifest = phase("commit")(Snapshots.commit(
       tableDir, snapId, metrics,

@@ -67,8 +67,15 @@ final class CuckooFilter private (
     false
   }
 
-  /** Insert a pre-hashed key. Returns false when the filter is full
-    * (max kicks exhausted) — caller should have sized for the load.
+  /** Insert a pre-hashed key. Returns false only when the filter is
+    * closed (stash occupied). Kick exhaustion itself is treated as a
+    * *successful* insert that closes the filter: by that point the new
+    * key's fingerprint has already been swapped into the table and the
+    * orphaned resident lands in the stash, so every key — including the
+    * new one — is retained. Returning false there would make a chained
+    * caller re-insert the same key into a fresh segment, creating a
+    * duplicate whose later delete() removes only one copy (permanent
+    * phantom membership) and drifts the count.
     */
   def insert(h: Long): Boolean = {
     if (stash != 0) return false // closed: see stash doc above
@@ -91,7 +98,8 @@ final class CuckooFilter private (
       kicks += 1
     }
     stash = f // orphaned resident fingerprint: retained, filter closed
-    false
+    count += 1 // the new key IS in the table (swapped in during kicks)
+    true
   }
 
   /** Exact-membership check (no false negatives; false positives at the
@@ -191,7 +199,13 @@ object CuckooChain {
 
   def fromBytes(bytes: Array[Byte]): CuckooChain = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    require(bb.getInt() == Magic, "not a cuckoo chain blob")
+    val magic = bb.getInt()
+    // Legacy compat: snapshots written before the chain existed hold a
+    // bare CuckooFilter blob (CUKF magic) — wrap it as a one-segment
+    // chain so pre-chain frontier tables still resume.
+    if (magic == CuckooFilter.LegacyMagic)
+      return new CuckooChain(Vector(CuckooFilter.fromBytes(bytes)))
+    require(magic == Magic, "not a cuckoo chain blob")
     val n = bb.getInt(); bb.getInt()
     val segs = Vector.fill(n) {
       val len  = bb.getInt()
@@ -205,6 +219,7 @@ object CuckooChain {
 
 object CuckooFilter {
   private val Magic    = 0x43554b46 // "CUKF"
+  private[state] val LegacyMagic = Magic
   private val MaxKicks = 500
 
   def mix(x0: Long): Long = graft.fixtures.CrawlFixtures.mix(x0)

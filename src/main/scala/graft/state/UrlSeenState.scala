@@ -61,17 +61,21 @@ object UrlSeenState {
 
   private def blobName(i: Int) = f"cuckoo-$i%05d.bin"
 
+  /** Per-partition lineage stats from a distributed state update. */
+  case class PartStats(inserted: Long, segments: Int)
+
   /** Distributed state update: shuffle the new hashes to their state
     * partition, each group loads its previous blob, inserts, writes the
     * next blob — no driver-side collect, one task per partition. Blobs
     * untouched by this batch are carried forward. Returns per-partition
-    * inserted counts (lineage metrics).
+    * inserted counts + segment-chain lengths (lineage metrics; a caller
+    * seeing segments > 2 should schedule `compactDistributed`).
     */
   def updateDistributed(spark: org.apache.spark.sql.SparkSession,
                         hashes: org.apache.spark.sql.DataFrame,
                         prevDir: Option[Path], outDir: Path,
                         partitions: Int, capacityPerPartition: Long)
-      : Map[Int, Long] = {
+      : Map[Int, PartStats] = {
     import spark.implicits._
     val p = CuckooFilter.nextPow2(partitions)
     Files.createDirectories(outDir)
@@ -94,9 +98,10 @@ object UrlSeenState {
         it.foreach { case (_, h) => if (filter.insert(h)) n += 1 }
         Files.write(java.nio.file.Paths.get(outStr, blobName(pid)),
                     filter.toBytes)
-        (pid, n)
+        (pid, n, filter.numSegments)
       }
-      .collect().toMap
+      .collect().map { case (pid, n, segs) => pid -> PartStats(n, segs) }
+      .toMap
     // carry forward untouched partitions
     (0 until p).foreach { pid =>
       val out = outDir.resolve(blobName(pid))
@@ -109,5 +114,46 @@ object UrlSeenState {
       }
     }
     touched
+  }
+
+  /** Segment-chain compaction at snapshot commit: rebuild each partition's
+    * chain as ONE right-sized filter from the authoritative seen-hash set
+    * (the url_seen table — the cuckoo state is a derived accelerator, so
+    * the table is the source of truth to rebuild from). Bounds the
+    * false-positive rate, which otherwise grows linearly with segment
+    * count. One task per partition, blob overwritten in place in the
+    * still-uncommitted snapshot state dir. Keys are sorted before insert
+    * so the rebuilt blob is byte-deterministic for a given seen set.
+    * Returns per-partition rebuilt segment counts (1 except at
+    * pathological load).
+    */
+  def compactDistributed(spark: org.apache.spark.sql.SparkSession,
+                         allHashes: org.apache.spark.sql.DataFrame,
+                         outDir: Path,
+                         partitions: Int, capacityPerPartition: Long)
+      : Map[Int, Int] = {
+    import spark.implicits._
+    val p = CuckooFilter.nextPow2(partitions)
+    val outStr = outDir.toString
+    val cap    = capacityPerPartition
+    val partUdf = org.apache.spark.sql.functions.udf(
+      (h: Long) => partitionOf(h, p))
+    allHashes
+      .select(partUdf(allHashes.col(allHashes.columns.head)).as("pid"),
+              allHashes.col(allHashes.columns.head).as("h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (pid, it) =>
+        val b = Array.newBuilder[Long]
+        it.foreach(kv => b += kv._2)
+        val keys = b.result()
+        java.util.Arrays.sort(keys)
+        val chain = CuckooChain.forCapacity(math.max(cap, keys.length))
+        keys.foreach(chain.insert)
+        Files.write(java.nio.file.Paths.get(outStr, blobName(pid)),
+                    chain.toBytes)
+        (pid, chain.numSegments)
+      }
+      .collect().toMap
   }
 }

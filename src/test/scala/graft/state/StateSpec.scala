@@ -51,6 +51,71 @@ class StateSpec extends AnyFunSuite {
     assert(rt.delete(keys.head))
   }
 
+  test("cuckoo insert at kick exhaustion retains the key and never " +
+       "double-inserts via the chain (no phantom membership after delete)") {
+    // force kick exhaustion: tiny filter, keys well past capacity
+    val cf = CuckooFilter.forCapacity(16)
+    val keys = (0L until 2000L).map(CrawlFixtures.mix)
+    var closedAt = -1
+    var i = 0
+    while (i < keys.length && closedAt < 0) {
+      if (!cf.insert(keys(i))) closedAt = i
+      i += 1
+    }
+    assert(closedAt > 0, "filter must eventually close")
+    // every key that insert() returned true for must be a member —
+    // including the one whose kick loop exhausted (stash-as-success)
+    keys.take(closedAt).foreach(k => assert(cf.contains(k), "false negative"))
+    // chain: insert each key exactly once; a key must be deletable with
+    // ONE delete (the r2 bug double-inserted the exhausting key, so one
+    // delete left a phantom copy behind)
+    val chain = CuckooChain.forCapacity(16)
+    val ck = (0L until 3000L).map(CrawlFixtures.mix)
+    ck.foreach(chain.insert)
+    assert(chain.size == ck.length.toLong,
+           s"count drift: ${chain.size} != ${ck.length}")
+    ck.foreach(chain.delete)
+    val phantom = ck.count(chain.contains)
+    // residual hits are fingerprint collisions only, not stuck duplicates
+    assert(phantom < 30, s"phantom membership after delete: $phantom/3000")
+  }
+
+  test("cuckoo chain loads a legacy bare-filter blob (CUKF magic)") {
+    val cf = CuckooFilter.forCapacity(500)
+    val keys = (0L until 400L).map(CrawlFixtures.mix)
+    keys.foreach(cf.insert)
+    val chain = CuckooChain.fromBytes(cf.toBytes) // pre-chain snapshot blob
+    assert(chain.numSegments == 1)
+    assert(keys.forall(chain.contains))
+    assert(chain.size == cf.size)
+  }
+
+  test("compaction bounds FP rate back to single-filter level") {
+    // grow a chain through several segments, measure FP rate, then
+    // rebuild right-sized from the key set (what compactDistributed does
+    // per partition) and require the compacted FP rate to drop to the
+    // single-filter ballpark
+    val keys = (0L until 20000L).map(CrawlFixtures.mix)
+    val grown = CuckooChain.forCapacity(256)
+    keys.foreach(grown.insert)
+    assert(grown.numSegments > 3, s"need a long chain, got ${grown.numSegments}")
+    val fresh = (1000000L until 1100000L).map(CrawlFixtures.mix)
+    val fpGrown = fresh.count(grown.contains)
+
+    val sorted = keys.toArray; java.util.Arrays.sort(sorted)
+    val compact = CuckooChain.forCapacity(sorted.length)
+    sorted.foreach(compact.insert)
+    assert(compact.numSegments == 1, "right-sized rebuild must be 1 segment")
+    assert(keys.forall(compact.contains), "compaction lost a key")
+    val fpCompact = fresh.count(compact.contains)
+    assert(fpCompact * 2 < fpGrown,
+           s"compaction should materially cut FPs: $fpCompact vs $fpGrown")
+    // and byte-determinism of the rebuild
+    val compact2 = CuckooChain.forCapacity(sorted.length)
+    sorted.foreach(compact2.insert)
+    assert(compact.toBytes.toSeq == compact2.toBytes.toSeq)
+  }
+
   test("snapshot log: stage/commit/latest/parent chain + commit race") {
     val dir = Files.createTempDirectory("snaptest").toString
     assert(Snapshots.latest(dir).isEmpty)
