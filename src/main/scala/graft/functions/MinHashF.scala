@@ -9,10 +9,21 @@ import org.apache.spark.sql.functions.udf
   * The permutation family is our own (the reference rides on datasketch's
   * SHA1-based family; hash-function identity is not part of the query
   * semantics — parity is defined against our reference interpreter using
-  * the same family): h_i(s) = (a_i * fnv64(s) + b_i) mod (2^61-1), with
-  * (a_i, b_i) drawn from a fixed splitmix64 stream (seed 42). Empty texts
-  * (< n chars) yield the all-MaxValue signature, so empty docs collide
-  * with each other — same behavior as an un-updated datasketch MinHash.
+  * the same family): h_i(s) = (a_i * poly131(s) + b_i) mod (2^31-1), with
+  * (a_i, b_i) drawn from a fixed splitmix64 stream (seed 42). The
+  * per-shingle hash is a base-131 polynomial of the shingle's code
+  * points (< 2^53) and the permutation prime is Mersenne-31, so every
+  * intermediate of the signature/band chain fits in plain int64
+  * arithmetic — the whole chain is exactly reproducible in DuckDB BIGINT
+  * SQL, which is what gives the LSH band and candidate-pair tables an
+  * independent oracle (the earlier FNV-1a/2^61 family bought nothing
+  * semantically and cost both the oracle and a 128-bit mulmod per
+  * permutation). A 31-bit min-hash value space is the standard datasketch
+  * trade-off: per-permutation collision odds for distinct shingles are
+  * 2^-31, immaterial next to the 1/256 signature sampling error. Empty
+  * texts (< n code points) yield the all-MaxValue signature, so empty
+  * docs collide with each other — same behavior as an un-updated
+  * datasketch MinHash.
   *
   * Band structure for LSH: b bands of r rows (b*r = numPerm), chosen to
   * minimize |(1/b)^(1/r) - threshold| — the standard S-curve midpoint
@@ -22,7 +33,7 @@ object MinHashF {
 
   val NumPerm  = 256
   val ShingleN = 5
-  private val Prime = (1L << 61) - 1
+  private val Prime = (1L << 31) - 1
 
   /** Fixed permutation parameters, derived from splitmix64(seed=42). */
   private val (as, bs): (Array[Long], Array[Long]) = {
@@ -53,38 +64,40 @@ object MinHashF {
     h
   }
 
-  /** a*h mod 2^61-1 for 0 <= a,h < 2^61: 128-bit product via
-    * Math.multiplyHigh, folded in base-2^61 limbs (2^61 ≡ 1 mod p).
+  /** (a*h0 + b) mod 2^31-1: h0 < 2^53 positive, a,b < 2^31, so a*(h0%p)
+    * < 2^62 and every step is exact in plain signed 64-bit — the same
+    * expression DuckDB evaluates in BIGINT.
     */
-  private def mulmodP(a: Long, h: Long): Long = {
-    val hi = Math.multiplyHigh(a, h) // product < 2^122, positive
-    val lo = a * h
-    val c0 = lo & Prime                        // bits 0..60
-    val c1 = ((lo >>> 61) | (hi << 3)) & Prime // bits 61..121
-    val c2 = hi >>> 58                         // bits 122+
-    var r = c0 + c1 + c2                       // < 3 * 2^61, no overflow
-    while (r >= Prime) r -= Prime
-    r
-  }
+  private def permute(a: Long, b: Long, h0: Long): Long =
+    (a * (h0 % Prime) + b) % Prime
 
-  /** (a*h0 + b) mod 2^61-1. */
-  private def permute(a: Long, b: Long, h0: Long): Long = {
-    val h = java.lang.Long.remainderUnsigned(h0, Prime)
-    var r = mulmodP(a, h) + b // both < p -> sum < 2^62, no overflow
-    if (r >= Prime) r -= Prime
-    r
-  }
-
-  /** FNV-1a over a window of an ASCII-only string (chars == UTF-8 bytes):
-    * allocation-free, value-identical to fnv64(s.substring(from, from+n)).
+  /** Base-131 polynomial over a window of `n` chars of an ASCII string
+    * (chars == code points): h = ((c0*131 + c1)*131 + ...) — value
+    * < 131^4 * 128 * 1.01 < 2^45, exactly representable in any engine's
+    * int64. Mirrors the DuckDB oracle's
+    * `unicode(text[i])*131 + unicode(text[i+1]) ...` shingle formula.
     */
-  private def fnv64AsciiWindow(s: String, from: Int, n: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
+  private def poly131AsciiWindow(s: String, from: Int, n: Int): Long = {
+    var h = s.charAt(from).toLong
+    var i = from + 1
     val end = from + n
     while (i < end) {
-      h ^= (s.charAt(i) & 0xffL)
-      h *= 0x100000001b3L
+      h = h * 131L + s.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  /** Same polynomial over a window of a code-point array (non-ASCII path;
+    * DuckDB indexes strings by code point, so shingles are code-point
+    * windows, not UTF-16 char windows). Max value 131^4 * 0x10FFFF < 2^53.
+    */
+  private def poly131CpWindow(cps: Array[Int], from: Int, n: Int): Long = {
+    var h = cps(from).toLong
+    var i = from + 1
+    val end = from + n
+    while (i < end) {
+      h = h * 131L + cps(i)
       i += 1
     }
     h
@@ -139,22 +152,26 @@ object MinHashF {
     }
   }
 
-  /** MinHash signature of `text`: min over all char-n-gram shingles.
-    * Hot-path form: ASCII texts hash windows without allocating, and each
-    * distinct shingle runs the 256 permutations once (a repeated shingle
-    * cannot lower any minimum) — identical output to the naive loop.
+  /** MinHash signature of `text`: min over all code-point-n-gram
+    * shingles. Hot-path form: ASCII texts hash windows without
+    * allocating, and each distinct shingle hash runs the 256 permutations
+    * once (a repeated shingle cannot lower any minimum) — identical
+    * output to the naive loop.
     */
   def signature(text: String): Array[Long] = {
     val sig = Array.fill(NumPerm)(Long.MaxValue)
-    if (text != null && text.length >= ShingleN) {
-      val end   = text.length - ShingleN
-      val ascii = isAscii(text)
-      val seen  = new LongSet(math.min(end + 1, 1 << 16))
+    if (text == null) return sig
+    val ascii = isAscii(text)
+    val cps: Array[Int] = if (ascii) null else text.codePoints().toArray
+    val nCp = if (ascii) text.length else cps.length
+    if (nCp >= ShingleN) {
+      val end  = nCp - ShingleN
+      val seen = new LongSet(math.min(end + 1, 1 << 16))
       var i = 0
       while (i <= end) {
         val h0 =
-          if (ascii) fnv64AsciiWindow(text, i, ShingleN)
-          else fnv64(text.substring(i, i + ShingleN))
+          if (ascii) poly131AsciiWindow(text, i, ShingleN)
+          else poly131CpWindow(cps, i, ShingleN)
         if (seen.add(h0)) {
           var j = 0
           while (j < NumPerm) {
@@ -224,6 +241,13 @@ object MinHashF {
     }
     eq.toDouble / NumPerm
   }
+
+  /** The fixed permutation parameters as DuckDB VALUES literals
+    * `(j, a_j, b_j)` — all < 2^61, so BIGINT-exact. The oracle replays
+    * the full signature/band computation in SQL from these.
+    */
+  def permValuesSql: String =
+    (0 until NumPerm).map(j => s"(${j},${as(j)},${bs(j)})").mkString(",")
 
   val signatureUdf = udf(signature _)
   def bandsUdf(b: Int) = udf((sig: Array[Long]) => bandHashes(sig, b))

@@ -76,10 +76,42 @@ object TextQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 20)
     },
 
-    // ---- rows-only (hash-based; parity in ScalaTest) ----
+    // MinHash+LSH band table: (doc_id, ord, band, bhash) straight off the
+    // codegen'd signature expression. Fully oracled: the base-131 shingle
+    // hash keeps every intermediate BIGINT/HUGEINT-exact in DuckDB.
+    "q_lsh_bands" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
+                col("text"))
+      LshDedup.bandTable(LshDedup.minhashed(docs, b))
+        .select(col("doc_id"), col("ord"),
+                col("band").cast(LongType).as("band"), col("bhash"))
+    },
+
+    // LSH candidate-pair set: distinct ord pairs sharing any band bucket
+    // (the `query` criterion of the reference's datasketch LSH). The
+    // production self-dedup uses chain edges (k-1 per bucket) instead of
+    // this quadratic form; as a driver query the bucket sizes are tiny.
+    "q_lsh_pairs" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
+                col("text"))
+      val bt = LshDedup.bandTable(LshDedup.minhashed(docs, b))
+        .select("ord", "band", "bhash")
+      bt.alias("x").join(bt.alias("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.ord") < col("y.ord"))
+        .select(col("x.ord").as("a_ord"), col("y.ord").as("b_ord"))
+        .distinct()
+    },
 
     // MinHash+LSH self-dedup survivors over the documents table, via the
-    // production first-wins replay (b bands for t=0.9).
+    // production first-wins replay (b bands for t=0.9). Oracle: the same
+    // greedy replay as a DuckDB recursive CTE over the conflict-pair
+    // graph (kept-set carried as a LIST through the recursion).
     "q_lsh_dedup" -> { (s, dir) =>
       val b = MinHashF.optimalBands(0.9)
       val docs = table(s, dir, "documents")
@@ -87,6 +119,8 @@ object TextQueries {
                 col("text"))
       LshDedup.selfDedup(LshDedup.minhashed(docs, b))
     },
+
+    // ---- rows-only (hash-based; parity in ScalaTest) ----
 
     // Simhash near-duplicate pairs (Hamming <= 3, exact via 4-band
     // block). The oracle replays the FNV64 token hash with HUGEINT
@@ -160,6 +194,59 @@ object TextQueries {
 
   private val docIdNonNull = "doc_id IS NOT NULL"
 
+  /** MinHash band table as DuckDB CTEs: base-131 shingle hash (< 2^53,
+    * BIGINT-exact), (a*h+b) mod 2^31-1 permutations in plain BIGINT,
+    * FNV-1a band fold in HUGEINT-mod-2^64 — value-identical to
+    * MinHashF.signature/bandHashes. Ends with `bands(ord, band, bhash)`,
+    * MATERIALIZED so multi-reference queries (pairs, the recursive
+    * replay) compute the chain once.
+    */
+  private def minhashBandsCte(b: Int): String = {
+    val r = MinHashF.NumPerm / b
+    s"""perms(j, pa, pb) AS (VALUES ${MinHashF.permValuesSql}),
+       docs AS MATERIALIZED (
+         SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, text FROM documents),
+       sh AS (
+         SELECT DISTINCT ord,
+                ((((CAST(unicode(text[i]) AS BIGINT) * 131
+                    + unicode(text[i+1])) * 131
+                   + unicode(text[i+2])) * 131
+                  + unicode(text[i+3])) * 131
+                 + unicode(text[i+4])) AS h0
+         FROM (SELECT ord, text, unnest(range(1, length(text) - 3)) AS i
+               FROM docs WHERE length(text) >= 5)),
+       sig0 AS (
+         SELECT ord, j, min((pa * (h0 % 2147483647) + pb) % 2147483647) AS v
+         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       sig AS (
+         SELECT d.ord, p.j, coalesce(s.v, 9223372036854775807) AS v
+         FROM (SELECT DISTINCT ord FROM docs) d CROSS JOIN perms p
+         LEFT JOIN sig0 s ON s.ord = d.ord AND s.j = p.j),
+       bands AS MATERIALIZED (
+         SELECT ord, CAST(band0 AS BIGINT) AS band,
+                CAST(CASE WHEN hu >= 9223372036854775808
+                          THEN hu - 18446744073709551616
+                          ELSE hu END AS BIGINT) AS bhash
+         FROM (
+           SELECT ord, j // $r AS band0,
+                  list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                      list_transform(list(v ORDER BY j ASC),
+                                     x -> CAST(x AS HUGEINT))),
+                    (h, x) -> (xor(h, x) * 1099511628211)
+                              % 18446744073709551616) AS hu
+           FROM sig GROUP BY ord, j // $r))"""
+  }
+
+  /** Candidate pairs on top of `bands` (MATERIALIZED: the recursive
+    * replay references the conflict set every iteration).
+    */
+  private val lshPairsCte: String =
+    """pairs AS MATERIALIZED (
+         SELECT DISTINCT x.ord AS a_ord, y.ord AS b_ord
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bhash = y.bhash AND x.ord < y.ord)"""
+
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
       """SELECT doc_id,
@@ -207,6 +294,50 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_lsh_bands" ->
+      s"""WITH ${minhashBandsCte(MinHashF.optimalBands(0.9))}
+          SELECT d.doc_id, b.ord, b.band, b.bhash
+          FROM bands b JOIN docs d ON d.ord = b.ord""",
+    "q_lsh_pairs" ->
+      s"""WITH ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+          $lshPairsCte
+          SELECT a_ord, b_ord FROM pairs""",
+    // First-wins replay as a sequential state machine: one recursion step
+    // per doc in ord order, the kept set carried as a LIST; a doc is
+    // dropped iff it conflicts (shared band bucket, or same doc_id) with
+    // an already-kept doc — exactly LshDedup.selfDedup's insert/query
+    // loop semantics.
+    "q_lsh_dedup" ->
+      s"""WITH RECURSIVE ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+          $lshPairsCte,
+          conf AS MATERIALIZED (
+            SELECT a_ord, b_ord FROM pairs
+            UNION
+            SELECT x.ord, y.ord FROM docs x JOIN docs y
+            ON x.doc_id = y.doc_id AND x.ord < y.ord),
+          seq AS MATERIALIZED (
+            SELECT ord, row_number() OVER (ORDER BY ord ASC) AS rn
+            FROM docs),
+          confl AS MATERIALIZED (
+            SELECT b_ord, list(a_ord) AS froms FROM conf GROUP BY 1),
+          st(i, kept) AS (
+            SELECT 0, CAST([] AS BIGINT[])
+            UNION ALL
+            -- join-driven step (one doc per iteration, terminates when seq
+            -- runs out). NOTE two DuckDB 1.0 recursion quirks: a scalar
+            -- subquery returns NULL on the first iteration, and a
+            -- correlated EXISTS against the materialized conflict CTE
+            -- never fires — hence plain joins + list_has_any only.
+            SELECT st.i + 1,
+                   CASE WHEN list_has_any(st.kept, coalesce(cf.froms, []))
+                        THEN st.kept
+                        ELSE list_append(st.kept, s.ord) END
+            FROM st JOIN seq s ON s.rn = st.i + 1
+            LEFT JOIN confl cf ON cf.b_ord = s.ord)
+          SELECT d.doc_id, d.ord
+          FROM docs d,
+               (SELECT kept FROM st ORDER BY i DESC LIMIT 1) k
+          WHERE list_contains(k.kept, d.ord)""",
     "q_fingerprint_shingle" ->
       """SELECT doc_id,
            CASE WHEN length(text) >= 5 THEN

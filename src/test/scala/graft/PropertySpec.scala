@@ -18,17 +18,17 @@ import scala.util.Random
 class PropertySpec extends AnyFunSuite {
 
   test("golden: minhash signature values (ASCII fast path)") {
+    // family: (a*poly131(shingle) + b) mod 2^31-1 — golden values pin the
+    // r3 Mersenne-31 family that the DuckDB oracles replay in BIGINT SQL
     val sig = MinHashF.signature("the quick brown fox jumps over the lazy dog")
-    assert(sig.take(6).toSeq == Seq(31998125039856319L, 22979344866380438L,
-      57512133407966703L, 8457243795987474L, 55662603005418931L,
-      28876210870122361L))
+    assert(sig.take(6).toSeq == Seq(10231510L, 13807883L, 37903590L,
+      3075197L, 57253368L, 7455545L))
   }
 
   test("golden: minhash signature values (non-ASCII fallback path)") {
     val sig = MinHashF.signature("héllo wörld — ünïcode test ©")
-    assert(sig.take(6).toSeq == Seq(7206068097382682L, 26206130863604578L,
-      41086857868138263L, 11064635671818242L, 61851369740019396L,
-      83913910681424621L))
+    assert(sig.take(6).toSeq == Seq(60430245L, 7502025L, 4498014L,
+      21466141L, 312300199L, 31908058L))
   }
 
   test("golden: simhash64") {
