@@ -51,10 +51,12 @@ object PipelineQueries {
       sp.select(col("doc_id"), size(col("spans")).cast(LongType).as("n_spans"))
     },
 
-    // ---- rows-only ----
-
     // A3 frequent-paragraph collection per "domain" (= source), docs in
-    // doc_id order, via the production secondary-sort collector.
+    // doc_id order, via the production secondary-sort collector. Fully
+    // oracled: the decayed frequent-items state machine replays as a
+    // DuckDB recursive CTE (one step per paragraph, the PData table
+    // carried as a LIST of STRUCTs; double decay arithmetic is IEEE-
+    // identical on both sides).
     "q_frequent_collect" -> { (s, dir) =>
       graft.expressions.MinHashExpressions.register(s)
       val b = graft.functions.MinHashF.optimalBands(0.95)
@@ -65,10 +67,14 @@ object PipelineQueries {
         .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
           FrequentParagraphs.textSpans(col("spans")), b))
       FrequentParagraphs.collect(docs)
-        .select("domain", "pdata_id", "score", "count")
+        .select(col("domain"), col("pdata_id").cast(LongType).as("pdata_id"),
+                col("score"), col("count"))
     },
 
     // A4 frequent-paragraph removal end-to-end (doc survival counts).
+    // Oracled on top of the A3 replay: the removal itself is pure
+    // join/window SQL (min-pdata hit per paragraph, occurrence rank per
+    // (domain, frequent), drop rank >= min_freq).
     "q_frequent_filter" -> { (s, dir) =>
       graft.expressions.MinHashExpressions.register(s)
       val b = graft.functions.MinHashF.optimalBands(0.95)
@@ -131,7 +137,162 @@ object PipelineQueries {
   private val stopListSql = graft.functions.Boilerplate.StopwordsEn
     .toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The A3 decayed frequent-items replay as DuckDB CTEs (ends with
+    * `kept(domain, entries)` = surviving PData in insertion order):
+    *
+    *   pdocs/pp  paragraph lists per doc (the spanize derivation, same
+    *             as the q_spanize_wc oracle)
+    *   src→bands TextQueries.minhashBandsCte keyed ord*10000+p_id
+    *   steps     one row per paragraph in (domain, ord, p_id) order
+    *   st        recursive state machine: one step per paragraph, the
+    *             PData table as LIST<STRUCT(key, bands, score, cnt)>;
+    *             doc boundaries (p_id=1) apply the previous doc's purge
+    *             (score < 0.5) and this doc's decay (*0.99); a paragraph
+    *             increments every band-matched entry not already
+    *             incremented for this doc, else inserts itself — incl.
+    *             the reference quirk where a paragraph whose only hits
+    *             were already incremented inserts a duplicate entry.
+    *
+    * Float parity: score ops are the same IEEE binary64 sequence the
+    * Collector runs, so even unrounded doubles hash-match.
+    */
+  private def frequentReplayCte(b: Int): String =
+    s"""pdocs AS MATERIALIZED (
+         SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, source AS domain,
+                list_append(
+                  list_filter(
+                    list_transform(string_split(text, ' slow '),
+                                   x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                    x -> length(x) >= 10),
+                  'common footer paragraph for ' || source ||
+                  ' shared across documents') AS paras
+         FROM documents),
+       pp AS MATERIALIZED (
+         SELECT doc_id, ord, domain,
+                CAST(generate_subscripts(paras, 1) AS BIGINT) AS p_id,
+                unnest(paras) AS ptext
+         FROM pdocs),
+       src AS (SELECT ord * 10000 + p_id AS k, ptext AS text FROM pp),
+       ${TextQueries.minhashBandsCte(b)},
+       pmh AS MATERIALIZED (
+         SELECT k, list(bhash ORDER BY band ASC) AS mh FROM bands GROUP BY k),
+       steps AS MATERIALIZED (
+         SELECT pp.domain, pp.ord, pp.p_id,
+                row_number() OVER (PARTITION BY pp.domain
+                                   ORDER BY pp.ord, pp.p_id) AS sidx,
+                pp.p_id = 1 AS isf,
+                pp.doc_id || '_' || pp.p_id AS pkey,
+                pmh.mh AS mh
+         FROM pp JOIN pmh ON pmh.k = pp.ord * 10000 + pp.p_id),
+       st(domain, i, entries, inc) AS (
+         SELECT domain, CAST(0 AS BIGINT),
+                CAST([] AS STRUCT(key VARCHAR, bands BIGINT[],
+                                  score DOUBLE, cnt BIGINT)[]),
+                CAST([] AS VARCHAR[])
+         FROM (SELECT DISTINCT domain FROM steps)
+         UNION ALL
+         SELECT domain, i, e2 AS entries,
+                CASE WHEN len(newkeys) = 0 THEN list_append(i0, pkey)
+                     ELSE list_concat(i0, newkeys) END AS inc
+         FROM (
+           SELECT q1.*,
+                  CASE WHEN len(newkeys) = 0
+                       THEN list_append(e1, struct_pack(key := pkey,
+                              bands := mh, score := CAST(1.0 AS DOUBLE),
+                              cnt := CAST(1 AS BIGINT)))
+                       ELSE e1 END AS e2
+           FROM (
+             SELECT q0.*,
+                    list_transform(
+                      list_filter(e0, e -> (NOT list_contains(i0, e.key)) AND
+                        len(list_filter([1,2,3,4,5,6,7,8],
+                                        ix -> e.bands[ix] = mh[ix])) > 0),
+                      e -> e.key) AS newkeys,
+                    list_transform(e0, e ->
+                      CASE WHEN (NOT list_contains(i0, e.key)) AND
+                             len(list_filter([1,2,3,4,5,6,7,8],
+                                             ix -> e.bands[ix] = mh[ix])) > 0
+                           THEN struct_pack(key := e.key, bands := e.bands,
+                                  score := e.score + CAST(1.0 AS DOUBLE),
+                                  cnt := e.cnt + 1)
+                           ELSE e END) AS e1
+             FROM (
+               SELECT st.domain, st.i + 1 AS i, s.pkey, s.mh,
+                      CASE WHEN s.isf
+                           THEN list_transform(
+                                  list_filter(st.entries,
+                                    e -> e.score >= CAST(0.5 AS DOUBLE)),
+                                  e -> struct_pack(key := e.key,
+                                         bands := e.bands,
+                                         score := e.score * CAST(0.99 AS DOUBLE),
+                                         cnt := e.cnt))
+                           ELSE st.entries END AS e0,
+                      CASE WHEN s.isf THEN CAST([] AS VARCHAR[])
+                           ELSE st.inc END AS i0
+               FROM st JOIN steps s ON s.domain = st.domain
+                                   AND s.sidx = st.i + 1) q0) q1) q2),
+       fin AS (
+         SELECT domain, entries FROM (
+           SELECT domain, entries,
+                  row_number() OVER (PARTITION BY domain
+                                     ORDER BY i DESC) AS rw
+           FROM st) WHERE rw = 1),
+       kept AS (
+         SELECT domain,
+                list_filter(
+                  list_filter(entries, e -> e.score >= CAST(0.5 AS DOUBLE)),
+                  e -> e.cnt >= 2) AS entries
+         FROM fin)"""
+
   val oracles: Map[String, String] = Map(
+    "q_frequent_collect" -> {
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      s"""WITH RECURSIVE ${frequentReplayCte(b)}
+          SELECT domain,
+                 CAST(generate_subscripts(entries, 1) AS BIGINT) AS pdata_id,
+                 unnest(entries).score AS score,
+                 unnest(entries).cnt AS count
+          FROM kept"""
+    },
+    "q_frequent_filter" -> {
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      s"""WITH RECURSIVE ${frequentReplayCte(b)},
+          fb AS (
+            SELECT k2.domain, k2.pdata_id,
+                   CAST(generate_subscripts(k2.bands, 1) - 1 AS BIGINT) AS band,
+                   unnest(k2.bands) AS bhash
+            FROM (SELECT domain, generate_subscripts(entries, 1) AS pdata_id,
+                         unnest(entries).bands AS bands
+                  FROM kept) k2),
+          pband AS (
+            SELECT pp.domain, pp.ord, pp.p_id, b.band, b.bhash
+            FROM pp JOIN bands b ON b.k = pp.ord * 10000 + pp.p_id),
+          nh AS (
+            SELECT p.domain, p.ord, p.p_id, min(f.pdata_id) AS freq_id
+            FROM pband p JOIN fb f
+              ON f.domain = p.domain AND f.band = p.band AND f.bhash = p.bhash
+            GROUP BY 1, 2, 3),
+          rk AS (
+            SELECT domain, ord, freq_id,
+                   row_number() OVER (PARTITION BY domain, freq_id
+                                      ORDER BY ord ASC) AS rnk
+            FROM (SELECT DISTINCT domain, ord, freq_id FROM nh)),
+          dropp AS (
+            SELECT DISTINCT nh.domain, nh.ord, nh.p_id
+            FROM nh JOIN rk ON rk.domain = nh.domain AND rk.ord = nh.ord
+                           AND rk.freq_id = nh.freq_id
+            WHERE rk.rnk >= 2),
+          dcount AS (
+            SELECT domain, ord, count(*) AS ndrop FROM dropp GROUP BY 1, 2),
+          surv AS (
+            SELECT d.domain, d.ord,
+                   len(d.paras) - coalesce(c.ndrop, 0) AS np_left
+            FROM pdocs d LEFT JOIN dcount c
+              ON c.domain = d.domain AND c.ord = d.ord)
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(np_left + 1) AS BIGINT) AS n_spans
+          FROM surv WHERE np_left > 0 GROUP BY domain"""
+    },
     "q_media_features" ->
       """WITH c AS (
            SELECT doc_id,

@@ -194,58 +194,63 @@ object TextQueries {
 
   private val docIdNonNull = "doc_id IS NOT NULL"
 
-  /** MinHash band table as DuckDB CTEs: base-131 shingle hash (< 2^53,
-    * BIGINT-exact), (a*h+b) mod 2^31-1 permutations in plain BIGINT,
-    * FNV-1a band fold in HUGEINT-mod-2^64 — value-identical to
-    * MinHashF.signature/bandHashes. Ends with `bands(ord, band, bhash)`,
-    * MATERIALIZED so multi-reference queries (pairs, the recursive
-    * replay) compute the chain once.
+  /** MinHash band table as DuckDB CTEs over a relation `src(k, text)`
+    * the caller must define earlier in the WITH list (k: BIGINT key):
+    * base-131 shingle hash (< 2^53, BIGINT-exact), (a*h+b) mod 2^31-1
+    * permutations in plain BIGINT, FNV-1a band fold in HUGEINT-mod-2^64
+    * — value-identical to MinHashF.signature/bandHashes. Ends with
+    * `bands(k, band, bhash)`, MATERIALIZED so multi-reference queries
+    * (pairs, the recursive replays) compute the chain once.
     */
-  private def minhashBandsCte(b: Int): String = {
+  private[queries] def minhashBandsCte(b: Int): String = {
     val r = MinHashF.NumPerm / b
     s"""perms(j, pa, pb) AS (VALUES ${MinHashF.permValuesSql}),
-       docs AS MATERIALIZED (
-         SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, text FROM documents),
        sh AS (
-         SELECT DISTINCT ord,
+         SELECT DISTINCT k,
                 ((((CAST(unicode(text[i]) AS BIGINT) * 131
                     + unicode(text[i+1])) * 131
                    + unicode(text[i+2])) * 131
                   + unicode(text[i+3])) * 131
                  + unicode(text[i+4])) AS h0
-         FROM (SELECT ord, text, unnest(range(1, length(text) - 3)) AS i
-               FROM docs WHERE length(text) >= 5)),
+         FROM (SELECT k, text, unnest(range(1, length(text) - 3)) AS i
+               FROM src WHERE length(text) >= 5)),
        sig0 AS (
-         SELECT ord, j, min((pa * (h0 % 2147483647) + pb) % 2147483647) AS v
+         SELECT k, j, min((pa * (h0 % 2147483647) + pb) % 2147483647) AS v
          FROM sh CROSS JOIN perms GROUP BY 1, 2),
        sig AS (
-         SELECT d.ord, p.j, coalesce(s.v, 9223372036854775807) AS v
-         FROM (SELECT DISTINCT ord FROM docs) d CROSS JOIN perms p
-         LEFT JOIN sig0 s ON s.ord = d.ord AND s.j = p.j),
+         SELECT d.k, p.j, coalesce(s.v, 9223372036854775807) AS v
+         FROM (SELECT DISTINCT k FROM src) d CROSS JOIN perms p
+         LEFT JOIN sig0 s ON s.k = d.k AND s.j = p.j),
        bands AS MATERIALIZED (
-         SELECT ord, CAST(band0 AS BIGINT) AS band,
+         SELECT k, CAST(band0 AS BIGINT) AS band,
                 CAST(CASE WHEN hu >= 9223372036854775808
                           THEN hu - 18446744073709551616
                           ELSE hu END AS BIGINT) AS bhash
          FROM (
-           SELECT ord, j // $r AS band0,
+           SELECT k, j // $r AS band0,
                   list_reduce(
                     list_prepend(CAST(14695981039346656037 AS HUGEINT),
                       list_transform(list(v ORDER BY j ASC),
                                      x -> CAST(x AS HUGEINT))),
                     (h, x) -> (xor(h, x) * 1099511628211)
                               % 18446744073709551616) AS hu
-           FROM sig GROUP BY ord, j // $r))"""
+           FROM sig GROUP BY k, j // $r))"""
   }
+
+  /** `docs` + `src` CTEs keying the band chain by doc ord. */
+  private val docSrcCte: String =
+    """docs AS MATERIALIZED (
+         SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, text FROM documents),
+       src AS (SELECT ord AS k, text FROM docs)"""
 
   /** Candidate pairs on top of `bands` (MATERIALIZED: the recursive
     * replay references the conflict set every iteration).
     */
   private val lshPairsCte: String =
     """pairs AS MATERIALIZED (
-         SELECT DISTINCT x.ord AS a_ord, y.ord AS b_ord
+         SELECT DISTINCT x.k AS a_ord, y.k AS b_ord
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.bhash = y.bhash AND x.ord < y.ord)"""
+           ON x.band = y.band AND x.bhash = y.bhash AND x.k < y.k)"""
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
@@ -295,11 +300,13 @@ object TextQueries {
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "q_lsh_bands" ->
-      s"""WITH ${minhashBandsCte(MinHashF.optimalBands(0.9))}
-          SELECT d.doc_id, b.ord, b.band, b.bhash
-          FROM bands b JOIN docs d ON d.ord = b.ord""",
+      s"""WITH $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))}
+          SELECT d.doc_id, b.k AS ord, b.band, b.bhash
+          FROM bands b JOIN docs d ON d.ord = b.k""",
     "q_lsh_pairs" ->
-      s"""WITH ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+      s"""WITH $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))},
           $lshPairsCte
           SELECT a_ord, b_ord FROM pairs""",
     // First-wins replay as a sequential state machine: one recursion step
@@ -308,7 +315,8 @@ object TextQueries {
     // an already-kept doc — exactly LshDedup.selfDedup's insert/query
     // loop semantics.
     "q_lsh_dedup" ->
-      s"""WITH RECURSIVE ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+      s"""WITH RECURSIVE $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))},
           $lshPairsCte,
           conf AS MATERIALIZED (
             SELECT a_ord, b_ord FROM pairs
