@@ -130,9 +130,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
-      // queries persist intermediates for their own multi-consumer plans;
-      // drop them so cached blocks never skew later queries' timings
+      // queries persist/localCheckpoint intermediates for their own
+      // multi-consumer plans; drop them so blocks never skew later
+      // queries' timings. clearCache only covers cached Datasets —
+      // checkpoint blocks live in persistent RDDs and need the RDD-level
+      // unpersist (Dataset.unpersist is a no-op for them).
       sHi.catalog.clearCache()
+      sHi.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> secs
     }
     frontierRun(sHi, nRecords / 10, warm = false) // session warm-up

@@ -32,6 +32,9 @@ object QBench {
       val n  = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[qbench] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
       spark.catalog.clearCache()
+      // also free localCheckpoint blocks (not covered by clearCache)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -65,25 +65,55 @@ object Frontier {
     ranked.withColumn("not_before_epoch",
       t0Epoch + (col("wave") - 1).cast(LongType) * delaySeconds)
 
+  /** RFC 9309 path pattern → anchored Java regex: `*` matches any char
+    * run, a trailing `$` anchors the end; everything else is literal
+    * (a non-trailing `$` included). Without a trailing `$` the regex is
+    * only start-anchored — prefix-style matching.
+    */
+  def robotsRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    val endAnchor = pattern.endsWith("$")
+    val body = if (endAnchor) pattern.dropRight(1) else pattern
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.^$+?(){}[]|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endAnchor) sb.append('$')
+    sb.toString
+  }
+
+  private val robotsRegexUdf = udf(robotsRegex _)
+
   /** J8 robots gating: keep candidates not disallowed by the most
-    * specific (longest-prefix) matching rule for their host; hosts with
-    * no matching rule are allowed. The rules table is small relative to
-    * the frontier → broadcast join on host_key, prefix match, then a
-    * longest-prefix argmax per candidate.
+    * specific matching rule for their host (RFC 9309: longest pattern
+    * wins, `*`/`$` wildcards supported); hosts with no matching rule are
+    * allowed. The rules table is small relative to the frontier →
+    * patterns compile to regexes once on the (tiny) rules side, then a
+    * broadcast join on host_key, match, and a longest-pattern argmax per
+    * candidate. Plain prefix rules (no `*`/`$`) keep the codegen'd
+    * startsWith fast path.
     */
   def robotsGate(candidates: DataFrame, rules: DataFrame,
                  urlCol: String = "url",
                  urlPathCol: String = "path"): DataFrame = {
-    // Verdict per distinct (host_key, url): longest matching prefix wins;
-    // no matching rule -> allowed. Distinct first so the broadcast join
-    // and argmax run once per URL, not once per candidate row.
+    val compiled = rules
+      .withColumn("__wild",
+        col("path_prefix").contains("*") || col("path_prefix").endsWith("$"))
+      .withColumn("__rx",
+        when(col("__wild"), robotsRegexUdf(col("path_prefix"))))
+    // Verdict per distinct (host_key, url): longest matching pattern
+    // wins; no matching rule -> allowed. Distinct first so the broadcast
+    // join and argmax run once per URL, not once per candidate row.
     val verdicts = candidates
       .select(col("host_key"), col(urlCol), col(urlPathCol))
       .distinct()
-      .join(broadcast(rules), Seq("host_key"), "inner")
-      .filter(col(urlPathCol).startsWith(col("path_prefix")))
+      .join(broadcast(compiled), Seq("host_key"), "inner")
+      .filter(
+        when(col("__wild"), regexp_like(col(urlPathCol), col("__rx")))
+          .otherwise(col(urlPathCol).startsWith(col("path_prefix"))))
       .groupBy("host_key", urlCol)
-      // longest prefix wins; equal-length tie -> allow (robots RFC 9309 §2.2.2)
+      // longest pattern wins; equal-length tie -> allow (RFC 9309 §2.2.2)
       .agg(max_by(col("allow"), struct(length(col("path_prefix")), col("allow")))
         .as("__allowed"))
     candidates

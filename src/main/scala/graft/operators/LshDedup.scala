@@ -122,6 +122,18 @@ object LshDedup {
       iter += 1
     }
     sym.unpersist()
+    // Non-convergence would mean WRONG components -> wrong dedup
+    // survivors with no signal (the reference, single-process, cannot
+    // have this failure mode). Fail loudly instead of shipping them:
+    // with pointer jumping the iteration count is O(log diameter), so a
+    // graph that legitimately needs more than maxIter rounds is
+    // astronomically deep — treat hitting the cap as a bug, not a knob.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+        s"(label checksum still changing) — component labels would be " +
+        s"wrong; raise maxIter only if the band graph is legitimately " +
+        s"O(2^$maxIter) deep")
     labels
   }
 

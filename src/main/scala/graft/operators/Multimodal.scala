@@ -6,11 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata next to the interleaved span table
-  * (input_hint). The Spark-side shape — schema, partition-friendly batch
-  * processing, UDF signatures — is real and tested; the actual
-  * image/audio decode is STUBBED with a deterministic fake (the decode
-  * libraries are not present in this environment; swap `decodeStub` for a
-  * real decoder behind the same signature).
+  * (input_hint). Image decode, luminance features and resize are REAL
+  * (javax.imageio — PNG/JPEG/GIF/BMP ship in the JDK, no external
+  * library); audio/video decode remains a documented stub behind the
+  * same signature (no codec library in the JDK).
   */
 object Multimodal {
 
@@ -23,10 +22,137 @@ object Multimodal {
     StructField("duration_ms", LongType)
   ))
 
-  /** STUB decode: deterministic pseudo-features from the payload bytes
-    * (FNV over content, folded into `dim` floats). A real implementation
-    * decodes the image/audio and runs a feature extractor; the signature
-    * (binary -> array<float>) and the batched execution are the contract.
+  /** REAL image decode via javax.imageio: returns (width, height,
+    * 16-bin luminance histogram), or None when the payload is not a
+    * decodable image. Deterministic: integer luminance (r+g+b)/3 over
+    * getRGB (fast raster path for 8-bit gray), bin = lum >> 4.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val hist = new Array[Long](16)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { hist(raster.getSample(x, y, 0) >> 4) += 1; x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          hist(lum >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, hist))
+  }
+
+  /** Deterministic 8-bit gray PNG encoder (fixture/test side of the
+    * decode contract — PNG is lossless, so decode(encode(px)) == px).
+    */
+  def encodeGrayPng(width: Int, height: Int,
+                    pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL resize: decode, nearest-neighbor scale to fit maxDim (nearest
+    * is exactly reproducible — no interpolation rounding ambiguity),
+    * re-encode PNG. Returns null for non-image payloads (caller keeps
+    * the original).
+    */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val scale = maxDim.toDouble / math.max(w, h)
+    val ow = math.max(1, math.round(w * scale).toInt)
+    val oh = math.max(1, math.round(h * scale).toInt)
+    val out = new java.awt.image.BufferedImage(ow, oh, img.getType match {
+      case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
+      case t => t
+    })
+    // nearest-neighbor sampling by hand: no AWT rendering-hint variance.
+    // When the output carries the source's raster layout, copy samples
+    // band-by-band — getRGB/setRGB would round-trip gray pixels through
+    // sRGB gamma and corrupt them by ±1.
+    val sameLayout = out.getType == img.getType &&
+      out.getRaster.getNumBands == img.getRaster.getNumBands
+    val sr = img.getRaster
+    val or = out.getRaster
+    val nb = sr.getNumBands
+    var y = 0
+    while (y < oh) {
+      val sy = math.min(h - 1, (y.toLong * h / oh).toInt)
+      var x = 0
+      while (x < ow) {
+        val sx = math.min(w - 1, (x.toLong * w / ow).toInt)
+        if (sameLayout) {
+          var b = 0
+          while (b < nb) { or.setSample(x, y, b, sr.getSample(sx, sy, b)); b += 1 }
+        } else out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  val decodeImageUdf = udf((b: Array[Byte]) =>
+    decodeImage(b).map { case (w, h, hist) => (w, h, hist) })
+
+  val resizeImageUdf = udf((b: Array[Byte], maxDim: Int) =>
+    resizeImage(b, maxDim))
+
+  /** Real image feature extraction: (decoded_w, decoded_h, 16-bin
+    * luminance histogram) per row for decodable payloads; undecodable
+    * rows get nulls (callers filter or fall back to byteFeatures).
+    */
+  def imageFeatures(media: DataFrame, partitions: Int = 0): DataFrame = {
+    val repart = if (partitions > 0)
+      media.repartition(partitions, col("media_ref")) else media
+    repart
+      .withColumn("dec", decodeImageUdf(col("bytes")))
+      .withColumn("dec_width", col("dec._1"))
+      .withColumn("dec_height", col("dec._2"))
+      .withColumn("lum_hist", col("dec._3"))
+      .drop("dec")
+  }
+
+  /** STUB decode (audio/video path): deterministic pseudo-features from
+    * the payload bytes (FNV over content, folded into `dim` floats). The
+    * JDK has no audio/video codecs; the signature (binary ->
+    * array<float>) and the batched execution are the contract a real
+    * codec drops into.
     */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -87,8 +213,10 @@ object Multimodal {
     repart.withColumn("features", byteHistogramUdf(col("bytes"), lit(bins)))
   }
 
-  /** Synthetic thumbnail/resize stage (STUB): emits deterministic resized
-    * metadata; real implementation would transcode `bytes`.
+  /** Metadata-only resize planning (no payload touch): emits the target
+    * dimensions resizeImage would produce — useful to cost a transcode
+    * pass without decoding. The payload transcode itself is the REAL
+    * `resizeImage` above.
     */
   def resizeStub(media: DataFrame, maxDim: Int = 256): DataFrame =
     media

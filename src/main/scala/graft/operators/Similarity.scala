@@ -140,13 +140,14 @@ object Similarity {
                col("sh").bitwiseAND(lit(0xffffL << (16 * b))).as("bh"))): _*))
         .as("bb"))
       .select(col(idCol), col("sh"), col("bb.band"), col("bb.bh"))
-    val hammingUdf = udf(TextAnalysis.hamming64 _)
+    // Hamming via the built-in bit_count(xor) — keeps the verification
+    // join inside whole-stage codegen (no UDF in the physical plan).
     banded.alias("a")
       .join(banded.alias("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
-              hammingUdf(col("a.sh"), col("b.sh")).as("dist"))
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -104,11 +104,16 @@ object CrawlQueries {
         col("url"),
         regexp_extract(col("url"), "^https://[^/]*(/.*)$", 1).as("path"),
         col("offset"))
-      // disallow /p1* on every 5th host; allow-all override on /p19
-      val rules = (0 until 20).filter(_ % 5 == 0).flatMap { h =>
+      // prefix rules: disallow /p1* on every 5th host, /p19 override;
+      // RFC 9309 wildcard rules: every 4th host disallows paths ending
+      // in 7 ("/p*7$"), with a longer allow override for /p77
+      val rules = ((0 until 20).filter(_ % 5 == 0).flatMap { h =>
         Seq((s"h$h.example.com", "/p1", false),
             (s"h$h.example.com", "/p19", true))
-      }.toDF("host_key", "path_prefix", "allow")
+      } ++ (0 until 20).filter(_ % 4 == 0).flatMap { h =>
+        Seq((s"h$h.example.com", "/p*7$", false),
+            (s"h$h.example.com", "/p*77$", true))
+      }).toDF("host_key", "path_prefix", "allow")
       Frontier.robotsGate(cand, rules)
         .groupBy("host_key")
         .agg(count(lit(1)).as("n_allowed"),
@@ -173,14 +178,33 @@ object CrawlQueries {
                    url,
                    regexp_extract(url, '^https://[^/]*(/.*)$$', 1) AS path,
                    "offset"
-            FROM idx)
-          SELECT host_key, count(*) AS n_allowed,
-                 count(DISTINCT url) AS n_urls
-          FROM cand
-          WHERE NOT (
-            CAST(regexp_extract(host_key, '^h(\\d+)', 1) AS INT) % 5 = 0
-            AND path LIKE '/p1%' AND path NOT LIKE '/p19%')
-          GROUP BY host_key""",
+            FROM idx),
+          rules AS (
+            SELECT 'h' || h || '.example.com' AS host_key, pat, rx, allow
+            FROM (
+              SELECT unnest(range(20)) AS h) hosts,
+              (VALUES ('/p1',    '^/p1',      false, 5),
+                      ('/p19',   '^/p19',     true,  5),
+                      ('/p*7$$',  '^/p.*7$$',   false, 4),
+                      ('/p*77$$', '^/p.*77$$',  true,  4)) r(pat, rx, allow, m)
+            WHERE h % m = 0),
+          verdict AS (
+            SELECT host_key, url, allow
+            FROM (
+              SELECT c.host_key, c.url, r.allow,
+                     row_number() OVER (
+                       PARTITION BY c.host_key, c.url
+                       ORDER BY length(r.pat) DESC, r.allow DESC) AS rw
+              FROM (SELECT DISTINCT host_key, url, path FROM cand) c
+              JOIN rules r ON r.host_key = c.host_key
+                          AND regexp_matches(c.path, r.rx))
+            WHERE rw = 1)
+          SELECT c.host_key, count(*) AS n_allowed,
+                 count(DISTINCT c.url) AS n_urls
+          FROM cand c
+          LEFT JOIN verdict v ON v.host_key = c.host_key AND v.url = c.url
+          WHERE coalesce(v.allow, true)
+          GROUP BY c.host_key""",
     "q_politeness_rank" ->
       s"""WITH idx AS ($indexSql),
           cand AS (

@@ -114,6 +114,30 @@ object PipelineQueries {
                 col("cf"), col("final_class"))
     },
 
+    // REAL image decode end-to-end: deterministic 8-bit gray PNGs are
+    // encoded from a pixel formula (fixture side), then
+    // Multimodal.imageFeatures decodes them with javax.imageio and emits
+    // decoded dimensions + the luminance-histogram energy. PNG is
+    // lossless, so the oracle predicts the features straight from the
+    // pixel formula — any decode defect breaks the match.
+    "q_media_decode" -> { (s, dir) =>
+      val pngUdf = udf((ord: Long, w: Int, h: Int) =>
+        Multimodal.encodeGrayPng(w, h,
+          (x, y) => ((x * 31 + y * 17 + ord) % 256).toInt))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://img/"), col("doc_id")).as("media_ref"),
+        pngUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 9 + 8).cast("int"),
+               (col("doc_id").cast(LongType) % 7 + 8).cast("int"))
+          .as("bytes"))
+      Multimodal.imageFeatures(media).select(
+        col("media_ref"),
+        col("dec_width").cast(LongType).as("width"),
+        col("dec_height").cast(LongType).as("height"),
+        aggregate(col("lum_hist"), lit(0L),
+                  (acc, x) => acc + x * x).as("feat_sq"))
+    },
+
     // Multimodal plumbing: media bytes as a binary column with typed
     // metadata -> byte-histogram features (real, decode-free) -> feature
     // norm. The binary path is what's exercised; the oracle recomputes
@@ -293,6 +317,25 @@ object PipelineQueries {
                  CAST(sum(np_left + 1) AS BIGINT) AS n_spans
           FROM surv WHERE np_left > 0 GROUP BY domain"""
     },
+    "q_media_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),
+         dim AS (
+           SELECT doc_id, ord,
+                  ord % 9 + 8 AS w, ord % 7 + 8 AS h
+           FROM d),
+         px1 AS (
+           SELECT doc_id, ord, h, unnest(range(w)) AS x FROM dim),
+         px AS (
+           SELECT doc_id, (((x * 31 + y * 17 + ord) % 256) // 16) AS bin
+           FROM (SELECT doc_id, ord, x, unnest(range(h)) AS y FROM px1)),
+         g AS (SELECT doc_id, bin, count(*) AS n FROM px GROUP BY 1, 2),
+         f AS (SELECT doc_id, sum(n * n) AS fsq FROM g GROUP BY 1)
+         SELECT 'media://img/' || dim.doc_id AS media_ref,
+                CAST(dim.w AS BIGINT) AS width,
+                CAST(dim.h AS BIGINT) AS height,
+                CAST(f.fsq AS BIGINT) AS feat_sq
+         FROM dim JOIN f ON f.doc_id = dim.doc_id""",
     "q_media_features" ->
       """WITH c AS (
            SELECT doc_id,

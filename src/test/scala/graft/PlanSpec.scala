@@ -101,6 +101,17 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.UrlDedup.releaseOrderCache(cache)
   }
 
+  test("simhash verify join: exactly one UDF (the token loop), hamming " +
+       "is built-in bit_count") {
+    val p = finalPlan("q_simhash_neardup")
+    // the per-token simhash loop is a legitimate single-arg UDF (appears
+    // on both sides of the self-join); the Hamming distance must not be
+    // a second, two-arg one — bit_count(a ^ b) is codegen'd
+    assert(!"UDF\\([^()]*,".r.findFirstIn(p).isDefined,
+           s"two-arg UDF (hamming) found in plan:\n${p.take(1500)}")
+    assert(p.contains("bit_count"), "hamming must be the built-in bit_count")
+  }
+
   test("index filter chain is codegen'd column work (no UDF)") {
     import spark.implicits._
     val p0 = graft.fixtures.CrawlFixtures.Params(nRecords = 200)

@@ -73,6 +73,32 @@ class FrontierSpec extends AnyFunSuite {
     assert(got == Set("u2", "u3", "u4"))
   }
 
+  test("robotsRegex: RFC 9309 wildcard compile") {
+    assert(Frontier.robotsRegex("/a") == "^/a")
+    assert(Frontier.robotsRegex("/a*.php$") == "^/a.*\\.php$")
+    assert(Frontier.robotsRegex("/p*7$") == "^/p.*7$")
+    // non-trailing $ is literal
+    assert(Frontier.robotsRegex("/x$y") == "^/x\\$y")
+    assert("/account.php".matches(Frontier.robotsRegex("/a*.php$")))
+    assert(!"/account.php3".matches(Frontier.robotsRegex("/a*.php$")))
+  }
+
+  test("robotsGate: wildcard rules match, longest pattern wins") {
+    val cand = Seq(
+      ("h1", "u1", "/files/x.pdf"),     // disallowed by /files/*.pdf$
+      ("h1", "u2", "/files/ok.pdfx"),   // $ anchor -> no match, allowed
+      ("h1", "u3", "/files/keep.pdf"),  // longer allow override
+      ("h1", "u4", "/plain")            // no rule -> allowed
+    ).toDF("host_key", "url", "path")
+    val rules = Seq(
+      ("h1", "/files/*.pdf$", false),
+      ("h1", "/files/keep*.pdf$", true)
+    ).toDF("host_key", "path_prefix", "allow")
+    val got = Frontier.robotsGate(cand, rules)
+      .select("url").as[String].collect().toSet
+    assert(got == Set("u2", "u3", "u4"))
+  }
+
   test("SQL registry functions are callable from spark.sql") {
     graft.functions.Registry.register(spark)
     val r = spark.sql(

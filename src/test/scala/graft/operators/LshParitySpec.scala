@@ -100,4 +100,27 @@ class LshParitySpec extends AnyFunSuite {
     assert(comps(7L) == comps(8L))
     assert(comps(1L) != comps(7L))
   }
+
+  test("connected components: long chain (pointer-jump worst case) " +
+       "converges and labels correctly") {
+    // a 1500-node path is the worst case for min-label + pointer jumping
+    // (diameter 1500 -> needs ~log2 iterations); everything must land in
+    // one component labeled by the chain head
+    val n = 1500
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val comps = LshDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == n)
+    assert(comps.values.toSet == Set(0L), "single component labeled 0")
+  }
+
+  test("connected components: hitting maxIter without convergence fails " +
+       "loudly instead of shipping wrong labels") {
+    val edges = (0 until 200).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      LshDedup.connectedComponents(edges, maxIter = 1)
+    }
+  }
 }
