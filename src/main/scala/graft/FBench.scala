@@ -7,7 +7,10 @@ object FBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n    = sys.env.getOrElse("SPARK_GRAFT_N", "4000000").toLong
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=spark://host:7077 runs against a standalone
+    // cluster (multi-executor evidence); default stays local[cpus]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus.toString))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
@@ -31,6 +34,8 @@ object FBench {
     // job intervals: wall not covered by any running job = driver gap
     val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val gcMillis  = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufW     = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufR     = new java.util.concurrent.atomic.AtomicLong(0L)
     val nJobs     = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobSpans  = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
@@ -41,6 +46,8 @@ object FBench {
           if (e.taskMetrics != null) {
             taskNanos.addAndGet(e.taskMetrics.executorRunTime * 1000000L)
             gcMillis.addAndGet(e.taskMetrics.jvmGCTime)
+            shufW.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            shufR.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
           }
         }
         override def onJobStart(
@@ -54,10 +61,22 @@ object FBench {
           if (s != null) jobSpans.add((s.longValue(), e.time))
         }
       })
-    val t0 = System.nanoTime()
-    FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1"), table, politenessQuota = Int.MaxValue, dumpId = "1", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
-    FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in2"), table, politenessQuota = Int.MaxValue, dumpId = "2", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
-    val secs = (System.nanoTime() - t0) / 1e9
+    // trials loop (fresh snapshot table per trial): min filters the
+    // VM's steal-noise windows, which inflate single runs by 50%+
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "1").toInt
+    val secsPerTrial = (1 to trials).map { tr =>
+      val ttable =
+        if (tr == 1) table
+        else Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "fbt").toString
+      val t0 = System.nanoTime()
+      FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1"), ttable, politenessQuota = Int.MaxValue, dumpId = "1", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
+      FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in2"), ttable, politenessQuota = Int.MaxValue, dumpId = "2", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
+      val s = (System.nanoTime() - t0) / 1e9
+      if (tr != 1) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ttable))
+      println(f"[fbench-trial] $tr: $s%.2f s")
+      s
+    }
+    val secs = secsPerTrial.min
     val activeCores = taskNanos.get() / 1e9 / secs
     // merged job-interval coverage (ms) -> uncovered wall = driver gaps
     val spans = {
@@ -73,7 +92,9 @@ object FBench {
     }
     println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round} " +
       f"avg_active_cores=$activeCores%.1f gc_s=${gcMillis.get() / 1e3}%.1f " +
-      f"jobs=${nJobs.get()} job_covered_s=$covered%.1f")
+      f"jobs=${nJobs.get()} job_covered_s=$covered%.1f " +
+      f"shuffle_w_mb=${shufW.get() / 1e6}%.0f shuffle_r_mb=${shufR.get() / 1e6}%.0f " +
+      f"shuffle_w_b_per_url=${shufW.get().toDouble / n}%.1f")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtable))

@@ -46,6 +46,21 @@ object FrontierJob {
     // the working set through the memory subsystem (cache write+read) —
     // measured 8->32 cores on this class of hardware. Turn on when the
     // upstream scan is genuinely expensive (e.g. remote object store).
+    //
+    // Two shuffle byte-diets were measured here (r3, min-of-3 A/B at 8M
+    // URLs, local[32]) and REJECTED — recorded so they aren't re-tried:
+    // (a) dictionary-encoding warc/file to 8-byte ids through the
+    //     shuffles: -35% shuffle bytes, but the dict needs its own
+    //     from_json pass per batch plus a broadcast string-join on the
+    //     hot path — wall +60%, task GC x3. Revisit only on a
+    //     network-shuffle cluster with the dict persisted across batches
+    //     in snapshot state (the warc set is append-only per dump).
+    // (b) skipping the politeness window when quota is unlimited:
+    //     -25% shuffle bytes (one full exchange removed), yet wall +25%
+    //     reproducibly — the host-window stage boundary evidently leaves
+    //     the range-sort sampling a cheaper child to re-read than the
+    //     url-window stage does. Lesson: on this engine, bytes-moved is
+    //     not the cost model; stage-boundary placement is.
 
     // the seen set is append-only: each snapshot's dataPath holds only
     // that batch's winners; the reader unions the manifest chain
