@@ -20,11 +20,12 @@ import scala.collection.mutable
 object Boilerplate {
 
   // justext default parameters
-  val LengthLow      = 70
-  val LengthHigh     = 200
-  val StopwordsLow   = 0.30
-  val StopwordsHigh  = 0.32
-  val MaxLinkDensity = 0.2
+  val LengthLow          = 70
+  val LengthHigh         = 200
+  val StopwordsLow       = 0.30
+  val StopwordsHigh      = 0.32
+  val MaxLinkDensity     = 0.2
+  val MaxHeadingDistance = 200
 
   /** Deterministic built-in stoplist (English core). The reference pulls
     * justext.get_stoplist(language); hash-identity of the list is not
@@ -46,10 +47,12 @@ object Boilerplate {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ", "copy" -> "©")
 
-  /** One parsed block: whitespace-collapsed text + the number of its
-    * characters that came from inside <a> elements.
+  /** One parsed block: whitespace-collapsed text, the number of its
+    * characters that came from inside <a> elements, and whether any of
+    * its text sat inside an h1–h6 element (justext's `\bh\d\b` dom-path
+    * test — drives the heading promotion passes).
     */
-  case class Block(text: String, link_chars: Int)
+  case class Block(text: String, link_chars: Int, heading: Boolean = false)
 
   private def collapse(s: String): String =
     s.replaceAll("\\s+", " ").trim
@@ -65,12 +68,14 @@ object Boilerplate {
     val text = new mutable.StringBuilder
     val link = new mutable.StringBuilder
     var aDepth   = 0
+    var hDepth   = 0
+    var inHeading = false
     var skipTag: String = null
     def flush(): Unit = {
       val t = collapse(text.toString)
       val l = collapse(link.toString).length
-      if (t.nonEmpty) out += Block(t, math.min(l, t.length))
-      text.clear(); link.clear()
+      if (t.nonEmpty) out += Block(t, math.min(l, t.length), inHeading)
+      text.clear(); link.clear(); inHeading = false
     }
     def decode(s: String): String = {
       if (!s.contains('&')) s
@@ -102,6 +107,10 @@ object Boilerplate {
             if (isEnd) aDepth = math.max(0, aDepth - 1) else aDepth += 1
           } else if (BlockTags.contains(name)) {
             flush()
+            if (name.length == 2 && name.charAt(0) == 'h' &&
+                name.charAt(1) >= '1' && name.charAt(1) <= '6') {
+              if (isEnd) hDepth = math.max(0, hDepth - 1) else hDepth += 1
+            }
           } else {
             // inline tag: acts as whitespace-free separator; append a
             // space so adjacent runs don't fuse into one token
@@ -116,6 +125,7 @@ object Boilerplate {
           val run = decode(html.substring(i, end))
           text.append(run)
           if (aDepth > 0) link.append(run)
+          if (hDepth > 0 && run.trim.nonEmpty) inHeading = true
         }
         i = end
       }
@@ -149,37 +159,84 @@ object Boilerplate {
       .otherwise("bad")
   }
 
-  /** Context-sensitive revision over blocks ordered by (docCol, idxCol):
-    * short/neargood blocks take their final class from the nearest
-    * classified neighbours (justext revise_paragraph_classification —
-    * neighbours read the context-free classes, boundaries count as bad).
-    * Input needs a `cf` class column; adds `final_class`.
+  /** Context-sensitive revision over blocks ordered by (docCol, idxCol) —
+    * justext's `revise_paragraph_classification`, exactly, as five pure
+    * window phases. Input needs `cf`, `text`, `heading` columns; adds
+    * `final_class`.
+    *
+    * Phase map (sequential loops → windows):
+    *  p2  good headings: a SHORT heading becomes neargood when a
+    *      (context-free) good block follows within MaxHeadingDistance
+    *      summed text chars. Closed form with S = running length sum:
+    *      ∃ good j>i with S(j-1) − S(i) ≤ d  ⇔  min over following goods
+    *      of S(j-1), minus S(i), ≤ d.
+    *  p3  shorts: nearest prev/next good/bad (neargood skipped) over the
+    *      p2 classes; justext collects all updates before applying, so
+    *      the snapshot windows are exact.
+    *  p4  neargoods: justext mutates in place scanning ascending, but by
+    *      then every earlier block is resolved good/bad and every later
+    *      one is p3 — so the sequential loop collapses to immediate
+    *      lag/lead over p3: a neargood dies only when lag(p3) and
+    *      lead(p3) are both literally "bad" (an adjacent neargood or
+    *      good on either side rescues it).
+    *  p5  more good headings: a heading left bad (but not context-free
+    *      bad) turns good when a p4-good follows within distance — same
+    *      closed form as p2 over p4 classes. Promotions at earlier
+    *      indices can't appear in a later heading's forward scan, so
+    *      this is also snapshot-safe.
     */
   def revise(blocks: DataFrame, docCol: String, idxCol: String): DataFrame = {
-    val w = Window.partitionBy(docCol).orderBy(col(idxCol).asc)
-    val gb  = when(col("cf").isin("good", "bad"), col("cf"))
-    val gnb = when(col("cf").isin("good", "bad", "neargood"), col("cf"))
-    val prevGB  = coalesce(last(gb, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit("bad"))
-    val nextGB  = coalesce(first(gb, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing)), lit("bad"))
-    val prevGNB = coalesce(last(gnb, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit("bad"))
-    val nextGNB = coalesce(first(gnb, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing)), lit("bad"))
-    val finalClass =
-      when(col("cf") === "good", "good")
-        .when(col("cf") === "bad", "bad")
-        .when(col("cf") === "neargood",
-              when(prevGB === "bad" && nextGB === "bad", "bad")
-                .otherwise("good"))
-        .otherwise( // short
-          when(prevGB === "good" && nextGB === "good", "good")
-            .when(prevGB === "bad" && nextGB === "bad", "bad")
-            .when((prevGB === "bad" && prevGNB === "neargood") ||
-                    (nextGB === "bad" && nextGNB === "neargood"), "good")
-            .otherwise("bad"))
-    blocks.withColumn("final_class", finalClass)
+    val w     = Window.partitionBy(docCol).orderBy(col(idxCol).asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wFol  = w.rowsBetween(1, Window.unboundedFollowing)
+    val len   = length(col("text"))
+    val s     = sum(len).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+    // p2: good headings
+    val goodS2 = when(col("cf") === "good", s - len)
+    val m2     = min(goodS2).over(wFol)
+    val p2 = when(col("heading") && col("cf") === "short" &&
+                    (m2 - s) <= MaxHeadingDistance, lit("neargood"))
+      .otherwise(col("cf"))
+
+    val withP2 = blocks.withColumn("__p2", p2)
+
+    // p3: shorts against p2 snapshot
+    val gb  = when(col("__p2").isin("good", "bad"), col("__p2"))
+    val gnb = when(col("__p2").isin("good", "bad", "neargood"), col("__p2"))
+    val prevGB  = coalesce(last(gb, ignoreNulls = true).over(wPrev), lit("bad"))
+    val nextGB  = coalesce(first(gb, ignoreNulls = true).over(wFol), lit("bad"))
+    val prevGNB = coalesce(last(gnb, ignoreNulls = true).over(wPrev), lit("bad"))
+    val nextGNB = coalesce(first(gnb, ignoreNulls = true).over(wFol), lit("bad"))
+    val p3 = when(col("__p2") === "short",
+        when(prevGB === "good" && nextGB === "good", "good")
+          .when(prevGB === "bad" && nextGB === "bad", "bad")
+          .when((prevGB === "bad" && prevGNB === "neargood") ||
+                  (nextGB === "bad" && nextGNB === "neargood"), "good")
+          .otherwise("bad"))
+      .otherwise(col("__p2"))
+
+    val withP3 = withP2.withColumn("__p3", p3)
+
+    // p4: neargoods via immediate lag/lead over p3
+    val p4 = when(col("__p3") === "neargood",
+        when(coalesce(lag(col("__p3"), 1).over(w), lit("bad")) === "bad" &&
+               coalesce(lead(col("__p3"), 1).over(w), lit("bad")) === "bad",
+             "bad").otherwise("good"))
+      .otherwise(col("__p3"))
+
+    val withP4 = withP3.withColumn("__p4", p4)
+
+    // p5: more good headings over p4
+    val goodS4 = when(col("__p4") === "good", s - len)
+    val m4     = min(goodS4).over(wFol)
+    val finalClass = when(col("heading") && col("__p4") === "bad" &&
+                            col("cf") =!= "bad" &&
+                            (m4 - s) <= MaxHeadingDistance, lit("good"))
+      .otherwise(col("__p4"))
+
+    withP4.withColumn("final_class", finalClass)
+      .drop("__p2", "__p3", "__p4")
   }
 
   /** End-to-end: html column -> exploded blocks with final classes.
@@ -190,7 +247,8 @@ object Boilerplate {
       .select(col(docCol),
               posexplode(parseBlocksUdf(col(htmlCol))).as(Seq("p_idx", "b")))
       .select(col(docCol), col("p_idx"),
-              col("b.text").as("text"), col("b.link_chars").as("link_chars"))
+              col("b.text").as("text"), col("b.link_chars").as("link_chars"),
+              col("b.heading").as("heading"))
       .withColumn("cf", contextFreeClass(col("text"), col("link_chars")))
     revise(blocks, docCol, "p_idx")
   }
@@ -227,44 +285,86 @@ object Boilerplate {
     else "bad"
   }
 
-  /** Sequential revise — same neighbour rules as `revise`, over one
-    * document's blocks in order. Returns final classes.
+  /** Sequential revise — the literal justext
+    * `revise_paragraph_classification` loops (incl. both heading
+    * passes), over one document's blocks in order. The no-args-beyond-cf
+    * overload treats every block as a non-heading (phases 2/5 no-op).
+    * The column `revise` above is the window re-expression of exactly
+    * this; BoilerplateSpec cross-checks them.
     */
-  def reviseLocal(cf: IndexedSeq[String]): IndexedSeq[String] = {
-    val n = cf.length
+  def reviseLocal(cf: IndexedSeq[String],
+                  headings: IndexedSeq[Boolean] = IndexedSeq.empty,
+                  lens: IndexedSeq[Int] = IndexedSeq.empty,
+                  maxHeadingDistance: Int = MaxHeadingDistance): IndexedSeq[String] = {
+    val n   = cf.length
+    val cls = cf.toArray
+    val hd  = if (headings.isEmpty) Array.fill(n)(false) else headings.toArray
+    val ln  = if (lens.isEmpty) Array.fill(n)(0) else lens.toArray
+    // good headings
+    var i = 0
+    while (i < n) {
+      if (hd(i) && cls(i) == "short") {
+        var j = i + 1; var dist = 0; var done = false
+        while (!done && j < n && dist <= maxHeadingDistance) {
+          if (cls(j) == "good") { cls(i) = "neargood"; done = true }
+          dist += ln(j); j += 1
+        }
+      }
+      i += 1
+    }
     def neigh(i: Int, inc: Int, ignoreNeargood: Boolean): String = {
       var j = i + inc
       while (j >= 0 && j < n) {
-        val c = cf(j)
+        val c = cls(j)
         if (c == "good" || c == "bad") return c
         if (c == "neargood" && !ignoreNeargood) return c
         j += inc
       }
       "bad"
     }
-    (0 until n).map { i =>
-      cf(i) match {
-        case "good" => "good"
-        case "bad"  => "bad"
-        case "neargood" =>
-          if (neigh(i, -1, true) == "bad" && neigh(i, 1, true) == "bad") "bad"
-          else "good"
-        case _ => // short
-          val p = neigh(i, -1, true); val x = neigh(i, 1, true)
+    // classify short (snapshot: collect, then apply)
+    val shortUpdates = (0 until n).collect {
+      case i if cls(i) == "short" =>
+        val p = neigh(i, -1, true); val x = neigh(i, 1, true)
+        i -> (
           if (p == "good" && x == "good") "good"
           else if (p == "bad" && x == "bad") "bad"
           else if ((p == "bad" && neigh(i, -1, false) == "neargood") ||
                    (x == "bad" && neigh(i, 1, false) == "neargood")) "good"
-          else "bad"
-      }
+          else "bad")
     }
+    shortUpdates.foreach { case (i, c) => cls(i) = c }
+    // revise neargood (in place, ascending — justext order)
+    i = 0
+    while (i < n) {
+      if (cls(i) == "neargood") {
+        cls(i) =
+          if (neigh(i, -1, false) == "bad" && neigh(i, 1, false) == "bad") "bad"
+          else "good"
+      }
+      i += 1
+    }
+    // more good headings
+    i = 0
+    while (i < n) {
+      if (hd(i) && cls(i) == "bad" && cf(i) != "bad") {
+        var j = i + 1; var dist = 0; var done = false
+        while (!done && j < n && dist <= maxHeadingDistance) {
+          if (cls(j) == "good") { cls(i) = "good"; done = true }
+          dist += ln(j); j += 1
+        }
+      }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cls)
   }
 
   /** html -> kept (good) paragraph texts, fully local per document. */
   def extractLocal(html: String): Seq[String] = {
     val blocks = parseBlocks(html)
-    val cf = blocks.map(b => contextFreeClassLocal(b.text, b.link_chars))
-    val fin = reviseLocal(cf)
+    val cf  = blocks.map(b => contextFreeClassLocal(b.text, b.link_chars))
+    val fin = reviseLocal(cf, blocks.map(_.heading),
+                          blocks.map(_.text.length))
     blocks.zip(fin).collect { case (b, "good") => b.text }
   }
 

@@ -112,15 +112,51 @@ object Mimes {
     else if (fullMime != null && fullMime.contains("html")) "html"
     else null
 
+  private val CharsetRe = "(?i)charset=\"?([\\w.:-]+)".r
+
+  /** Decode a text payload: honor the HTTP Content-Type charset when one
+    * is present (WarcGzip surfaces the header); otherwise probe strict
+    * UTF-8 and fall back to ISO-8859-1 — a lossless byte↔char round
+    * trip, so Latin-1/Windows-1252 bodies (common in Common Crawl) don't
+    * get replacement-character corruption. This mirrors the reference's
+    * path through BS4's charset handling (mime.py), where sniffing is
+    * byte-based but decoding is charset-aware.
+    */
+  def decodeText(bytes: Array[Byte], contentType: String = null): String = {
+    val fromHeader = Option(contentType)
+      .flatMap(CharsetRe.findFirstMatchIn(_))
+      .map(_.group(1))
+      .flatMap { n =>
+        try Some(java.nio.charset.Charset.forName(n))
+        catch { case _: Exception => None }
+      }
+    fromHeader match {
+      case Some(cs) => new String(bytes, cs)
+      case None =>
+        try {
+          java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            .decode(java.nio.ByteBuffer.wrap(bytes))
+            .toString
+        } catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+    }
+  }
+
   /** F19 content normalization (mime.py:41–70 semantics, sans BS4
     * re-serialization): txt/html content is guaranteed the html/body
     * boilerplate — fragments get wrapped; other types return null.
+    * `contentType` (the HTTP header, possibly with a charset parameter)
+    * steers the decode; see decodeText.
     */
-  def normalizeContent(bytes: Array[Byte]): String = {
+  def normalizeContent(bytes: Array[Byte], contentType: String): String = {
     simplify(sniff(bytes)) match {
       case null => null
       case _ =>
-        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val s = decodeText(bytes, contentType)
         val l = s.toLowerCase
         if (l.contains("<body")) s
         else if (l.contains("<html"))
@@ -129,9 +165,16 @@ object Mimes {
     }
   }
 
+  def normalizeContent(bytes: Array[Byte]): String =
+    normalizeContent(bytes, null)
+
   val sniffUdf            = org.apache.spark.sql.functions.udf(sniff _)
   val simplifyUdf         = org.apache.spark.sql.functions.udf(simplify _)
-  val normalizeContentUdf = org.apache.spark.sql.functions.udf(normalizeContent _)
+  val normalizeContentUdf =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) => normalizeContent(b))
+  val normalizeContentCtUdf =
+    org.apache.spark.sql.functions.udf(
+      (b: Array[Byte], ct: String) => normalizeContent(b, ct))
 
   /** Column form — pure `functions._` chain, stays in codegen. */
   def normalizeCol(mime: Column): Column = {

@@ -209,18 +209,22 @@ object FrequentParagraphs {
     def freqBandRows(f: DataFrame) = f.select($"domain", $"pdata_id",
         posexplode($"bands").as(Seq("band", "bhash")))
 
-    // old frequents: any collision -> drop all occurrences
+    // old frequents: any collision -> drop all occurrences. When there
+    // are none (first run), skip the anti-join and union stages entirely
+    // instead of scheduling them against an empty frame.
     val oldHits = oldFrequents.map { of =>
       pBandRows.join(freqBandRows(of).drop("pdata_id"),
                      Seq("domain", "band", "bhash"), "left_semi")
         .select($"domain", $"ord", $"p_id").distinct()
-    }.getOrElse(spark.emptyDataset[(String, Long, Long)]
-      .toDF("domain", "ord", "p_id"))
+    }
 
     // new frequents: smallest matching pdata_id per paragraph, old hits
     // excluded (the reference filters them out before matching)
-    val newHits = pBandRows
-      .join(oldHits, Seq("domain", "ord", "p_id"), "left_anti")
+    val newBase = oldHits match {
+      case Some(oh) => pBandRows.join(oh, Seq("domain", "ord", "p_id"), "left_anti")
+      case None     => pBandRows
+    }
+    val newHits = newBase
       .join(freqBandRows(frequents), Seq("domain", "band", "bhash"))
       .groupBy("domain", "ord", "p_id")
       .agg(min("pdata_id").as("freq_id"))
@@ -235,7 +239,8 @@ object FrequentParagraphs {
       .join(ranked.filter($"rank" >= minFreq), Seq("domain", "ord", "freq_id"))
       .select($"domain", $"ord", $"p_id")
 
-    val dropAll = dropNew.unionByName(oldHits).distinct()
+    val dropAll = oldHits.fold(dropNew)(oh => dropNew.unionByName(oh))
+      .distinct()
       .groupBy("domain", "ord")
       .agg(collect_set($"p_id").as("drop_pids"))
 

@@ -105,7 +105,8 @@ object PipelineQueries {
       val html = table(s, dir, "documents").select(
         col("doc_id"), col("source"),
         concat(
-          lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About links navigation</a></div><p>"),
+          lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About links navigation</a></div>"),
+          lit("<h2>Section about "), col("source"), lit("</h2><p>"),
           call_function("replace", col("text"), lit(" slow "), lit("</p><p>")),
           lit("</p><p>© 2024 footer for "), col("source"), lit("</p>")
         ).as("chunk_body"))
@@ -347,6 +348,9 @@ object PipelineQueries {
                 CAST(coalesce(sum(n * n), 0) AS BIGINT) AS feat_sq
          FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
          GROUP BY 1""",
+    // The full justext revise_paragraph_classification as SQL windows:
+    // heading promotion (p2), short snapshot phase (p3), the neargood
+    // in-place loop collapsed to lag/lead (p4), more-good-headings (p5).
     "q_boilerplate" ->
       s"""WITH s AS (
             SELECT doc_id, source,
@@ -357,25 +361,30 @@ object PipelineQueries {
             FROM documents),
           blocks AS (
             SELECT doc_id, CAST(0 AS BIGINT) AS p_idx,
-                   'Home About links navigation' AS text, 26 AS link_chars
+                   'Home About links navigation' AS text, 26 AS link_chars,
+                   false AS heading
             FROM s
             UNION ALL
-            SELECT doc_id, CAST(generate_subscripts(paras, 1) AS BIGINT),
-                   unnest(paras), 0
+            SELECT doc_id, CAST(1 AS BIGINT),
+                   'Section about ' || source, 0, true
             FROM s
             UNION ALL
-            SELECT doc_id, CAST(len(paras) + 1 AS BIGINT),
-                   '© 2024 footer for ' || source, 0
+            SELECT doc_id, CAST(generate_subscripts(paras, 1) + 1 AS BIGINT),
+                   unnest(paras), 0, false
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(len(paras) + 2 AS BIGINT),
+                   '© 2024 footer for ' || source, 0, false
             FROM s),
           feat AS (
-            SELECT doc_id, p_idx, text, link_chars,
+            SELECT doc_id, p_idx, text, link_chars, heading,
                    length(text) AS len,
                    len(string_split_regex(lower(text), '\\s+')) AS nw,
                    len(list_filter(string_split_regex(lower(text), '\\s+'),
                                    w -> list_contains($stopListSql, w))) AS ns
             FROM blocks),
           cf AS (
-            SELECT doc_id, p_idx,
+            SELECT doc_id, p_idx, heading, len,
                    CASE WHEN link_chars * 1.0 / len > 0.2 THEN 'bad'
                         WHEN contains(text, '©') THEN 'bad'
                         WHEN len < 70 THEN
@@ -385,40 +394,75 @@ object PipelineQueries {
                         WHEN ns * 1.0 / nw >= 0.30 THEN 'neargood'
                         ELSE 'bad' END AS cf
             FROM feat),
-          rev AS (
-            SELECT doc_id, p_idx, cf,
-                   coalesce(last_value(CASE WHEN cf IN ('good','bad')
-                                            THEN cf END IGNORE NULLS)
-                            OVER w_prec, 'bad') AS prev_gb,
-                   coalesce(first_value(CASE WHEN cf IN ('good','bad')
-                                             THEN cf END IGNORE NULLS)
-                            OVER w_fol, 'bad') AS next_gb,
-                   coalesce(last_value(CASE WHEN cf IN ('good','bad','neargood')
-                                            THEN cf END IGNORE NULLS)
-                            OVER w_prec, 'bad') AS prev_gnb,
-                   coalesce(first_value(CASE WHEN cf IN ('good','bad','neargood')
-                                             THEN cf END IGNORE NULLS)
-                            OVER w_fol, 'bad') AS next_gnb
-            FROM cf
-            WINDOW w_prec AS (PARTITION BY doc_id ORDER BY p_idx
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   w_fol AS (PARTITION BY doc_id ORDER BY p_idx
-                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          ph2 AS (
+            SELECT doc_id, p_idx, heading, len, cf, cum,
+                   CASE WHEN heading AND cf = 'short'
+                             AND (m2 - cum) <= 200
+                        THEN 'neargood' ELSE cf END AS p2
+            FROM (
+              SELECT *,
+                     min(CASE WHEN cf = 'good'
+                              THEN cum - len END) OVER w_fol AS m2
+              FROM (
+                SELECT *, sum(len) OVER (PARTITION BY doc_id ORDER BY p_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+                FROM cf)
+              WINDOW w_fol AS (PARTITION BY doc_id ORDER BY p_idx
+                               ROWS BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING))),
+          ph3 AS (
+            SELECT doc_id, p_idx, heading, len, cf, cum,
+                   CASE WHEN p2 = 'short' THEN
+                     CASE WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+                          WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+                          WHEN (prev_gb = 'bad' AND prev_gnb = 'neargood')
+                            OR (next_gb = 'bad' AND next_gnb = 'neargood')
+                          THEN 'good'
+                          ELSE 'bad' END
+                   ELSE p2 END AS p3
+            FROM (
+              SELECT *,
+                     coalesce(last_value(CASE WHEN p2 IN ('good','bad')
+                                              THEN p2 END IGNORE NULLS)
+                              OVER w_prec, 'bad') AS prev_gb,
+                     coalesce(first_value(CASE WHEN p2 IN ('good','bad')
+                                               THEN p2 END IGNORE NULLS)
+                              OVER w_fol, 'bad') AS next_gb,
+                     coalesce(last_value(CASE WHEN p2 IN ('good','bad','neargood')
+                                              THEN p2 END IGNORE NULLS)
+                              OVER w_prec, 'bad') AS prev_gnb,
+                     coalesce(first_value(CASE WHEN p2 IN ('good','bad','neargood')
+                                               THEN p2 END IGNORE NULLS)
+                              OVER w_fol, 'bad') AS next_gnb
+              FROM ph2
+              WINDOW w_prec AS (PARTITION BY doc_id ORDER BY p_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                     w_fol AS (PARTITION BY doc_id ORDER BY p_idx
+                               ROWS BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING))),
+          ph4 AS (
+            SELECT doc_id, p_idx, heading, len, cf, cum,
+                   CASE WHEN p3 = 'neargood' THEN
+                     CASE WHEN coalesce(lag(p3) OVER w, 'bad') = 'bad'
+                           AND coalesce(lead(p3) OVER w, 'bad') = 'bad'
+                          THEN 'bad' ELSE 'good' END
+                   ELSE p3 END AS p4
+            FROM ph3
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p_idx))
           SELECT doc_id, p_idx, cf,
-                 CASE WHEN cf = 'good' THEN 'good'
-                      WHEN cf = 'bad' THEN 'bad'
-                      WHEN cf = 'neargood' THEN
-                        CASE WHEN prev_gb = 'bad' AND next_gb = 'bad'
-                             THEN 'bad' ELSE 'good' END
-                      ELSE
-                        CASE WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
-                             WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
-                             WHEN (prev_gb = 'bad' AND prev_gnb = 'neargood')
-                               OR (next_gb = 'bad' AND next_gnb = 'neargood')
-                             THEN 'good'
-                             ELSE 'bad' END
-                 END AS final_class
-          FROM rev""",
+                 CASE WHEN heading AND p4 = 'bad' AND cf <> 'bad'
+                           AND (m4 - cum) <= 200
+                      THEN 'good' ELSE p4 END AS final_class
+          FROM (
+            SELECT *,
+                   min(CASE WHEN p4 = 'good' THEN cum - len END) OVER w_fol
+                     AS m4
+            FROM ph4
+            WINDOW w_fol AS (PARTITION BY doc_id ORDER BY p_idx
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING))""",
     "q_spanize_wc" ->
       """WITH s AS (
            SELECT doc_id,

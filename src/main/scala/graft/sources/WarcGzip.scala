@@ -161,11 +161,17 @@ object WarcGzip {
   val warcResponseUdf = udf((b: Array[Byte]) => {
     val r = parseWarcRecord(b)
     if (r == null) null
-    else (r.warcHeaders.getOrElse("WARC-Target-URI", null),
-          r.httpStatus,
-          r.httpHeaders.find(_._1.equalsIgnoreCase("Content-Type"))
-            .map(_._2).orNull,
-          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+    else {
+      val contentType = r.httpHeaders
+        .find(_._1.equalsIgnoreCase("Content-Type")).map(_._2).orNull
+      (r.warcHeaders.getOrElse("WARC-Target-URI", null),
+       r.httpStatus,
+       contentType,
+       // charset-aware: header charset wins, else strict-UTF-8 probe
+       // with lossless Latin-1 fallback (mime.py goes through BS4's
+       // charset handling; hard-coded UTF-8 corrupted Latin-1 bodies)
+       graft.functions.Mimes.decodeText(r.payload, contentType))
+    }
   })
 
   /** Distributed ranged decode: rows of (file bytes, offset, length) →

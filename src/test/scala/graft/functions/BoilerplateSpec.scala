@@ -84,6 +84,52 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(dfOut == local)
   }
 
+  test("headings: short heading before good content is kept " +
+       "(justext good-headings pass)") {
+    val html = s"<h2>a section heading</h2><p>$goodText</p>"
+    val blocks = Boilerplate.parseBlocks(html)
+    assert(blocks.map(_.heading) == Vector(true, false))
+    // phase 2: short heading with a good block 0 chars later -> neargood;
+    // phase 4: lead(p3) = good -> good
+    assert(Boilerplate.extractLocal(html) ==
+      Seq("a section heading", goodText))
+    // same heading with no good content stays out
+    assert(Boilerplate.extractLocal(
+      "<h2>a section heading</h2><p>x 1 2</p>").isEmpty)
+    // heading far (> 200 chars of bad blocks) from the good block: the
+    // distance budget is exceeded -> not promoted
+    val far = "z9 " * 100 // bad filler, 300 chars
+    assert(Boilerplate.extractLocal(
+      s"<h2>a section heading</h2><p>$far</p><p>$goodText</p>") ==
+      Seq(goodText))
+  }
+
+  test("headings: DF classify path agrees with the literal local loops " +
+       "on heading-bearing docs") {
+    import spark.implicits._
+    val htmls = Seq(
+      s"<h2>a section heading</h2><p>$goodText</p>",
+      s"<h2>a section heading</h2><p>x 1 2</p>",
+      s"<h2>heading</h2><p>${"z9 " * 100}</p><p>$goodText</p>",
+      s"<p>$goodText</p><h3>trailing heading</h3>",
+      s"<h1>one</h1><h2>two</h2><p>$goodText</p>"
+    ).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = htmls.toDF("doc_id", "html")
+    val dfOut = Boilerplate.classify(df, "html", "doc_id")
+      .select("doc_id", "p_idx", "final_class")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val local = htmls.flatMap { case (id, h) =>
+      val blocks = Boilerplate.parseBlocks(h)
+      val fin = Boilerplate.reviseLocal(
+        blocks.map(b => Boilerplate.contextFreeClassLocal(b.text, b.link_chars)),
+        blocks.map(_.heading), blocks.map(_.text.length))
+      fin.zipWithIndex.map { case (c, i) => (id, i, c) }
+    }.toSet
+    assert(dfOut == local)
+  }
+
   test("spanize justext mode drops nav/footer, keeps content spans") {
     import spark.implicits._
     val df = Seq((1L,

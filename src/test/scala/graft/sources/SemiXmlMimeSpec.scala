@@ -105,4 +105,23 @@ class SemiXmlMimeSpec extends AnyFunSuite {
     assert(n(full) == full)
     assert(Mimes.normalizeContent(Array(0x89.toByte, 'P', 'N', 'G')) == null)
   }
+
+  test("content decode honors Content-Type charset, falls back losslessly") {
+    val latin1 = "café naïve résumé"
+    val bytes  = latin1.getBytes("ISO-8859-1")
+    // no header: strict UTF-8 probe fails on the 0xE9 bytes -> Latin-1
+    // fallback reproduces the text (no U+FFFD corruption)
+    assert(Mimes.decodeText(bytes) == latin1)
+    // explicit header charset wins
+    assert(Mimes.decodeText(bytes, "text/html; charset=ISO-8859-1") == latin1)
+    assert(Mimes.decodeText(latin1.getBytes("UTF-8"),
+                            "text/html; charset=utf-8") == latin1)
+    // unknown charset name degrades to the probe, not a crash
+    assert(Mimes.decodeText(bytes, "text/html; charset=bogus-9") == latin1)
+    // valid UTF-8 without header decodes as UTF-8
+    assert(Mimes.decodeText(latin1.getBytes("UTF-8")) == latin1)
+    // end-to-end: normalization wraps without corrupting accents
+    assert(Mimes.normalizeContent(bytes, "text/plain; charset=iso-8859-1")
+      == s"<html><body>$latin1</body></html>")
+  }
 }
