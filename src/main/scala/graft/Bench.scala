@@ -101,10 +101,22 @@ object Bench {
   private def minhashRun(spark: SparkSession, nDocs: Long): Double = {
     import spark.implicits._
     val p = DocFixtures.Params(nDocs = nDocs)
+    // 16 docs per row: keeps the task CPU-dense now that the Mersenne-31
+    // permute is ~4x cheaper — per-row Dataset overhead would otherwise
+    // grow into the measurement and the control would stop isolating
+    // compute scaling
+    val chunk = 16L
     time {
-      spark.range(nDocs).map { i =>
-        val text = DocFixtures.textOf(DocFixtures.docOf(i, p))
-        MinHashF.signature(text)(0) & 0xffffL // bounded: ANSI sum-safe
+      spark.range(nDocs / chunk).map { c =>
+        var acc = 0L
+        var i = c * chunk
+        val end = i + chunk
+        while (i < end) {
+          val text = DocFixtures.textOf(DocFixtures.docOf(i, p))
+          acc += MinHashF.signature(text)(0) & 0xffffL // bounded: ANSI sum-safe
+          i += 1
+        }
+        acc
       }.agg(org.apache.spark.sql.functions.sum("value")).head()
     }
   }
@@ -119,7 +131,9 @@ object Bench {
     // sort-boundary sampling, snapshot commit) amortize — at 4M they are
     // ~30% of the 32-core wall and understate the rate at both levels
     val nRecords = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
-    val nDocs    = sys.env.getOrElse("SPARK_GRAFT_MINHASH_N", "20000").toLong
+    // r3: the Mersenne-31 permute made signatures ~4x faster, so the
+    // control needs 5x the docs to stay measurement-grade (>= 2s at 32)
+    val nDocs    = sys.env.getOrElse("SPARK_GRAFT_MINHASH_N", "100000").toLong
 
     // ---- pass 1: queries + frontier + minhash at local[cpus] ----
     val sHi = session(cpus)
@@ -140,21 +154,47 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> secs
     }
-    frontierRun(sHi, nRecords / 10, warm = false) // session warm-up
-    val frontierHiSecs = minOf(Trials)(frontierRun(sHi, nRecords, warm = false))
-    minhashRun(sHi, nDocs / 10)
-    val minhashHiSecs = minOf(Trials)(minhashRun(sHi, nDocs))
     sHi.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // ---- pass 2: frontier + minhash at local[8] ----
-    val sLo = session(8)
-    frontierRun(sLo, nRecords / 10, warm = false)
-    val frontierLoSecs = minOf(Trials)(frontierRun(sLo, nRecords, warm = false))
-    minhashRun(sLo, nDocs / 10)
-    val minhashLoSecs = minOf(Trials)(minhashRun(sLo, nDocs))
-    sLo.stop()
+    // ---- pass 2: frontier + minhash, LEVELS INTERLEAVED per trial ----
+    // The VM's steal-time noise comes in multi-minute windows; running
+    // all hi-level trials then all lo-level trials samples DIFFERENT
+    // windows per level and the min/min ratio absorbs the difference
+    // (observed efficiency swung 0.45–0.62 across identical runs).
+    // Alternating the levels inside each trial makes both mins sample
+    // the same windows; a session restart per switch (~5 s) is noise.
+    def atLevel[A](cores: Int)(f: SparkSession => A): A = {
+      val s = session(cores)
+      try f(s)
+      finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    val (hiF, loF, hiM, loM) = {
+      val hiFs = Array.fill(Trials)(0.0); val loFs = Array.fill(Trials)(0.0)
+      val hiMs = Array.fill(Trials)(0.0); val loMs = Array.fill(Trials)(0.0)
+      (0 until Trials).foreach { t =>
+        atLevel(cpus) { s =>
+          if (t == 0) frontierRun(s, nRecords / 10, warm = false) // warm JIT
+          hiFs(t) = frontierRun(s, nRecords, warm = false)
+          hiMs(t) = minhashRun(s, nDocs)
+        }
+        atLevel(8) { s =>
+          if (t == 0) frontierRun(s, nRecords / 10, warm = false)
+          loFs(t) = frontierRun(s, nRecords, warm = false)
+          loMs(t) = minhashRun(s, nDocs)
+        }
+      }
+      (hiFs.min, loFs.min, hiMs.min, loMs.min)
+    }
+    val frontierHiSecs = hiF
+    val frontierLoSecs = loF
+    val minhashHiSecs  = hiM
+    val minhashLoSecs  = loM
 
     val rateHi = nRecords / frontierHiSecs
     val rateLo = nRecords / frontierLoSecs

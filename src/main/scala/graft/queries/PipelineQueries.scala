@@ -20,7 +20,12 @@ object PipelineQueries {
     * the word " slow ", one img tag per doc.
     */
   private def htmlFrame(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
+    // repartition: the sf table is one parquet file -> one scan task,
+    // which would serialize the spanize + paragraph-minhash CPU; at
+    // corpus scale the scan is already wide and this is a no-op
+    table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       col("source"),
       concat(lit("<p>"),

@@ -18,6 +18,18 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** (doc_id, ord, text) fanned out to the session's parallelism: the sf
+    * tables are one parquet file -> one scan partition, which would run
+    * the whole 256-perm signature chain on a single core. At corpus
+    * scale the scan has thousands of partitions and this repartition is
+    * a no-op cost-wise (rows are a few hundred bytes).
+    */
+  private def lshDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
+              col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+
   val defs: Map[String, Q] = Map(
     "q_token_count" -> { (s, dir) =>
       table(s, dir, "documents").select(
@@ -81,10 +93,7 @@ object TextQueries {
     // hash keeps every intermediate BIGINT/HUGEINT-exact in DuckDB.
     "q_lsh_bands" -> { (s, dir) =>
       val b = MinHashF.optimalBands(0.9)
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
-                col("text"))
-      LshDedup.bandTable(LshDedup.minhashed(docs, b))
+      LshDedup.bandTable(LshDedup.minhashed(lshDocs(s, dir), b))
         .select(col("doc_id"), col("ord"),
                 col("band").cast(LongType).as("band"), col("bhash"))
     },
@@ -93,13 +102,13 @@ object TextQueries {
     // (the `query` criterion of the reference's datasketch LSH). The
     // production self-dedup uses chain edges (k-1 per bucket) instead of
     // this quadratic form; as a driver query the bucket sizes are tiny.
+    // The band table is checkpointed: both sides of the self-join need
+    // it and the signature chain is the dominant cost.
     "q_lsh_pairs" -> { (s, dir) =>
       val b = MinHashF.optimalBands(0.9)
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
-                col("text"))
-      val bt = LshDedup.bandTable(LshDedup.minhashed(docs, b))
+      val bt = LshDedup.bandTable(LshDedup.minhashed(lshDocs(s, dir), b))
         .select("ord", "band", "bhash")
+        .localCheckpoint()
       bt.alias("x").join(bt.alias("y"),
           col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&
@@ -114,10 +123,7 @@ object TextQueries {
     // graph (kept-set carried as a LIST through the recursion).
     "q_lsh_dedup" -> { (s, dir) =>
       val b = MinHashF.optimalBands(0.9)
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").cast(LongType).as("ord"),
-                col("text"))
-      LshDedup.selfDedup(LshDedup.minhashed(docs, b))
+      LshDedup.selfDedup(LshDedup.minhashed(lshDocs(s, dir), b))
     },
 
     // ---- rows-only (hash-based; parity in ScalaTest) ----
