@@ -96,6 +96,80 @@ object Similarity {
     bruteForceTopK(cands.drop("bucket"), qVec, k, idCol, embCol)
   }
 
+  /** Deterministic IVF coarse quantizer (the second ANN scale path next
+    * to hyperplane LSH): k-means over the embedding column with
+    * deterministic init (the k smallest vec_ids' embeddings) and a FIXED
+    * iteration count; per-iteration centroid means round to 6dp and
+    * assignment distances to 8dp, so the quantizer is reproducible
+    * across engines — the DuckDB oracle replays the iterations unrolled.
+    * Centroids are model state (k×dim doubles — metadata scale), held on
+    * the driver and broadcast into pure column expressions: assignment
+    * is codegen'd per row, no shuffle. At corpus scale `list_id` is the
+    * partition key — a probe reads nProbe lists, not the corpus.
+    */
+  def ivfCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val e = embeddings.select(col(embCol).cast("array<double>").as("v"))
+    (1 to iters).foreach { _ =>
+      val assigned = e.withColumn("cid", assignListCol(col("v"), cents))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("idx", "x")))
+        .groupBy("cid", "idx")
+        .agg(round(avg("x"), 6).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("idx"), col("m")))).as("ms"))
+        .select(col("cid"), expr("transform(ms, s -> s.m)").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => dims.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid id as a pure column: argmin of rounded squared L2
+    * distance over the centroid literals, centroid-id tie-break.
+    */
+  def assignListCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      val dist = round(aggregate(
+        zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 8)
+      struct(dist.as("d"), lit(i).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
+  }
+
+  /** IVF-ANN query: assign the corpus to inverted lists, probe the
+    * nProbe lists nearest the query vector, exact-cosine top-k inside
+    * them.
+    */
+  def ivfSearch(embeddings: DataFrame, queryVecId: Long, k: Int,
+                kLists: Int, nProbe: Int, iters: Int = 3,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(embeddings, kLists, iters, idCol, embCol)
+    val qVec = embeddings.filter(col(idCol) === queryVecId)
+      .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
+    def sq(c: Array[Double]): Double = {
+      val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      BigDecimal(d).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = cents.zipWithIndex
+      .sortBy { case (c, i) => (sq(c), i) }.take(nProbe).map(_._2)
+    val cands = embeddings
+      .withColumn("list_id",
+        assignListCol(col(embCol).cast("array<double>"), cents))
+      .filter(col("list_id").isin(probes.toSeq: _*) &&
+              col(idCol) =!= queryVecId)
+      .drop("list_id")
+    bruteForceTopK(cands, qVec, k, idCol, embCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact within blocks: the
     * all-pairs cosine is quadratic, so a block column (a shard key —
     * here supplied by the caller) bounds each task's pair count; within

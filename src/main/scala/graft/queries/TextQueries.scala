@@ -158,6 +158,15 @@ object TextQueries {
         queryVecId = 0, k = 10, nPlanes = 8, dim = 64)
     },
 
+    // IVF-ANN: deterministic k-means coarse quantizer (fixed init +
+    // iteration count, rounded means), probe the 2 nearest inverted
+    // lists, exact-cosine top-k inside them. The oracle replays the
+    // k-means iterations unrolled in SQL.
+    "q_ann_ivf" -> { (s, dir) =>
+      Similarity.ivfSearch(table(s, dir, "embeddings"),
+        queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
+    },
+
     // Embedding-cosine near-dup pairs, exact within blocks. The raw
     // embeddings carry no near-duplicates (max pairwise cosine ~0.51),
     // so the frame plants exact copies of vec_id < 50 at id+10000
@@ -199,6 +208,31 @@ object TextQueries {
          FROM dots GROUP BY 1)"""
 
   private val docIdNonNull = "doc_id IS NOT NULL"
+
+  /** One unrolled k-means iteration: cents `$in(cid, idx, w)` →
+    * `$out(cid, idx, w)`; assignment = rounded-argmin, mean rounded 6dp,
+    * empty clusters carry the previous centroid.
+    */
+  private def kmeansIterCte(in: String, out: String): String =
+    s"""d_$out AS (
+         SELECT e.vec_id, c.cid,
+                round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+         FROM e JOIN $in c ON c.idx = e.idx
+         GROUP BY 1, 2),
+       a_$out AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, cid ASC) AS rw
+           FROM d_$out) WHERE rw = 1),
+       m_$out AS (
+         SELECT a.cid, e.idx, round(avg(e.v), 6) AS w
+         FROM a_$out a JOIN e ON e.vec_id = a.vec_id
+         GROUP BY 1, 2),
+       $out AS MATERIALIZED (
+         SELECT c.cid, c.idx, coalesce(m.w, c.w) AS w
+         FROM $in c LEFT JOIN m_$out m
+           ON m.cid = c.cid AND m.idx = c.idx)"""
 
   /** MinHash band table as DuckDB CTEs over a relation `src(k, text)`
     * the caller must define earlier in the WITH list (k: BIGINT key):
@@ -390,6 +424,51 @@ object TextQueries {
             SELECT b.vec_id FROM b, qb
             WHERE b.vec_id <> 0
               AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+          q AS (SELECT idx, v AS qv FROM e WHERE vec_id = 0),
+          sims AS (
+            SELECT e.vec_id,
+                   round(sum(e.v * q.qv) /
+                         (sqrt(sum(e.v * e.v)) * sqrt(sum(q.qv * q.qv))), 4)
+                     AS sim
+            FROM e JOIN q USING (idx)
+            WHERE e.vec_id IN (SELECT vec_id FROM cands)
+            GROUP BY 1)
+          SELECT vec_id, sim FROM sims
+          ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_ann_ivf" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT r.cid, e.idx, e.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT 8) r
+            JOIN e ON e.vec_id = r.vec_id),
+          ${kmeansIterCte("c0", "c1")},
+          ${kmeansIterCte("c1", "c2")},
+          ${kmeansIterCte("c2", "c3")},
+          dq AS (
+            SELECT c.cid, round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            WHERE e.vec_id = 0 GROUP BY 1),
+          probes AS (SELECT cid FROM dq ORDER BY d ASC, cid ASC LIMIT 2),
+          d_f AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            GROUP BY 1, 2),
+          a_f AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM d_f) WHERE rw = 1),
+          cands AS (
+            SELECT vec_id FROM a_f
+            WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0),
           q AS (SELECT idx, v AS qv FROM e WHERE vec_id = 0),
           sims AS (
             SELECT e.vec_id,

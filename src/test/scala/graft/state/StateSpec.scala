@@ -116,6 +116,39 @@ class StateSpec extends AnyFunSuite {
     assert(compact.toBytes.toSeq == compact2.toBytes.toSeq)
   }
 
+  test("compactDistributed rebuilds grown chains to one segment, " +
+       "membership preserved") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir1 = Files.createTempDirectory("cuckoo-u").toString
+    val dir2 = Files.createTempDirectory("cuckoo-c").toString
+    val hashes = (0L until 40000L).map(CrawlFixtures.mix)
+    // tiny per-partition capacity forces multi-segment chains
+    val stats = UrlSeenState.updateDistributed(
+      spark, hashes.toDF("h"), None, Paths.get(dir1),
+      partitions = 4, capacityPerPartition = 256)
+    assert(stats.values.exists(_.segments > 2), s"need grown chains: $stats")
+    val loaded = UrlSeenState.load(Paths.get(dir1))
+    assert(hashes.forall(loaded.contains))
+
+    // compact from the authoritative key set into the same layout
+    java.nio.file.Files.list(Paths.get(dir1)).forEach(p =>
+      Files.copy(p, Paths.get(dir2).resolve(p.getFileName.toString)))
+    val segs = UrlSeenState.compactDistributed(
+      spark, hashes.toDF("h"), Paths.get(dir2),
+      partitions = 4, capacityPerPartition = 256)
+    assert(segs.values.forall(_ == 1), s"compaction must right-size: $segs")
+    val compacted = UrlSeenState.load(Paths.get(dir2))
+    assert(hashes.forall(compacted.contains), "compaction lost a key")
+    assert(compacted.parts.map(_.numSegments).forall(_ == 1))
+    // FP rate materially better than the grown chain's
+    val fresh = (1000000L until 1040000L).map(CrawlFixtures.mix)
+    val fpGrown   = fresh.count(loaded.contains)
+    val fpCompact = fresh.count(compacted.contains)
+    assert(fpCompact * 2 < fpGrown + 100,
+           s"fp not reduced: $fpCompact vs $fpGrown")
+  }
+
   test("snapshot log: stage/commit/latest/parent chain + commit race") {
     val dir = Files.createTempDirectory("snaptest").toString
     assert(Snapshots.latest(dir).isEmpty)
