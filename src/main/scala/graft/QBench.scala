@@ -17,7 +17,7 @@ object QBench {
     Files.createDirectories(Paths.get("/dev/shm/graft-spark"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/graft-spark")
