@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of an array<float/double> column against a literal
-    * query vector, computed as an ordered fold in codegen'd higher-order
-    * functions (no UDF).
+  /** Cosine similarity of an array<double> column against a literal
+    * query vector, via the native graft_dot expression (same sequential
+    * left-to-right fold as the zip_with+aggregate chain it replaced, so
+    * values — and the DuckDB oracles — are bit-identical; but no
+    * per-row intermediate array allocation). Caller must have run
+    * `VectorExpressions.register` on the session.
     */
   def cosineCol(emb: Column, query: Seq[Double]): Column = {
     val q     = array(query.map(lit): _*)
-    val dot   = aggregate(zip_with(emb, q, (x, y) => x * y),
-                          lit(0.0), (acc, x) => acc + x)
-    val normA = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x))
+    val dot   = graft.expressions.VectorExpressions.dotCol(emb, q)
+    val normA = sqrt(graft.expressions.VectorExpressions.dotCol(emb, emb))
     val normQ = math.sqrt(query.map(x => x * x).sum)
     dot / (normA * lit(normQ))
   }
@@ -30,13 +32,15 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
                      idCol: String = "vec_id",
-                     embCol: String = "embedding"): DataFrame =
+                     embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
     embeddings
       .withColumn("sim", round(cosineCol(col(embCol).cast("array<double>"),
                                          query), 4))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol).asc)
       .limit(k)
+  }
 
   /** Deterministic pseudo-gaussian hyperplanes (sum of seeded uniforms).
     * Public so the DuckDB oracle can embed the identical literals.
@@ -61,11 +65,10 @@ object Similarity {
   def hyperplaneBuckets(embeddings: DataFrame, nPlanes: Int, dim: Int,
                         seed: Long = 42L,
                         embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
     val sigBits = planes(nPlanes, dim, seed).zipWithIndex.map { case (plane, i) =>
-      val dot = aggregate(
-        zip_with(col(embCol).cast("array<double>"),
-                 array(plane.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.expressions.VectorExpressions.dotCol(
+        col(embCol).cast("array<double>"), array(plane.map(lit): _*))
       when(round(dot, 8) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     embeddings.withColumn("bucket",
@@ -110,6 +113,7 @@ object Similarity {
   def ivfCentroids(embeddings: DataFrame, k: Int, iters: Int,
                    idCol: String = "vec_id",
                    embCol: String = "embedding"): Array[Array[Double]] = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
     var cents: Array[Array[Double]] = embeddings
       .orderBy(col(idCol).asc).limit(k)
       .select(col(embCol).cast("array<double>"))
@@ -136,9 +140,8 @@ object Similarity {
     */
   def assignListCol(v: Column, cents: Array[Array[Double]]): Column = {
     val entries = cents.zipWithIndex.map { case (c, i) =>
-      val dist = round(aggregate(
-        zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 8)
+      val dist = round(graft.expressions.VectorExpressions.sqDistCol(
+        v, array(c.map(lit): _*)), 8)
       struct(dist.as("d"), lit(i).as("cid"))
     }
     array_min(array(entries: _*)).getField("cid")
@@ -152,6 +155,7 @@ object Similarity {
                 kLists: Int, nProbe: Int, iters: Int = 3,
                 idCol: String = "vec_id",
                 embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
     val cents = ivfCentroids(embeddings, kLists, iters, idCol, embCol)
     val qVec = embeddings.filter(col(idCol) === queryVecId)
       .select(col(embCol).cast("array<double>")).head().getSeq[Double](0)
@@ -182,16 +186,18 @@ object Similarity {
                          idCol: String = "vec_id",
                          blockCol: String = "block",
                          embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    import graft.expressions.VectorExpressions.dotCol
+    // norms precomputed per ROW (n of them), not per pair (n²/blocks):
+    // the value is identical, the work is not
     val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
                               col(embCol).cast("array<double>").as("v"))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("b.v"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
     e.alias("a")
       .join(e.alias("b"),
             col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(dot / (na * nb), 4))
+      .withColumn("sim",
+        round(dotCol(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("sim") >= t)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("sim"))
   }
