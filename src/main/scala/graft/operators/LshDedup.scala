@@ -83,9 +83,43 @@ object LshDedup {
     * checkpoint materializes the (tiny) label table and restarts lineage
     * from it — constant plan size, constant per-iteration cost.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          localThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Hybrid solve: the edge set after chain-compression is ~the number
+    // of near-duplicate relations — typically orders of magnitude
+    // smaller than the corpus. When it fits one task, a single
+    // executor-side union-find replaces the whole iterate-join-
+    // checkpoint loop (~6 jobs/iteration) with ONE job; above the
+    // threshold the distributed min-label/pointer-jump loop runs.
+    // Labels match the loop exactly: component = min member ord.
+    val nEdges = edges.count()
+    if (nEdges <= localThreshold) {
+      return edges.select($"src", $"dst").as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = mutable.HashMap.empty[Long, Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent.getOrElse(x, x) != x) {
+              val p = parent(x)
+              parent(x) = parent.getOrElse(p, p) // path halving
+              x = parent(x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          // min-root labels: union-by-min keeps the root the minimum
+          parent.keysIterator.map(k => (k, find(k)))
+        }
+        .toDF("ord", "comp")
+    }
     val sym = edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -102,17 +102,22 @@ class LshParitySpec extends AnyFunSuite {
   }
 
   test("connected components: long chain (pointer-jump worst case) " +
-       "converges and labels correctly") {
+       "converges and labels correctly — both solver paths") {
     // a 1500-node path is the worst case for min-label + pointer jumping
     // (diameter 1500 -> needs ~log2 iterations); everything must land in
     // one component labeled by the chain head
     val n = 1500
     val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("src", "dst")
-    val comps = LshDedup.connectedComponents(edges)
+    // local union-find path (default threshold)
+    val compsL = LshDedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps.size == n)
-    assert(comps.values.toSet == Set(0L), "single component labeled 0")
+    assert(compsL.size == n)
+    assert(compsL.values.toSet == Set(0L), "single component labeled 0")
+    // distributed min-label/pointer-jump path (threshold forced to 0)
+    val compsD = LshDedup.connectedComponents(edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compsD == compsL, "both solver paths must agree exactly")
   }
 
   test("connected components: hitting maxIter without convergence fails " +
@@ -120,7 +125,7 @@ class LshParitySpec extends AnyFunSuite {
     val edges = (0 until 200).map(i => (i.toLong, i.toLong + 1))
       .toDF("src", "dst")
     intercept[IllegalStateException] {
-      LshDedup.connectedComponents(edges, maxIter = 1)
+      LshDedup.connectedComponents(edges, maxIter = 1, localThreshold = 0)
     }
   }
 }
