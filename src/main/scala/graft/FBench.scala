@@ -62,39 +62,53 @@ object FBench {
         }
       })
     // trials loop (fresh snapshot table per trial): min filters the
-    // VM's steal-noise windows, which inflate single runs by 50%+
+    // VM's steal-noise windows, which inflate single runs by 50%+.
+    // Listener counters are snapshotted PER TRIAL (delta from trial
+    // start) and the reported metrics come from the winning (min-time)
+    // trial only — accumulating across trials while dividing by one
+    // trial's wall inflated avg_active_cores/gc/shuffle by ~trial count.
+    case class TrialStats(secs: Double, taskNs: Long, gcMs: Long,
+                          shW: Long, shR: Long, jobs: Long,
+                          coveredS: Double)
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "1").toInt
-    val secsPerTrial = (1 to trials).map { tr =>
+    val stats = (1 to trials).map { tr =>
       val ttable =
         if (tr == 1) table
         else Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "fbt").toString
+      jobSpans.clear()
+      val (tn0, gc0, sw0, sr0, nj0) =
+        (taskNanos.get(), gcMillis.get(), shufW.get(), shufR.get(), nJobs.get())
       val t0 = System.nanoTime()
       FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in1"), ttable, politenessQuota = Int.MaxValue, dumpId = "1", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
       FrontierJob.runBatch(spark, spark.read.parquet(s"$table/in2"), ttable, politenessQuota = Int.MaxValue, dumpId = "2", cacheIntermediates = sys.env.contains("SPARK_GRAFT_CACHE"))
       val s = (System.nanoTime() - t0) / 1e9
+      // merged job-interval coverage (s) -> uncovered wall = driver gaps
+      val spans = {
+        import scala.jdk.CollectionConverters._
+        jobSpans.asScala.toSeq.sortBy(_._1)
+      }
+      val covered = {
+        var total = 0L; var end = 0L
+        spans.foreach { case (st, e) =>
+          if (e > end) { total += e - math.max(st, end); end = e }
+        }
+        total / 1e3
+      }
       if (tr != 1) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ttable))
       println(f"[fbench-trial] $tr: $s%.2f s")
-      s
+      TrialStats(s, taskNanos.get() - tn0, gcMillis.get() - gc0,
+        shufW.get() - sw0, shufR.get() - sr0, nJobs.get() - nj0, covered)
     }
-    val secs = secsPerTrial.min
-    val activeCores = taskNanos.get() / 1e9 / secs
-    // merged job-interval coverage (ms) -> uncovered wall = driver gaps
-    val spans = {
-      import scala.jdk.CollectionConverters._
-      jobSpans.asScala.toSeq.sortBy(_._1)
-    }
-    val covered = {
-      var total = 0L; var end = 0L
-      spans.foreach { case (s, e) =>
-        if (e > end) { total += e - math.max(s, end); end = e }
-      }
-      total / 1e3
-    }
+    val best = stats.minBy(_.secs)
+    val secs = best.secs
+    val activeCores = best.taskNs / 1e9 / secs
+    val spread = stats.map(_.secs)
     println(f"[fbench] cpus=$cpus n=$n secs=$secs%.2f rate=${(n / secs).round} " +
-      f"avg_active_cores=$activeCores%.1f gc_s=${gcMillis.get() / 1e3}%.1f " +
-      f"jobs=${nJobs.get()} job_covered_s=$covered%.1f " +
-      f"shuffle_w_mb=${shufW.get() / 1e6}%.0f shuffle_r_mb=${shufR.get() / 1e6}%.0f " +
-      f"shuffle_w_b_per_url=${shufW.get().toDouble / n}%.1f")
+      f"avg_active_cores=$activeCores%.1f gc_s=${best.gcMs / 1e3}%.1f " +
+      f"jobs=${best.jobs} job_covered_s=${best.coveredS}%.1f " +
+      f"shuffle_w_mb=${best.shW / 1e6}%.0f shuffle_r_mb=${best.shR / 1e6}%.0f " +
+      f"shuffle_w_b_per_url=${best.shW.toDouble / n}%.1f " +
+      s"trial_secs=[${spread.map(x => f"$x%.2f").mkString(",")}]")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wtable))

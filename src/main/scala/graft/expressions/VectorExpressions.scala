@@ -17,12 +17,27 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  // The bit-identical-to-zip_with claim holds for equal-length, null-free
+  // arrays; the guards below make any other input a loud error instead of
+  // a silent truncate-to-min / null-reads-as-0 divergence.
+  private def checkPair(a: ArrayData, b: ArrayData, name: String): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$name: vector length mismatch (${a.numElements()} vs " +
+        s"${b.numElements()}) — embeddings must share a dimension")
+    n
+  }
+
   /** Static entry point for generated code. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkPair(a, b, "graft_dot")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i — vectors must be null-free")
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -31,10 +46,13 @@ object VectorExpressions {
 
   /** Static entry point for generated code. */
   def sqDist(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkPair(a, b, "graft_sqdist")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_sqdist: null element at index $i — vectors must be null-free")
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1

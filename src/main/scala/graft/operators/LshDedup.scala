@@ -115,8 +115,12 @@ object LshDedup {
             val ra = find(a); val rb = find(b)
             if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
           }
-          // min-root labels: union-by-min keeps the root the minimum
-          parent.keysIterator.map(k => (k, find(k)))
+          // min-root labels: union-by-min keeps the root the minimum.
+          // Materialize the key set before mapping find() over it — find
+          // mutates the map (path halving), and mutating a HashMap while
+          // consuming its keysIterator is undocumented behavior.
+          val ks = parent.keys.toArray
+          ks.iterator.map(k => (k, find(k)))
         }
         .toDF("ord", "comp")
     }
@@ -214,7 +218,13 @@ object LshDedup {
         out.iterator
       }
       .toDF("doc_id", "ord")
-    kept
+    // Canonical output order. The kept SET is deterministic (per-component
+    // replay over deterministic components), but flatMapGroups emits rows
+    // in hash-partition order, which is stable per-plan yet not canonical
+    // across environments — an order-sensitive downstream hasher would see
+    // "different" results for identical sets. The sort is on the final
+    // (small) survivor set, so it costs one exchange over output rows only.
+    kept.orderBy("ord")
   }
 
   /** A2 cross-dedup: drop any new doc with a band collision against the

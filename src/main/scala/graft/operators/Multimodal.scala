@@ -31,7 +31,10 @@ object Multimodal {
     if (bytes == null) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, CMMException, ...) on
+      // malformed payloads; one bad crawled image must not fail the task.
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val hist = new Array[Long](16)
     val w = img.getWidth
@@ -88,7 +91,10 @@ object Multimodal {
     if (bytes == null) return null
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, CMMException, ...) on
+      // malformed payloads; one bad crawled image must not fail the task.
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight

@@ -141,6 +141,11 @@ object UrlSeenState {
     allHashes
       .select(partUdf(allHashes.col(allHashes.columns.head)).as("pid"),
               allHashes.col(allHashes.columns.head).as("h"))
+      // Dedup before rebuild: a caller unioning overlapping snapshot sets
+      // would otherwise insert duplicate fingerprints — count drift plus
+      // phantom membership after one delete. Cheap relative to the rebuild
+      // (same shuffle keys, partial agg upstream).
+      .distinct()
       .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (pid, it) =>
