@@ -140,6 +140,23 @@ object FrequentParagraphs {
     transform(filter(spans, s => s.getField("kind") === "p"),
               s => s.getField("text"))
 
+  /** Per-domain size guard for A3's forced serialization: collect() is
+    * sequential per domain (the reference's state machine is too), so a
+    * mega-domain is one task by construction. These metrics ride in the
+    * pdata snapshot manifest so a 100× run sees the straggler coming
+    * before it bites — one tiny partial-agg job over the domain column.
+    */
+  def domainSizeMetrics(docs: DataFrame): Map[String, Long] = {
+    val row = docs.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_domains"),
+           max(col("n")).as("max_domain_docs"),
+           sum(col("n")).as("n_docs"))
+      .head()
+    Map("n_domains"       -> row.getLong(0),
+        "max_domain_docs" -> row.getLong(1),
+        "n_docs"          -> row.getLong(2))
+  }
+
   /** A3: collect frequent paragraphs per domain. Input requires columns
     * (domain, ord, doc_id, pbands: array<array<long>>); output one row
     * per (domain, pdata_id) with bands, score, count.

@@ -31,24 +31,130 @@ object Frontier {
                      hostCol: String,
                      priorityCols: Seq[Column],
                      quota: Int,
-                     salts: Int = 16): DataFrame = {
-    val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
-    val pruned =
-      if (quota >= Int.MaxValue / salts || salts <= 1) candidates
-      else {
-        // bucket assignment only affects which non-survivors are pruned
-        // early, never the final result -> a cheap row-id salt is fine
-        val wPre = Window.partitionBy(col(hostCol), col("__salt"))
-          .orderBy(priorityCols: _*)
-        candidates
-          .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
-          .withColumn("__prn", row_number().over(wPre))
-          .filter(col("__prn") <= quota)
-          .drop("__salt", "__prn")
+                     salts: Int = 16): DataFrame =
+    politenessRankEx(candidates, hostCol, priorityCols, quota, salts)._1
+
+  /** As politenessRank, also returning the sort intermediate pinned by
+    * the unbounded path (null when the bounded/window path ran); batch
+    * drivers should release it via UrlDedup.releaseOrderCache once the
+    * result is consumed, mirroring crawlOrderEx.
+    */
+  def politenessRankEx(candidates: DataFrame,
+                       hostCol: String,
+                       priorityCols: Seq[Column],
+                       quota: Int,
+                       salts: Int = 16): (DataFrame, DataFrame) = {
+    if (quota >= Int.MaxValue / math.max(salts, 1)) {
+      // Unbounded quota: the window below would put a mega-host's EVERY
+      // row into one task (no pre-prune bounds it) — straggler/OOM at a
+      // skewed host distribution. Exact skew-free path instead.
+      val (r, cache) = politenessRankUnbounded(candidates, hostCol, priorityCols)
+      (r, cache)
+    } else {
+      val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
+      val pruned =
+        if (salts <= 1) candidates
+        else {
+          // bucket assignment only affects which non-survivors are pruned
+          // early, never the final result -> a cheap row-id salt is fine
+          val wPre = Window.partitionBy(col(hostCol), col("__salt"))
+            .orderBy(priorityCols: _*)
+          candidates
+            .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+            .withColumn("__prn", row_number().over(wPre))
+            .filter(col("__prn") <= quota)
+            .drop("__salt", "__prn")
+        }
+      (pruned
+        .withColumn("wave", row_number().over(w))
+        .filter(col("wave") <= quota), null)
+    }
+  }
+
+  /** Exact per-host rank with NO per-host task: global range sort on
+    * (host, priority...) makes each host's rows globally contiguous and
+    * lets a mega-host SPREAD across many range partitions (boundaries
+    * fall inside the host), the opposite of a host-partitioned window.
+    * Within a partition the rank is a streaming counter; only the one
+    * host that can span each partition boundary needs an offset, so the
+    * correction state collected to the driver is O(partitions) — two
+    * boundary runs per partition — independent of host skew and host
+    * count. The sorted frame is localCheckpoint'ed so the boundary pass
+    * and the rank pass observe the same (sampled, hence nondeterministic)
+    * range partitioning.
+    *
+    * Ties in `priorityCols` order get arbitrary-but-deterministic waves
+    * (same caveat as row_number over a non-total order).
+    */
+  private[graft] def politenessRankUnbounded(
+      candidates: DataFrame,
+      hostCol: String,
+      priorityCols: Seq[Column]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val sortCols = col(hostCol).asc +: priorityCols
+    val sorted  = candidates.orderBy(sortCols: _*).localCheckpoint()
+    val schema  = sorted.schema
+    val hostIdx = schema.fieldIndex(hostCol)
+    // pass 1 (tiny): first and last host run of each partition, with row
+    // counts. Interior runs never span a boundary -> never need offsets.
+    val boundary: Array[(Int, String, Long, Int)] = sorted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var firstHost: String = null; var firstCnt = 0L
+        var curHost: String = null;   var curCnt = 0L
+        var runs = 0
+        it.foreach { row =>
+          val h = String.valueOf(row.get(hostIdx))
+          if (curHost == null || h != curHost) {
+            if (runs == 1) { firstHost = curHost; firstCnt = curCnt }
+            curHost = h; curCnt = 0L; runs += 1
+          }
+          curCnt += 1
+        }
+        if (runs == 0) Iterator.empty
+        else if (runs == 1) Iterator((pid, curHost, curCnt, 0))
+        else Iterator((pid, firstHost, firstCnt, 0), (pid, curHost, curCnt, 1))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+                       Encoders.scalaLong, Encoders.scalaInt))
+      .collect()
+    // offsets for spanning hosts: a host in >1 partitions is the last run
+    // of its first partition and the first (or sole) run of each later
+    // one; its offset at partition p = its boundary-run counts in earlier
+    // partitions. Hosts interior to one partition never appear here.
+    val offsets: Map[Int, Map[String, Long]] = boundary
+      .groupBy(_._2)
+      .iterator.flatMap { case (host, entries) =>
+        val byPid = entries.sortBy(_._1)
+        var acc = 0L
+        byPid.iterator.map { case (pid, _, cnt, _) =>
+          val o = (pid, host, acc); acc += cnt; o
+        }.filter(_._3 > 0L)
       }
-    pruned
-      .withColumn("wave", row_number().over(w))
-      .filter(col("wave") <= quota)
+      .toArray
+      .groupBy(_._1)
+      .map { case (pid, es) => pid -> es.map(e => e._2 -> e._3).toMap }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(schema.fields :+ StructField("wave", IntegerType, nullable = false))
+    // pass 2: streaming per-run counter + boundary offset; no buffering
+    val ranked = sorted.mapPartitions { it =>
+      val pid   = org.apache.spark.TaskContext.getPartitionId()
+      val offs  = bOffsets.value.getOrElse(pid, Map.empty[String, Long])
+      var curHost: String = null
+      var n = 0L
+      it.map { row =>
+        val h = String.valueOf(row.get(hostIdx))
+        if (curHost == null || h != curHost) {
+          curHost = h
+          n = offs.getOrElse(h, 0L)
+        }
+        n += 1L
+        Row.fromSeq(row.toSeq :+ n.toInt)
+      }
+    }(Encoders.row(outSchema))
+    (ranked, sorted)
   }
 
   /** Politeness schedule: earliest-fetch epoch second per candidate —

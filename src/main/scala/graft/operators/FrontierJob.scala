@@ -118,7 +118,7 @@ object FrontierJob {
     // 5. politeness waves (per-host quota), then O3 crawl order + batches.
     // crawlOrder checkpoints its sorted input internally (its two
     // consumers need identical partitioning), so no persist here
-    val ranked = Frontier.politenessRank(
+    val (ranked, rankCache) = Frontier.politenessRankEx(
       gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
       politenessQuota)
     val (ordered, sortedCache) =
@@ -173,6 +173,7 @@ object FrontierJob {
       if (keptIsOrdered) nKept
       else phase("winners count")(kept.count())
     UrlDedup.releaseOrderCache(sortedCache)
+    if (rankCache != null) UrlDedup.releaseOrderCache(rankCache)
     if (cacheIntermediates && !keptIsOrdered) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],

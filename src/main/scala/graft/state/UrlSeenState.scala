@@ -1,8 +1,9 @@
 package graft.state
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Partitioned cuckoo-filter state for the live frontier (scheduled /
   * in-flight URL hashes): exact-ish membership with delete support so a
@@ -17,8 +18,15 @@ import scala.jdk.CollectionConverters._
   * authority (exact, no false drops, no driver-side structure);
   * this cuckoo state deduplicates within the live crawl session and
   * supports retirement, and rides in every snapshot's state dir.
+  *
+  * All blob IO goes through the Hadoop FileSystem API resolved from the
+  * directory URI, so state dirs work identically on `file:`, `hdfs:` and
+  * `s3a:`. This is what makes the "one task per partition, no driver
+  * collect" design hold on a real cluster: executors write the SHARED
+  * filesystem the driver commits, not node-local disks (which a plain
+  * java.nio path would silently hit).
   */
-final class UrlSeenState private (val parts: Array[CuckooChain])
+final class UrlSeenState private[state] (val parts: Array[CuckooChain])
     extends Serializable {
 
   require((parts.length & (parts.length - 1)) == 0,
@@ -33,12 +41,15 @@ final class UrlSeenState private (val parts: Array[CuckooChain])
   def size: Long = parts.map(_.size).sum
 
   /** One blob per partition, deterministic file names. */
-  def save(dir: Path): Unit = {
-    Files.createDirectories(dir)
+  def save(dir: String, conf: Configuration = new Configuration()): Unit = {
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
     parts.zipWithIndex.foreach { case (p, i) =>
-      Files.write(dir.resolve(f"cuckoo-$i%05d.bin"), p.toBytes)
+      UrlSeenState.writeBlob(fs, new HPath(d, UrlSeenState.blobName(i)), p.toBytes)
     }
   }
+  def save(dir: Path): Unit = save(dir.toString)
 }
 
 object UrlSeenState {
@@ -47,19 +58,54 @@ object UrlSeenState {
     new UrlSeenState(Array.fill(CuckooFilter.nextPow2(partitions))(
       CuckooChain.forCapacity(capacityPerPartition)))
 
-  def load(dir: Path): UrlSeenState = {
-    val blobs = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("cuckoo-"))
-      .toSeq.sortBy(_.getFileName.toString)
+  def load(dir: String, conf: Configuration): UrlSeenState = {
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(conf)
+    val blobs = fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith("cuckoo-"))
+      .sortBy(_.getName)
     require(blobs.nonEmpty, s"no cuckoo partitions in $dir")
     new UrlSeenState(blobs.map(p =>
-      CuckooChain.fromBytes(Files.readAllBytes(p))).toArray)
+      CuckooChain.fromBytes(readBlob(fs, p))).toArray)
   }
+  def load(dir: String): UrlSeenState = load(dir, new Configuration())
+  def load(dir: Path): UrlSeenState = load(dir.toString)
 
   def partitionOf(h: Long, numParts: Int): Int =
     (CuckooFilter.mix(h) & (numParts - 1)).toInt
 
   private def blobName(i: Int) = f"cuckoo-$i%05d.bin"
+
+  private def readBlob(fs: FileSystem, p: HPath): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"cuckoo blob too large: $p ($len bytes)")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
+  private def writeBlob(fs: FileSystem, p: HPath, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Hadoop Configuration is not java-serializable; ship it to tasks via
+    * its own writable form (same trick as Spark's internal
+    * SerializableConfiguration, which is not public API).
+    */
+  private final class SerConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   /** Per-partition lineage stats from a distributed state update. */
   case class PartStats(inserted: Long, segments: Int)
@@ -70,17 +116,24 @@ object UrlSeenState {
     * untouched by this batch are carried forward. Returns per-partition
     * inserted counts + segment-chain lengths (lineage metrics; a caller
     * seeing segments > 2 should schedule `compactDistributed`).
+    *
+    * Dirs are Hadoop-FS URIs (plain paths resolve as `file:`); executors
+    * and driver must see the same filesystem (`hdfs:`/`s3a:` on a
+    * cluster, any path on a single box).
     */
   def updateDistributed(spark: org.apache.spark.sql.SparkSession,
                         hashes: org.apache.spark.sql.DataFrame,
-                        prevDir: Option[Path], outDir: Path,
+                        prevDir: Option[String], outDir: String,
                         partitions: Int, capacityPerPartition: Long)
       : Map[Int, PartStats] = {
     import spark.implicits._
     val p = CuckooFilter.nextPow2(partitions)
-    Files.createDirectories(outDir)
-    val prevStr = prevDir.map(_.toString)
-    val outStr  = outDir.toString
+    val conf = spark.sessionState.newHadoopConf()
+    val outPath = new HPath(outDir)
+    outPath.getFileSystem(conf).mkdirs(outPath)
+    val bConf   = spark.sparkContext.broadcast(new SerConf(conf))
+    val prevStr = prevDir
+    val outStr  = outDir
     val cap     = capacityPerPartition
     val partUdf = org.apache.spark.sql.functions.udf(
       (h: Long) => partitionOf(h, p))
@@ -90,31 +143,43 @@ object UrlSeenState {
       .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (pid, it) =>
-        val blob = prevStr.map(d => java.nio.file.Paths.get(d, blobName(pid)))
-          .filter(Files.exists(_))
-        val filter = blob.map(b => CuckooChain.fromBytes(Files.readAllBytes(b)))
+        val c = bConf.value.value
+        val filter = prevStr.map(d => new HPath(d, blobName(pid)))
+          .filter(b => b.getFileSystem(c).exists(b))
+          .map(b => CuckooChain.fromBytes(readBlob(b.getFileSystem(c), b)))
           .getOrElse(CuckooChain.forCapacity(cap))
         var n = 0L
         it.foreach { case (_, h) => if (filter.insert(h)) n += 1 }
-        Files.write(java.nio.file.Paths.get(outStr, blobName(pid)),
-                    filter.toBytes)
+        val out = new HPath(outStr, blobName(pid))
+        writeBlob(out.getFileSystem(c), out, filter.toBytes)
         (pid, n, filter.numSegments)
       }
       .collect().map { case (pid, n, segs) => pid -> PartStats(n, segs) }
       .toMap
-    // carry forward untouched partitions
+    // carry forward untouched partitions (driver-side, same FS API)
+    val fs = outPath.getFileSystem(conf)
     (0 until p).foreach { pid =>
-      val out = outDir.resolve(blobName(pid))
-      if (!Files.exists(out)) {
-        prevDir.map(_.resolve(blobName(pid))).filter(Files.exists(_)) match {
-          case Some(prev) => Files.copy(prev, out)
-          case None => Files.write(out,
-            CuckooChain.forCapacity(cap).toBytes)
+      val out = new HPath(outPath, blobName(pid))
+      if (!fs.exists(out)) {
+        prevDir.map(d => new HPath(d, blobName(pid)))
+          .filter(prev => prev.getFileSystem(conf).exists(prev)) match {
+          case Some(prev) =>
+            writeBlob(fs, out, readBlob(prev.getFileSystem(conf), prev))
+          case None =>
+            writeBlob(fs, out, CuckooChain.forCapacity(cap).toBytes)
         }
       }
     }
     touched
   }
+
+  def updateDistributed(spark: org.apache.spark.sql.SparkSession,
+                        hashes: org.apache.spark.sql.DataFrame,
+                        prevDir: Option[Path], outDir: Path,
+                        partitions: Int, capacityPerPartition: Long)
+      (implicit d: DummyImplicit): Map[Int, PartStats] =
+    updateDistributed(spark, hashes, prevDir.map(_.toString), outDir.toString,
+                      partitions, capacityPerPartition)
 
   /** Segment-chain compaction at snapshot commit: rebuild each partition's
     * chain as ONE right-sized filter from the authoritative seen-hash set
@@ -129,12 +194,14 @@ object UrlSeenState {
     */
   def compactDistributed(spark: org.apache.spark.sql.SparkSession,
                          allHashes: org.apache.spark.sql.DataFrame,
-                         outDir: Path,
+                         outDir: String,
                          partitions: Int, capacityPerPartition: Long)
       : Map[Int, Int] = {
     import spark.implicits._
     val p = CuckooFilter.nextPow2(partitions)
-    val outStr = outDir.toString
+    val bConf  = spark.sparkContext.broadcast(
+      new SerConf(spark.sessionState.newHadoopConf()))
+    val outStr = outDir
     val cap    = capacityPerPartition
     val partUdf = org.apache.spark.sql.functions.udf(
       (h: Long) => partitionOf(h, p))
@@ -155,10 +222,18 @@ object UrlSeenState {
         java.util.Arrays.sort(keys)
         val chain = CuckooChain.forCapacity(math.max(cap, keys.length))
         keys.foreach(chain.insert)
-        Files.write(java.nio.file.Paths.get(outStr, blobName(pid)),
-                    chain.toBytes)
+        val out = new HPath(outStr, blobName(pid))
+        writeBlob(out.getFileSystem(bConf.value.value), out, chain.toBytes)
         (pid, chain.numSegments)
       }
       .collect().toMap
   }
+
+  def compactDistributed(spark: org.apache.spark.sql.SparkSession,
+                         allHashes: org.apache.spark.sql.DataFrame,
+                         outDir: Path,
+                         partitions: Int, capacityPerPartition: Long)
+      (implicit d: DummyImplicit): Map[Int, Int] =
+    compactDistributed(spark, allHashes, outDir.toString,
+                       partitions, capacityPerPartition)
 }

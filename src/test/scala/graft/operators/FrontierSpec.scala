@@ -38,6 +38,34 @@ class FrontierSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 == "h0" && r._3 == 1).head._2 == "u0")
   }
 
+  test("unbounded quota: exact waves, skew-free (no per-host window task)") {
+    // one mega-host owns 50% of rows — the failure shape where a
+    // host-partitioned window would put half the data into one task
+    val rows = (0 until 2000).map { i =>
+      val h = if (i % 2 == 0) "mega.example.com" else s"h${i % 37}.example.com"
+      (h, s"u$i", i.toLong)
+    }
+    val cand = rows.toDF("host_key", "url", "pri").repartition(8)
+    val got = Frontier.politenessRank(
+      cand, "host_key", Seq(asc("pri")), quota = Int.MaxValue)
+    // reference semantics: the plain per-host window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host_key").orderBy(asc("pri"))
+    val want = cand.withColumn("wave", row_number().over(w))
+      .select("host_key", "url", "wave")
+      .as[(String, String, Int)].collect().toSet
+    val gotSet = got.select("host_key", "url", "wave")
+      .as[(String, String, Int)].collect().toSet
+    assert(gotSet == want)
+    // the mega-host got 1000 distinct waves 1..1000
+    assert(gotSet.filter(_._1 == "mega.example.com").map(_._3) ==
+      (1 to 1000).toSet)
+    // plan assertion: NO Window operator anywhere in the physical plan —
+    // the rank is a range sort + streaming counter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
+
   test("scheduleWaves: not_before = t0 + (wave-1) * per-host delay") {
     val cand = (0 until 12).map(i =>
       (s"h${i % 2}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")

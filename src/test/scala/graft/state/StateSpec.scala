@@ -116,6 +116,54 @@ class StateSpec extends AnyFunSuite {
     assert(compact.toBytes.toSeq == compact2.toBytes.toSeq)
   }
 
+  test("A3 per-domain size metrics land in snapshot manifests") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // skewed shape: one domain owns 60 of 100 docs
+    val docs = ((0 until 60).map(i => ("mega.example.com", i)) ++
+                (0 until 40).map(i => (s"d${i % 8}.example.com", i)))
+      .toDF("domain", "ord")
+    val m = graft.operators.FrequentParagraphs.domainSizeMetrics(docs)
+    assert(m("n_domains") == 9L)
+    assert(m("max_domain_docs") == 60L)
+    assert(m("n_docs") == 100L)
+    val table = Files.createTempDirectory("pdata-snap").toString
+    val (id, _, _) = Snapshots.stage(table)
+    Snapshots.commit(table, id, m, "pdata collect metrics")
+    val got = Snapshots.latest(table).get.metrics
+    assert(got("max_domain_docs") == 60L, s"metric missing from manifest: $got")
+    assert(got("n_domains") == 9L)
+  }
+
+  test("distributed cuckoo IO goes through the Hadoop FS API (file: URI)") {
+    // exercises the String/URI entry points end-to-end: update with no
+    // previous state, carry-forward + update from a previous URI dir,
+    // load and compact through the same `file:` filesystem. On a cluster
+    // the same code paths address hdfs:/s3a: via the session Hadoop conf.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cuckoo-hfs").toString
+    val uri = "file://" + dir
+    val hashes = (0L until 5000L).map(CrawlFixtures.mix)
+    val stats = UrlSeenState.updateDistributed(
+      spark, hashes.toDF("h"), None: Option[String], s"$uri/s1",
+      partitions = 4, capacityPerPartition = 1 << 12)
+    assert(stats.values.map(_.inserted).sum == 5000L)
+    val more = (5000L until 6000L).map(CrawlFixtures.mix)
+    UrlSeenState.updateDistributed(
+      spark, more.toDF("h"), Some(s"$uri/s1"), s"$uri/s2",
+      partitions = 4, capacityPerPartition = 1 << 12)
+    val loaded = UrlSeenState.load(s"$uri/s2")
+    assert((hashes ++ more).forall(loaded.contains))
+    // compact in place through the URI as well; membership preserved
+    val segs = UrlSeenState.compactDistributed(
+      spark, (hashes ++ more).toDF("h"), s"$uri/s2",
+      partitions = 4, capacityPerPartition = 1 << 12)
+    assert(segs.values.forall(_ == 1))
+    val compacted = UrlSeenState.load(s"$uri/s2")
+    assert((hashes ++ more).forall(compacted.contains))
+  }
+
   test("compactDistributed rebuilds grown chains to one segment, " +
        "membership preserved") {
     val spark = TestSpark.spark
