@@ -29,13 +29,39 @@ object TextAnalysis {
   }
 
   /** Stopword-score language ID: argmax of per-language function-word
-    * counts, fixed priority on ties, 'unk' when all scores are zero.
+    * counts, fixed priority on ties (seq order), 'unk' when all scores
+    * are zero. Deterministic heuristic per the builder brief (the
+    * reference uses cld2 over ~100 languages, filter_corpus.py:95–147);
+    * breadth here covers the 22 highest-volume space-delimited-script
+    * languages of the reference's corpora. Markers are chosen to be
+    * high-frequency function words that are near-unique to the language
+    * (priority order resolves the genuine collisions, e.g. no/da 'og').
+    * CJK scripts are out of scope for this heuristic: space-padded word
+    * matching cannot see unsegmented text.
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),
     "de" -> Seq("der", "und"),
     "fr" -> Seq("le", "et"),
-    "es" -> Seq("el", "y")
+    "es" -> Seq("el", "y"),
+    "pt" -> Seq("não", "uma"),
+    "it" -> Seq("il", "che"),
+    "nl" -> Seq("het", "een"),
+    "ru" -> Seq("и", "не"),
+    "pl" -> Seq("się", "nie"),
+    "cs" -> Seq("se", "že"),
+    "sv" -> Seq("och", "att"),
+    "no" -> Seq("og", "ikke"),
+    "da" -> Seq("af", "det"),
+    "fi" -> Seq("ja", "ei"),
+    "hu" -> Seq("és", "nem"),
+    "ro" -> Seq("și", "nu"),
+    "tr" -> Seq("ve", "bir"),
+    "id" -> Seq("yang", "dan"),
+    "vi" -> Seq("và", "của"),
+    "el" -> Seq("και", "να"),
+    "ar" -> Seq("في", "من"),
+    "he" -> Seq("של", "את")
   )
 
   def langScoreCol(text: Column, lang: String): Column =
@@ -49,6 +75,38 @@ object TextAnalysis {
     scores.foldRight(lit("unk"): Column) { case ((l, s), elseC) =>
       when(s === maxAll && s > 0, lit(l)).otherwise(elseC)
     }
+  }
+
+  /** The language-ID scorer as generated ANSI SQL over a text expression
+    * — the oracle is GENERATED from the same LangMarkers table the
+    * Column version reads, so the two engines cannot drift. Returns the
+    * (scoreSelectList, caseExpr) pair: per-language score expressions
+    * aliased `__s_<lang>`, and the argmax CASE over those aliases.
+    */
+  def langIdSql(textExpr: String): (String, String) = {
+    def wcSql(w: String): String = {
+      val p = s"' '||$textExpr||' '"
+      s"(length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2}"
+    }
+    val scores = LangMarkers.map { case (l, ws) =>
+      s"${ws.map(wcSql).mkString(" + ")} AS __s_$l"
+    }.mkString(",\n             ")
+    val g = s"greatest(${LangMarkers.map(l => s"__s_${l._1}").mkString(", ")})"
+    val cases = LangMarkers.map { case (l, _) =>
+      s"WHEN __s_$l = $g AND __s_$l > 0 THEN '$l'"
+    }.mkString("\n                ")
+    (scores, s"CASE $cases\n                ELSE 'unk' END")
+  }
+
+  /** Deterministic fixed-size "paragraphs" for texts without structural
+    * breaks: consecutive `parWords`-token chunks. Mirrors 1:1 in SQL
+    * (list slicing over the same regex split).
+    */
+  def paragraphsCol(text: Column, parWords: Int = 12): Column = {
+    val toks = split(trim(text), "\\s+")
+    val nP = ceil(size(toks) / lit(parWords.toDouble)).cast("int")
+    transform(sequence(lit(0), nP - 1), i =>
+      array_join(slice(toks, i * parWords + 1, lit(parWords)), " "))
   }
 
   // ---- hash fingerprints (Scala + UDF; not SQL-portable) ----

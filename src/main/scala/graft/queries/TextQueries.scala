@@ -43,6 +43,24 @@ object TextQueries {
         TextAnalysis.langIdCol(col("text")).as("pred_lang"))
     },
 
+    // Paragraph-pruning language filter (the reference's doc+paragraph
+    // mode, filter_corpus.py:95–147: drop paragraphs not in the doc's
+    // language, keep the doc). Texts carry no structural breaks, so
+    // "paragraphs" are deterministic 12-token chunks — pure array
+    // columns end to end, no explode/shuffle: chunking, per-paragraph
+    // language ID and the pruning all happen inside one projection.
+    "q_lang_paragraphs" -> { (s, dir) =>
+      val pars    = TextAnalysis.paragraphsCol(col("text"))
+      val docLang = TextAnalysis.langIdCol(col("text"))
+      val kept    = filter(pars, p => TextAnalysis.langIdCol(p) === docLang)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        docLang.as("doc_lang"),
+        size(pars).cast(LongType).as("n_pars"),
+        size(kept).cast(LongType).as("n_kept"),
+        array_join(kept, " ").as("kept_text"))
+    },
+
     "q_quality_score" -> { (s, dir) =>
       val words = TextAnalysis.tokenCountCol(col("text")).cast(LongType)
       val stops = TextAnalysis.wordCountCol(col("text"), "the") +
@@ -165,6 +183,21 @@ object TextQueries {
     "q_ann_ivf" -> { (s, dir) =>
       Similarity.ivfSearch(table(s, dir, "embeddings"),
         queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
+    },
+
+    // Same search against a MATERIALIZED IVF index (build once, probe
+    // reads only the nProbe list partitions — partition pruning at file
+    // listing). Oracle: identical to q_ann_ivf.
+    "q_ann_ivf_indexed" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      Similarity.ivfBuild(emb, idx, kLists = 8, iters = 3)
+      val qVec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.ivfSearchIndexed(s, idx, qVec, k = 10, nProbe = 2,
+        excludeId = Some(0L))
     },
 
     // Embedding-cosine near-dup pairs, exact within blocks. The raw
@@ -292,35 +325,56 @@ object TextQueries {
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bhash = y.bhash AND x.k < y.k)"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_token_count" ->
       """SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
              AS n_tokens
          FROM documents""",
-    "q_lang_id" ->
-      """WITH s AS (
+    // GENERATED from TextAnalysis.LangMarkers (22 languages) — the
+    // oracle SQL and the Column scorer read the same marker table, so
+    // the two engines cannot drift as breadth grows.
+    "q_lang_id" -> {
+      val (scores, caseExpr) = TextAnalysis.langIdSql("text")
+      s"""WITH s AS (
            SELECT doc_id,
-             (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-           + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
-               AS en,
-             (length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ''))) / 5
-           + (length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ''))) / 5
-               AS de,
-             (length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ''))) / 4
-           + (length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ''))) / 4
-               AS fr,
-             (length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ''))) / 4
-           + (length(' '||text||' ') - length(replace(' '||text||' ', ' y ', ''))) / 3
-               AS es
+             $scores
            FROM documents)
          SELECT doc_id,
-           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-                WHEN fr >= es AND fr > 0 THEN 'fr'
-                WHEN es > 0 THEN 'es'
-                ELSE 'unk' END AS pred_lang
-         FROM s""",
+           $caseExpr AS pred_lang
+         FROM s"""
+    },
+
+    "q_lang_paragraphs" -> {
+      val (pScores, pCase) = TextAnalysis.langIdSql("ptext")
+      val (dScores, dCase) = TextAnalysis.langIdSql("text")
+      s"""WITH toks AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS t
+           FROM documents),
+         par AS (
+           SELECT doc_id,
+                  unnest(range(CAST(ceil(len(t) / 12.0) AS BIGINT))) AS p_id,
+                  t
+           FROM toks),
+         ptexts AS (
+           SELECT doc_id, p_id,
+                  array_to_string(t[(p_id*12+1):(p_id*12+12)], ' ') AS ptext
+           FROM par),
+         ps AS (SELECT doc_id, p_id, ptext, $pScores FROM ptexts),
+         pl AS (SELECT doc_id, p_id, ptext, $pCase AS p_lang FROM ps),
+         ds AS (SELECT doc_id, $dScores FROM documents),
+         dl AS (SELECT doc_id, $dCase AS doc_lang FROM ds)
+         SELECT pl.doc_id AS doc_id, doc_lang,
+                CAST(count(*) AS BIGINT) AS n_pars,
+                CAST(sum(CASE WHEN p_lang = doc_lang THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                coalesce(string_agg(
+                  CASE WHEN p_lang = doc_lang THEN ptext END,
+                  ' ' ORDER BY p_id), '') AS kept_text
+         FROM pl JOIN dl USING (doc_id)
+         GROUP BY 1, 2"""
+    },
     "q_quality_score" ->
       """WITH s AS (
            SELECT doc_id, text,
@@ -559,4 +613,9 @@ object TextQueries {
          SELECT vec_id, sim FROM sims
          ORDER BY sim DESC, vec_id ASC LIMIT 20"""
   )
+
+  // the materialized-index search returns exactly what the in-place IVF
+  // search returns -> same oracle replay
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_ann_ivf_indexed" -> oraclesBase("q_ann_ivf"))
 }

@@ -101,6 +101,30 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.UrlDedup.releaseOrderCache(cache)
   }
 
+  test("ivfSearchIndexed prunes to the probed list partitions") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-prune").toString
+    graft.operators.Similarity.ivfBuild(emb, idx, kLists = 8, iters = 3)
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val df = graft.operators.Similarity.ivfSearchIndexed(
+      spark, idx, qVec, k = 10, nProbe = 2, excludeId = Some(0L))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the list_id filter must prune at the file listing: 2 of 8 list
+    // directories selected, and the partition filter visible on the scan
+    val m = "partition values|PartitionFilters: \\[[^\\]]*list_id".r
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined,
+           s"list_id must be a partition filter, plan:\n${p.take(3000)}")
+    // the scan's partition count after pruning must be <= nProbe (of 8)
+    val prunedParts = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }
+    assert(prunedParts.nonEmpty && prunedParts.forall(_ <= 2),
+           s"probe must read <= nProbe list partitions, got $prunedParts")
+  }
+
   test("simhash verify join: exactly one UDF (the token loop), hamming " +
        "is built-in bit_count") {
     val p = finalPlan("q_simhash_neardup")

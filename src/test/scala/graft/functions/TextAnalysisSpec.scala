@@ -36,7 +36,51 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("langid markers count literally (non-overlapping replace)") {
     // column form parity is covered in CrawlParitySpec; here the
-    // degenerate inputs
-    assert(TextAnalysis.LangMarkers.map(_._1) == Seq("en", "de", "fr", "es"))
+    // marker-table shape: 22 languages, priority order starts with the
+    // original four, every language has >= 2 markers
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    assert(langs.take(4) == Seq("en", "de", "fr", "es"))
+    assert(langs.length == 22 && langs.distinct.length == 22)
+    assert(TextAnalysis.LangMarkers.forall(_._2.length >= 2))
+  }
+
+  test("langIdCol classifies sample sentences across the 22 languages") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      "en" -> "the cat sat on a mat and the dog barked",
+      "de" -> "der hund und der mann gehen und reden",
+      "fr" -> "le chien et le chat et la maison",
+      "es" -> "el perro y el gato y la casa",
+      "pt" -> "não temos uma casa mas uma vida boa não ruim",
+      "it" -> "il cane che corre e il gatto che dorme",
+      "nl" -> "het huis is een mooi huis en het leven is een feest",
+      "ru" -> "я и ты не знаем и не видим",
+      "pl" -> "to się nie dzieje i się nie stanie",
+      "cs" -> "to se nestalo že se to stane",
+      "sv" -> "hunden och katten vet att huset och livet",
+      "no" -> "hunden og katten er ikke hjemme og ikke ute",
+      "da" -> "det er en del af det store hus af sten",
+      "fi" -> "koira ja kissa ei tiedä ja ei näe",
+      "hu" -> "a kutya és a macska nem tudja és nem látja",
+      "ro" -> "câinele și pisica nu știu și nu văd",
+      "tr" -> "bir köpek ve bir kedi ve bir ev",
+      "id" -> "rumah yang besar dan anjing yang kecil dan kucing",
+      "vi" -> "con chó và con mèo của tôi và của bạn",
+      "el" -> "το σπίτι και ο σκύλος να τρέχει και να παίζει",
+      "ar" -> "البيت في المدينة من الحجر في الشارع من هنا",
+      "he" -> "הבית של האיש את הכלב של הילד את החתול")
+    val got = samples.map(_._2).toDF("text")
+      .select(TextAnalysis.langIdCol(col("text")).as("lang"))
+      .as[String].collect().toSeq
+    val want = samples.map(_._1)
+    assert(got == want, samples.map(_._1).zip(got)
+      .filter { case (w, g) => w != g }.mkString(", "))
+    // no markers at all -> unk
+    val unk = Seq("zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.langIdCol(col("text")).as("lang"))
+      .as[String].head()
+    assert(unk == "unk")
   }
 }
