@@ -41,7 +41,11 @@ object Boilerplate {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "table", "tr", "td", "th", "blockquote", "section", "article",
     "header", "footer", "nav", "aside", "pre", "form", "br", "hr",
-    "body", "html", "head", "title")
+    "body", "html", "head", "title", "main")
+  /** Sections a trafilatura-style extractor prunes wholesale. */
+  private val UnwantedTags = Set("nav", "header", "footer", "aside", "form")
+  /** Main-content candidates (trafilatura's priority selectors). */
+  private val MainTags = Set("article", "main")
   private val SkipContent = Set("script", "style")
   private val Entities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
@@ -54,6 +58,13 @@ object Boilerplate {
     */
   case class Block(text: String, link_chars: Int, heading: Boolean = false)
 
+  /** Block with section context for the trafilatura-style extractor:
+    * `unwanted` = any of its text sat inside nav/header/footer/aside/
+    * form; `in_main` = inside article/main.
+    */
+  case class CtxBlock(text: String, link_chars: Int, heading: Boolean,
+                      unwanted: Boolean, in_main: Boolean)
+
   private def collapse(s: String): String =
     s.replaceAll("\\s+", " ").trim
 
@@ -62,20 +73,33 @@ object Boilerplate {
     * skipped; a small entity table is decoded; per block the collapsed
     * text and the count of characters contributed inside <a> runs.
     */
-  def parseBlocks(html: String): Vector[Block] = {
+  def parseBlocks(html: String): Vector[Block] =
+    parseBlocksCtx(html).map(b => Block(b.text, b.link_chars, b.heading))
+
+  /** As parseBlocks, additionally tracking the unwanted-section and
+    * main-content depths per block (one parser serves both extractors).
+    */
+  def parseBlocksCtx(html: String): Vector[CtxBlock] = {
     if (html == null) return Vector.empty
-    val out  = Vector.newBuilder[Block]
+    val out  = Vector.newBuilder[CtxBlock]
     val text = new mutable.StringBuilder
     val link = new mutable.StringBuilder
     var aDepth   = 0
     var hDepth   = 0
-    var inHeading = false
+    var uDepth   = 0
+    var mDepth   = 0
+    var inHeading  = false
+    var inUnwanted = false
+    var inMain     = false
     var skipTag: String = null
     def flush(): Unit = {
       val t = collapse(text.toString)
       val l = collapse(link.toString).length
-      if (t.nonEmpty) out += Block(t, math.min(l, t.length), inHeading)
-      text.clear(); link.clear(); inHeading = false
+      if (t.nonEmpty)
+        out += CtxBlock(t, math.min(l, t.length), inHeading,
+                        inUnwanted, inMain)
+      text.clear(); link.clear()
+      inHeading = false; inUnwanted = false; inMain = false
     }
     def decode(s: String): String = {
       if (!s.contains('&')) s
@@ -111,6 +135,12 @@ object Boilerplate {
                 name.charAt(1) >= '1' && name.charAt(1) <= '6') {
               if (isEnd) hDepth = math.max(0, hDepth - 1) else hDepth += 1
             }
+            if (UnwantedTags.contains(name)) {
+              if (isEnd) uDepth = math.max(0, uDepth - 1) else uDepth += 1
+            }
+            if (MainTags.contains(name)) {
+              if (isEnd) mDepth = math.max(0, mDepth - 1) else mDepth += 1
+            }
           } else {
             // inline tag: acts as whitespace-free separator; append a
             // space so adjacent runs don't fuse into one token
@@ -125,7 +155,11 @@ object Boilerplate {
           val run = decode(html.substring(i, end))
           text.append(run)
           if (aDepth > 0) link.append(run)
-          if (hDepth > 0 && run.trim.nonEmpty) inHeading = true
+          if (run.trim.nonEmpty) {
+            if (hDepth > 0) inHeading = true
+            if (uDepth > 0) inUnwanted = true
+            if (mDepth > 0) inMain = true
+          }
         }
         i = end
       }

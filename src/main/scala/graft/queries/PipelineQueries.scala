@@ -120,6 +120,31 @@ object PipelineQueries {
                 col("cf"), col("final_class"))
     },
 
+    // Trafilatura-style second extractor (the reference's alternative to
+    // justext, boilerplate.py:61–74): page skeleton exercises every
+    // pruning rule — nav/header/footer/aside discarded wholesale, the
+    // <article> restricts extraction, a pure-link paragraph dies on link
+    // density, "tiny" on min length, and the repeated share-paragraph on
+    // the duplicate filter. The oracle predicts the surviving sequence
+    // from the known structure.
+    "q_trafilatura" -> { (s, dir) =>
+      val page = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+          lit("<header><h1>Site title banner</h1></header>"),
+          lit("<article><h2>Section about "), col("source"), lit("</h2><p>"),
+          call_function("replace", col("text"), lit(" slow "), lit("</p><p>")),
+          lit("</p><p>tiny</p>"),
+          lit("<p><a href=\"#\">read more and more links</a></p>"),
+          lit("<p>Share this article with friends</p>"),
+          lit("<p>Share this article with friends</p></article>"),
+          lit("<aside><p>related articles sidebar list</p></aside>"),
+          lit("<footer><p>site footer notice text</p></footer>")
+        ).as("page"))
+      graft.functions.Trafilatura.extract(page, "page", "doc_id")
+    },
+
     // REAL image decode end-to-end: deterministic 8-bit gray PNGs are
     // encoded from a pixel formula (fixture side), then
     // Multimodal.imageFeatures decodes them with javax.imageio and emits
@@ -356,6 +381,34 @@ object PipelineQueries {
     // The full justext revise_paragraph_classification as SQL windows:
     // heading promotion (p2), short snapshot phase (p3), the neargood
     // in-place loop collapsed to lag/lead (p4), more-good-headings (p5).
+    "q_trafilatura" ->
+      s"""WITH s AS (
+            SELECT doc_id, source,
+                   list_filter(
+                     list_transform(string_split(text, ' slow '),
+                                    x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                     x -> x <> '' AND len(x) >= 10) AS paras
+            FROM documents),
+          raw AS (
+            SELECT doc_id,
+                   ['Section about ' || source] || paras ||
+                   ['Share this article with friends'] AS blocks
+            FROM s),
+          numbered AS (
+            SELECT doc_id, unnest(blocks) AS text,
+                   generate_subscripts(blocks, 1) AS idx
+            FROM raw),
+          dedup AS (
+            SELECT doc_id, text, idx,
+                   row_number() OVER (PARTITION BY doc_id, text
+                                      ORDER BY idx) AS rn
+            FROM numbered)
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                      AS BIGINT) AS seq,
+                 text
+          FROM dedup WHERE rn = 1""",
+
     "q_boilerplate" ->
       s"""WITH s AS (
             SELECT doc_id, source,
