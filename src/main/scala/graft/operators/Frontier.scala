@@ -34,22 +34,23 @@ object Frontier {
                      salts: Int = 16): DataFrame =
     politenessRankEx(candidates, hostCol, priorityCols, quota, salts)._1
 
-  /** As politenessRank, also returning the sort intermediate pinned by
-    * the unbounded path (null when the bounded/window path ran); batch
-    * drivers should release it via UrlDedup.releaseOrderCache once the
+  /** As politenessRank, also returning the cache intermediates pinned by
+    * the unbounded path (empty when the bounded/window path ran); batch
+    * drivers should release each via UrlDedup.releaseOrderCache once the
     * result is consumed, mirroring crawlOrderEx.
     */
   def politenessRankEx(candidates: DataFrame,
                        hostCol: String,
                        priorityCols: Seq[Column],
                        quota: Int,
-                       salts: Int = 16): (DataFrame, DataFrame) = {
-    if (quota >= Int.MaxValue / math.max(salts, 1)) {
+                       salts: Int = 16): (DataFrame, Seq[DataFrame]) = {
+    if (quota >= Int.MaxValue / math.max(salts, 1) &&
+        !sys.env.contains("GRAFT_POLITE_WINDOW")) {
       // Unbounded quota: the window below would put a mega-host's EVERY
       // row into one task (no pre-prune bounds it) — straggler/OOM at a
       // skewed host distribution. Exact skew-free path instead.
-      val (r, cache) = politenessRankUnbounded(candidates, hostCol, priorityCols)
-      (r, cache)
+      // GRAFT_POLITE_WINDOW=1 forces the legacy window path (A/B only).
+      politenessRankUnbounded(candidates, hostCol, priorityCols)
     } else {
       val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
       val pruned =
@@ -67,21 +68,23 @@ object Frontier {
         }
       (pruned
         .withColumn("wave", row_number().over(w))
-        .filter(col("wave") <= quota), null)
+        .filter(col("wave") <= quota), Seq.empty)
     }
   }
 
-  /** Exact per-host rank with NO per-host task: global range sort on
-    * (host, priority...) makes each host's rows globally contiguous and
-    * lets a mega-host SPREAD across many range partitions (boundaries
-    * fall inside the host), the opposite of a host-partitioned window.
-    * Within a partition the rank is a streaming counter; only the one
-    * host that can span each partition boundary needs an offset, so the
-    * correction state collected to the driver is O(partitions) — two
-    * boundary runs per partition — independent of host skew and host
-    * count. The sorted frame is localCheckpoint'ed so the boundary pass
-    * and the rank pass observe the same (sampled, hence nondeterministic)
-    * range partitioning.
+  /** Exact per-host rank with NO per-host task, all codegen: global
+    * range sort on (host, priority...) gives each row a contiguous
+    * global ord (the crawlOrder partition-offset idiom — a mega-host
+    * SPREADS across range partitions since boundaries fall inside the
+    * host, the opposite of a host-partitioned window); then
+    * wave = ord − min(ord per host) + 1. The per-host minimum is a
+    * partial-aggregated groupBy (map-side combine ⇒ skew-free) and the
+    * join back is AQE territory: broadcast when the host table is small,
+    * skew-split sort-merge when it is not — either way no single task
+    * ever owns a whole mega-host. An earlier mapPartitions
+    * streaming-counter variant computed the same thing but paid ~45%
+    * wall (full-row object deser/ser ×2, task GC ×2 at 8M URLs on this
+    * box) versus this plan's staying inside Tungsten end-to-end.
     *
     * Ties in `priorityCols` order get arbitrary-but-deterministic waves
     * (same caveat as row_number over a non-total order).
@@ -89,72 +92,46 @@ object Frontier {
   private[graft] def politenessRankUnbounded(
       candidates: DataFrame,
       hostCol: String,
-      priorityCols: Seq[Column]): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val sortCols = col(hostCol).asc +: priorityCols
-    val sorted  = candidates.orderBy(sortCols: _*).localCheckpoint()
-    val schema  = sorted.schema
-    val hostIdx = schema.fieldIndex(hostCol)
-    // pass 1 (tiny): first and last host run of each partition, with row
-    // counts. Interior runs never span a boundary -> never need offsets.
-    val boundary: Array[(Int, String, Long, Int)] = sorted
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var firstHost: String = null; var firstCnt = 0L
-        var curHost: String = null;   var curCnt = 0L
-        var runs = 0
-        it.foreach { row =>
-          val h = String.valueOf(row.get(hostIdx))
-          if (curHost == null || h != curHost) {
-            if (runs == 1) { firstHost = curHost; firstCnt = curCnt }
-            curHost = h; curCnt = 0L; runs += 1
-          }
-          curCnt += 1
-        }
-        if (runs == 0) Iterator.empty
-        else if (runs == 1) Iterator((pid, curHost, curCnt, 0))
-        else Iterator((pid, firstHost, firstCnt, 0), (pid, curHost, curCnt, 1))
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
-                       Encoders.scalaLong, Encoders.scalaInt))
-      .collect()
-    // offsets for spanning hosts: a host in >1 partitions is the last run
-    // of its first partition and the first (or sole) run of each later
-    // one; its offset at partition p = its boundary-run counts in earlier
-    // partitions. Hosts interior to one partition never appear here.
-    val offsets: Map[Int, Map[String, Long]] = boundary
-      .groupBy(_._2)
-      .iterator.flatMap { case (host, entries) =>
-        val byPid = entries.sortBy(_._1)
-        var acc = 0L
-        byPid.iterator.map { case (pid, _, cnt, _) =>
-          val o = (pid, host, acc); acc += cnt; o
-        }.filter(_._3 > 0L)
-      }
-      .toArray
-      .groupBy(_._1)
-      .map { case (pid, es) => pid -> es.map(e => e._2 -> e._3).toMap }
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(schema.fields :+ StructField("wave", IntegerType, nullable = false))
-    // pass 2: streaming per-run counter + boundary offset; no buffering
-    val ranked = sorted.mapPartitions { it =>
-      val pid   = org.apache.spark.TaskContext.getPartitionId()
-      val offs  = bOffsets.value.getOrElse(pid, Map.empty[String, Long])
-      var curHost: String = null
-      var n = 0L
-      it.map { row =>
-        val h = String.valueOf(row.get(hostIdx))
-        if (curHost == null || h != curHost) {
-          curHost = h
-          n = offs.getOrElse(h, 0L)
-        }
-        n += 1L
-        Row.fromSeq(row.toSeq :+ n.toInt)
-      }
-    }(Encoders.row(outSchema))
-    (ranked, sorted)
+      priorityCols: Seq[Column]): (DataFrame, Seq[DataFrame]) = {
+    val mask = lit((1L << 33) - 1)
+    val sorted = candidates
+      .orderBy((col(hostCol).asc +: priorityCols): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    // ONE auxiliary scan of the checkpoint feeds both partition offsets
+    // and per-host minimum: group to (partition, host) — host-scale, with
+    // map-side combine — then derive each from that small frame
+    val aux = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"), col(hostCol))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__minmid"))
+      .localCheckpoint(false)
+    val offsets = aux
+      .groupBy(col("__pid")).agg(sum(col("__cnt")).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(asc("__pid"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    // per-host global first ord; tiny per-host groups (<= one row per
+    // partition the host touches), so the agg cannot skew
+    val firsts = aux
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__mord", col("__offset") + col("__minmid").bitwiseAND(mask))
+      .groupBy(col(hostCol)).agg(min(col("__mord")).as("__h0"))
+    val ranked = sorted
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offsets), Seq("__pid"))
+      // host-keyed join: AQE picks broadcast when the host table is
+      // small, skew-split sort-merge when it is not — no single task
+      // ever owns a whole mega-host
+      .join(firsts, Seq(hostCol))
+      .withColumn("wave",
+        (col("__offset") + col("__mid").bitwiseAND(mask)
+          - col("__h0") + 1L).cast("int"))
+      .drop("__pid", "__mid", "__offset", "__h0")
+    (ranked, Seq(sorted, aux))
   }
 
   /** Politeness schedule: earliest-fetch epoch second per candidate —

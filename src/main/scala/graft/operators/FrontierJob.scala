@@ -98,7 +98,13 @@ object FrontierJob {
     // winner rows — reuse it instead of materializing kept twice (one
     // full pass through the memory subsystem per batch saved).
     val keptIsOrdered = robots.isEmpty && politenessQuota == Int.MaxValue
-    val kept0 = UrlDedup.winnersKept(fresh, keep)
+    // winners count rides as an Observation on the kept frame when the
+    // robots/quota path can drop rows downstream — the metrics collect
+    // during the seen-delta write instead of a dedicated count job
+    val obsWin  = Observation()
+    val kept0raw = UrlDedup.winnersKept(fresh, keep)
+    val kept0 = if (keptIsOrdered) kept0raw
+                else kept0raw.observe(obsWin, count(lit(1)).as("n_winners"))
     val kept = if (cacheIntermediates && !keptIsOrdered)
       kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else kept0
@@ -118,9 +124,9 @@ object FrontierJob {
     // 5. politeness waves (per-host quota), then O3 crawl order + batches.
     // crawlOrder checkpoints its sorted input internally (its two
     // consumers need identical partitioning), so no persist here
-    val (ranked, rankCache) = Frontier.politenessRankEx(
+    val (ranked, rankCache) = phase("politeness rank")(Frontier.politenessRankEx(
       gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
-      politenessQuota)
+      politenessQuota))
     val (ordered, sortedCache) =
       phase("order (df-native)")(UrlDedup.crawlOrderEx(ranked))
     val obsBatch = Observation("frontier_batches")
@@ -171,9 +177,9 @@ object FrontierJob {
     val nBatches = obsBatch.get("max_batch").asInstanceOf[Long] + 1
     val nWinners =
       if (keptIsOrdered) nKept
-      else phase("winners count")(kept.count())
+      else obsWin.get("n_winners").asInstanceOf[Long]
     UrlDedup.releaseOrderCache(sortedCache)
-    if (rankCache != null) UrlDedup.releaseOrderCache(rankCache)
+    rankCache.foreach(UrlDedup.releaseOrderCache)
     if (cacheIntermediates && !keptIsOrdered) kept.unpersist()
     val metrics = Map(
       "n_new_entries" -> obsNew.get("n_new_entries").asInstanceOf[Long],

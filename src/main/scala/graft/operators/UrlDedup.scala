@@ -115,9 +115,19 @@ object UrlDedup {
   /** As crawlOrder, also returning the persisted sort intermediate; the
     * caller should `unpersist()` it once the result is fully consumed.
     */
-  def crawlOrderEx(kept: DataFrame): (DataFrame, DataFrame) = {
-    val sortCols = Seq(asc("warc"), asc("offset"), asc("url"),
-                       asc("file_ord"), asc("line_ord"))
+  def crawlOrderEx(kept: DataFrame): (DataFrame, DataFrame) =
+    ordByPartitionOffsets(kept,
+      Seq(asc("warc"), asc("offset"), asc("url"),
+          asc("file_ord"), asc("line_ord")), "ord")
+
+  /** The partition-offset global-rank idiom behind crawlOrder,
+    * parameterized: range sort on `sortCols`, contiguous 0-based
+    * `ordCol`, all codegen column work. Returns (ranked, sortCache);
+    * release the cache via releaseOrderCache once consumed.
+    */
+  def ordByPartitionOffsets(kept: DataFrame, sortCols0: Seq[Column],
+                            ordCol: String): (DataFrame, DataFrame) = {
+    val sortCols = sortCols0
     // localCheckpoint (raw UnsafeRow blocks), NOT Dataset.persist: the
     // columnar cache build re-encodes + compresses every row — measured
     // as a ~10s non-scaling constant per 2M-row batch on this box (it
@@ -139,7 +149,7 @@ object UrlDedup {
     val ordered = sorted
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("ord",
+      .withColumn(ordCol,
         col("__offset") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__pid", "__mid", "__offset")
     (ordered, sorted)

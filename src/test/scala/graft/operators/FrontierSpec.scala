@@ -60,10 +60,14 @@ class FrontierSpec extends AnyFunSuite {
     // the mega-host got 1000 distinct waves 1..1000
     assert(gotSet.filter(_._1 == "mega.example.com").map(_._3) ==
       (1 to 1000).toSet)
-    // plan assertion: NO Window operator anywhere in the physical plan —
-    // the rank is a range sort + streaming counter
+    // plan assertion: no window PARTITIONED BY HOST anywhere — the only
+    // window allowed is the partition-offsets one (one row per physical
+    // partition, bounded by the partition count, never by host skew)
     val plan = got.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    assert(!plan.contains("windowspecdefinition(host_key"),
+           s"host-partitioned window in plan:\n$plan")
+    assert(!plan.contains("row_number"),
+           s"per-host row_number in plan:\n$plan")
   }
 
   test("scheduleWaves: not_before = t0 + (wave-1) * per-host delay") {
