@@ -120,6 +120,50 @@ object PipelineQueries {
                 col("cf"), col("final_class"))
     },
 
+    // emtsv TSV Unit tree (reference tsv.py:19–126): content synthesized
+    // per doc with a known 1-par/1-sent/<=5-token shape, parsed by the
+    // real state machine; the oracle predicts every output from the
+    // construction. Any parse defect (comment routing, token splitting,
+    // flush order) breaks the match.
+    "q_tsv_parse" -> { (s, dir) =>
+      val parseUdf = udf((content: String) => {
+        val (_, docs) = graft.sources.TsvUnits.parseDocs(content, useHeaders = false)
+        val d = docs.head
+        val sents = d.paragraphs.flatMap(_.sentences)
+        (d.paragraphs.size, sents.size, sents.map(_.tokens.size).sum,
+         sents.head.comment)
+      })
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("words", slice(split(trim(col("text")), "\\s+"), 1, 5))
+        .withColumn("content", concat(
+          lit("# newdoc id = "), col("doc_id"),
+          lit("\n# newpar id = "), col("doc_id"), lit("_p1\n# text = "),
+          array_join(col("words"), " "), lit("\n"),
+          array_join(transform(col("words"),
+            w => concat(w, lit("\t"), upper(w))), "\n")))
+        .withColumn("r", parseUdf(col("content")))
+        .select(col("doc_id"),
+                col("r._1").cast(LongType).as("n_pars"),
+                col("r._2").cast(LongType).as("n_sents"),
+                col("r._3").cast(LongType).as("n_tokens"),
+                col("r._4").as("sent_text"))
+    },
+
+    // emMorph xpostag cleanup (tsv.py:142–154) as a codegen'd
+    // regexp_replace chain; dirty tags drawn deterministically per doc.
+    "q_xpostag_clean" -> { (s, dir) =>
+      val dirty = array(Seq(
+        "[/N][Acc][]", "[1][Sg]", "[2][S][g]", "[3][Pl]",
+        "[1][P][l]", "[N][Nom]", "[[[Adj]", "[V][[Prs]").map(lit): _*)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(dirty,
+            (pmod(ascii(expr("right(doc_id, 1)")), lit(8)) + 1)
+              .cast("int")).as("raw"))
+        .withColumn("cleaned",
+          graft.sources.TsvUnits.cleanXpostagCol(col("raw")))
+    },
+
     // Trafilatura-style second extractor (the reference's alternative to
     // justext, boilerplate.py:61–74): page skeleton exercises every
     // pruning rule — nav/header/footer/aside discarded wholesale, the
@@ -381,6 +425,34 @@ object PipelineQueries {
     // The full justext revise_paragraph_classification as SQL windows:
     // heading promotion (p2), short snapshot phase (p3), the neargood
     // in-place loop collapsed to lag/lead (p4), more-good-headings (p5).
+    "q_tsv_parse" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+')[1:5] AS words
+            FROM documents)
+          SELECT doc_id,
+                 CAST(1 AS BIGINT) AS n_pars,
+                 CAST(1 AS BIGINT) AS n_sents,
+                 CAST(len(words) AS BIGINT) AS n_tokens,
+                 '# text = ' || array_to_string(words, ' ') AS sent_text
+          FROM w""",
+
+    "q_xpostag_clean" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   (['[/N][Acc][]','[1][Sg]','[2][S][g]','[3][Pl]',
+                     '[1][P][l]','[N][Nom]','[[[Adj]','[V][[Prs]'])
+                     [(ascii(right(CAST(doc_id AS VARCHAR), 1)) % 8) + 1] AS raw
+            FROM documents)
+          SELECT doc_id, raw,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(replace(raw, '[]', ''),
+                     '\\[([1-3])\\](?:\\[Sg\\]|\\[S\\]\\[g\\])', '[\\1Sg]', 'g'),
+                     '\\[([1-3])\\](?:\\[Pl\\]|\\[P\\]\\[l\\])', '[\\1Pl]', 'g'),
+                     '^\\[([NV])\\]', '[/\\1]'),
+                     '\\[\\[+', '[', 'g') AS cleaned
+          FROM t""",
+
     "q_trafilatura" ->
       s"""WITH s AS (
             SELECT doc_id, source,

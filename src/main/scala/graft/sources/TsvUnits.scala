@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The emtsv CoNLL-ish TSV corpus format (reference: cc_corpus/tsv.py:
+  * 19–126): a header line of field names, then documents as a 3-level
+  * Unit tree — `# newdoc id =` starts a Document, `# newpar id =` a
+  * Paragraph, `# text =` a Sentence; non-comment lines are token rows
+  * (tab-separated fields); a token row before any `# text` comment is a
+  * format error (tsv.py:117–119).
+  *
+  * Spark-first shape: a FILE is the parallelism unit (exactly the
+  * reference's file-per-process model, scripts/convert_tsv.py:215–230),
+  * parsed by one task into NESTED rows — one row per document with
+  * paragraphs/sentences/tokens as array-of-struct columns. Downstream
+  * analysis uses the exploded token view (pure column work); round-trip
+  * uses `render`, which reproduces the reference's `__str__`
+  * serialization byte-for-byte (tsv.py:53–74).
+  */
+object TsvUnits {
+
+  case class TsvSentence(comment: String, tokens: Seq[Seq[String]])
+  case class TsvParagraph(comment: String, sentences: Seq[TsvSentence])
+  case class TsvDocument(comment: String, paragraphs: Seq[TsvParagraph])
+
+  /** Parse one file's content (after the optional header line) into
+    * documents — the state machine of tsv.py:103–126.
+    */
+  def parseDocs(content: String, useHeaders: Boolean = true)
+      : (Seq[String], Seq[TsvDocument]) = {
+    val lines = content.split("\n", -1).iterator
+    val header: Seq[String] =
+      if (useHeaders && lines.hasNext)
+        lines.next().stripLineEnd.split("\t", -1).toSeq
+      else Seq.empty
+    val docs = scala.collection.mutable.ArrayBuffer.empty[TsvDocument]
+    var doc:  scala.collection.mutable.ArrayBuffer[TsvParagraph] = null
+    var par:  scala.collection.mutable.ArrayBuffer[TsvSentence]  = null
+    var sent: scala.collection.mutable.ArrayBuffer[Seq[String]]  = null
+    var docComment: String = null
+    var parComment: String = null
+    var sentComment: String = null
+    def flushSent(): Unit = if (sentComment != null) {
+      par += TsvSentence(sentComment, sent.toSeq)
+      sentComment = null; sent = null
+    }
+    def flushPar(): Unit = { flushSent(); if (parComment != null) {
+      doc += TsvParagraph(parComment, par.toSeq)
+      parComment = null; par = null
+    } }
+    def flushDoc(): Unit = { flushPar(); if (docComment != null) {
+      docs += TsvDocument(docComment, doc.toSeq)
+      docComment = null; doc = null
+    } }
+    var lineNo = if (useHeaders) 1 else 0
+    lines.map(_.trim).foreach { line =>
+      lineNo += 1
+      if (line.startsWith("# ")) {
+        if (line.startsWith("# newdoc id = ")) {
+          flushDoc()
+          docComment = line
+          doc = scala.collection.mutable.ArrayBuffer.empty
+        } else if (line.startsWith("# newpar id = ")) {
+          flushPar()
+          parComment = line
+          par = scala.collection.mutable.ArrayBuffer.empty
+        } else if (line.startsWith("# text = ")) {
+          flushSent()
+          sentComment = line
+          sent = scala.collection.mutable.ArrayBuffer.empty
+        }
+        // other comments are ignored, as in the reference
+      } else if (line.nonEmpty) {
+        if (sentComment == null)
+          throw new IllegalStateException(
+            s"Error on line $lineNo: sentence starts without \"text\" comment.")
+        sent += line.split("\t", -1).toSeq
+      }
+    }
+    flushDoc()
+    (header, docs.toSeq)
+  }
+
+  /** The reference's `__str__` serialization (tsv.py:53–74): units joined
+    * by newlines, each sentence followed by a trailing newline.
+    */
+  def render(doc: TsvDocument): String =
+    doc.comment + "\n" + doc.paragraphs.map { p =>
+      p.comment + "\n" + p.sentences.map { s =>
+        s.comment + "\n" + s.tokens.map(_.mkString("\t")).mkString("\n") + "\n"
+      }.mkString("\n")
+    }.mkString("\n")
+
+  /** Read a directory/glob of tsv files into nested document rows:
+    * (file, doc_idx, doc_comment, doc_id, paragraphs). One task per
+    * file — the reference's own unit of parallelism; for bigger-than-
+    * task files, split upstream on `# newdoc` boundaries (documents are
+    * independent).
+    */
+  def readTsv(spark: SparkSession, path: String,
+              useHeaders: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, content) =>
+        val (_, docs) = parseDocs(content, useHeaders)
+        docs.zipWithIndex.map { case (d, i) => (file, i, d) }
+      }
+      .select(col("_1").as("file"), col("_2").as("doc_idx"),
+              col("_3.comment").as("doc_comment"),
+              expr("substring(_3.comment, 15)").as("doc_id"),
+              col("_3.paragraphs").as("paragraphs"))
+  }
+
+  /** Exploded token view over nested rows: one row per token with
+    * (doc_id, par_idx, sent_idx, tok_idx, fields) — the `tokens()`
+    * accumulator (tsv.py:45–51) as columns.
+    */
+  def tokensView(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+              posexplode(col("paragraphs")).as(Seq("par_idx", "par")))
+      .select(col("doc_id"), col("par_idx"),
+              posexplode(col("par.sentences")).as(Seq("sent_idx", "sent")))
+      .select(col("doc_id"), col("par_idx"), col("sent_idx"),
+              col("sent.comment").as("sent_text"),
+              posexplode(col("sent.tokens")).as(Seq("tok_idx", "fields")))
+
+  /** emMorph xpostag cleanup (tsv.py:142–154) as a pure column —
+    * regexp_replace chain, codegen'd and SQL-mirrorable:
+    * drop empty `[]`, normalize split Sg/Pl person tags, anchor a
+    * leading bare [N]/[V] to [/N]/[/V], collapse doubled brackets.
+    */
+  def cleanXpostagCol(x: Column): Column = {
+    val noEmpty = regexp_replace(x, "\\[\\]", "")
+    val sg = regexp_replace(noEmpty,
+      "\\[([1-3])\\](?:\\[Sg\\]|\\[S\\]\\[g\\])", "[$1Sg]")
+    val pl = regexp_replace(sg,
+      "\\[([1-3])\\](?:\\[Pl\\]|\\[P\\]\\[l\\])", "[$1Pl]")
+    val slash = regexp_replace(pl, "^\\[([NV])\\]", "[/$1]")
+    regexp_replace(slash, "\\[\\[+", "[")
+  }
+}
