@@ -38,21 +38,29 @@ object TextQueries {
     },
 
     "q_lang_id" -> { (s, dir) =>
+      graft.expressions.LangExpressions.register(s)
       table(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.langIdCol(col("text")).as("pred_lang"))
+        graft.expressions.LangExpressions.langIdCol(col("text"))
+          .as("pred_lang"))
     },
 
     // Paragraph-pruning language filter (the reference's doc+paragraph
     // mode, filter_corpus.py:95–147: drop paragraphs not in the doc's
     // language, keep the doc). Texts carry no structural breaks, so
     // "paragraphs" are deterministic 12-token chunks — pure array
-    // columns end to end, no explode/shuffle: chunking, per-paragraph
-    // language ID and the pruning all happen inside one projection.
+    // columns, no explode/shuffle. The per-paragraph scorer is the
+    // NATIVE graft_lang_id expression: the 700-node Column-algebra
+    // scorer evaluated interpreted inside the array lambda (HOFs are
+    // CodegenFallback) at ~100 µs/element — 4.2 s here; one JVM call
+    // per element brings it under a second with identical values.
     "q_lang_paragraphs" -> { (s, dir) =>
+      graft.expressions.LangExpressions.register(s)
+      def lang(c: org.apache.spark.sql.Column) =
+        graft.expressions.LangExpressions.langIdCol(c)
       val pars    = TextAnalysis.paragraphsCol(col("text"))
-      val docLang = TextAnalysis.langIdCol(col("text"))
-      val kept    = filter(pars, p => TextAnalysis.langIdCol(p) === docLang)
+      val docLang = lang(col("text"))
+      val kept    = filter(pars, p => lang(p) === docLang)
       table(s, dir, "documents").select(
         col("doc_id"),
         docLang.as("doc_lang"),

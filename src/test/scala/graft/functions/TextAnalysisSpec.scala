@@ -83,4 +83,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[String].head()
     assert(unk == "unk")
   }
+
+  test("native graft_lang_id matches the Column-algebra scorer exactly") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.expressions.LangExpressions.register(spark)
+    // adversarial cases: adjacent repeats (non-overlapping replace counts
+    // fewer than token counts — both sides must agree), ties (priority
+    // order), empty, markers at string edges, unicode markers
+    val texts = Seq(
+      "the the the cat", "x the the y", "", "the", "a", "und der",
+      "le et el y", "și nu și nu", "и не и не", "tiny und a the",
+      "the a der und le et el y") ++
+      (0 until 50).map(i => s"w$i the a${" der" * (i % 3)} x ${i % 7}")
+    val df = texts.toDF("text")
+    val both = df.select(
+        TextAnalysis.langIdCol(col("text")).as("portable"),
+        graft.expressions.LangExpressions.langIdCol(col("text")).as("native"))
+      .as[(String, String)].collect()
+    both.zip(texts).foreach { case ((p, n), t) =>
+      assert(p == n, s"mismatch on '$t': portable=$p native=$n")
+    }
+  }
 }
