@@ -71,6 +71,28 @@ object Trafilatura {
       .drop("has_main", "dup_rank", "unwanted", "in_main")
   }
 
+  /** Per-document local form — identical rules to `classify`/`extract`,
+    * for pipeline embedding (DocPipeline.spanize extractor choice).
+    */
+  def extractLocal(html: String): Seq[String] = {
+    val blocks = Boilerplate.parseBlocksCtx(html)
+    val hasMain = blocks.exists(_.in_main)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    blocks.iterator
+      .filter(b => !b.unwanted)
+      .filter(b => !hasMain || b.in_main)
+      .filter(b => b.link_chars <= b.text.length * MaxLinkDensity)
+      .filter(b => b.text.length >= MinBlockChars || b.heading)
+      .filter(b => seen.add(b.text))
+      .map(_.text)
+      .toSeq
+  }
+
+  /** Multi-chunk UDF form (content conversion may emit several HTML
+    * chunks per record — DocPipeline.convertChunks).
+    */
+  val extractChunksUdf = udf((chunks: Seq[String]) => chunks.flatMap(extractLocal))
+
   /** Kept paragraphs per document in order, re-numbered 1..n — the
     * extractor contract mirroring Boilerplate.extract.
     */

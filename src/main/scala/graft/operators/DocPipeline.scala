@@ -107,14 +107,23 @@ object DocPipeline {
               minChars: Int = 10,
               tokenFiltering: Boolean = true,
               cookiePatterns: Seq[String] = DefaultCookiePatterns,
-              justext: Boolean = false): DataFrame = {
+              justext: Boolean = false,
+              extractor: String = "simple"): DataFrame = {
     val chunks = convertChunks(col("chunk_body"), col("mime"))
-    // extractor: the simple block-splitter (SQL-mirrorable, used by the
-    // oracle-gated queries) or the JusText-core classifier
-    // (graft.functions.Boilerplate — the reference's removal quality)
-    val rawParas =
-      if (justext) graft.functions.Boilerplate.extractGoodChunksUdf(chunks)
-      else flatten(transform(chunks, c => extractParagraphs(c, minChars)))
+    // extractor choice mirrors the reference's boilerplate config
+    // (boilerplate.py:61–74 offers justext AND trafilatura): "simple"
+    // block-splitter (SQL-mirrorable, used by the oracle-gated queries),
+    // "justext" (full 5-phase classifier), or "trafilatura" (section
+    // pruning + main restriction + density/length/dup rules)
+    val which = if (justext) "justext" else extractor
+    val rawParas = which match {
+      case "justext" =>
+        graft.functions.Boilerplate.extractGoodChunksUdf(chunks)
+      case "trafilatura" =>
+        graft.functions.Trafilatura.extractChunksUdf(chunks)
+      case _ =>
+        flatten(transform(chunks, c => extractParagraphs(c, minChars)))
+    }
     // both extractors emit whitespace-collapsed text, so escaping needs
     // only the literal entity replacements (no regex, no re-collapse)
     val escaped = transform(rawParas, p =>

@@ -205,6 +205,66 @@ object Frontier {
       .drop("__allowed")
   }
 
+  /** RFC 9309 robots.txt parser: (host_key, content) files → the rules
+    * table robotsGate consumes, as pure column/window work (windows are
+    * per robots FILE — bounded by file size, never by corpus skew):
+    * lines → strip comments → classify (user-agent / allow / disallow /
+    * crawl-delay) → group boundaries (a user-agent line NOT preceded by
+    * another user-agent line starts a group, RFC 9309 §2.2.1: consecutive
+    * UA lines share one group) → per host pick the most specific
+    * applicable group (exact agent match beats `*`; no match → no rules
+    * = allow all) → emit (host_key, path_prefix, allow, crawl_delay).
+    * Empty Disallow: lines are allow-all no-ops and emit nothing.
+    */
+  def robotsRules(files: DataFrame, agent: String = "*",
+                  hostCol: String = "host_key",
+                  contentCol: String = "content"): DataFrame = {
+    val wFile  = Window.partitionBy(col(hostCol)).orderBy(asc("line_idx"))
+    val lines = files
+      .select(col(hostCol),
+              posexplode(split(col(contentCol), "\n")).as(Seq("line_idx", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(length(col("line")) > 0)
+      .withColumn("kind",
+        when(lower(col("line")).startsWith("user-agent:"), "ua")
+          .when(lower(col("line")).startsWith("allow:"), "allow")
+          .when(lower(col("line")).startsWith("disallow:"), "disallow")
+          .when(lower(col("line")).startsWith("crawl-delay:"), "delay"))
+      .filter(col("kind").isNotNull)
+      .withColumn("value",
+        trim(expr("substring(line, instr(line, ':') + 1)")))
+      .withColumn("grp_start",
+        (col("kind") === "ua" &&
+          coalesce(lag(col("kind"), 1).over(wFile), lit("")) =!= "ua")
+          .cast("long"))
+      .withColumn("grp",
+        sum(col("grp_start")).over(
+          wFile.rowsBetween(Window.unboundedPreceding, 0)))
+    // group applicability: exact agent name beats the wildcard
+    val groups = lines.filter(col("kind") === "ua")
+      .groupBy(hostCol, "grp")
+      .agg(max(when(lower(col("value")) === agent.toLowerCase, 2)
+          .when(col("value") === "*", 1).otherwise(0)).as("spec"))
+      .filter(col("spec") > 0)
+    val wHost = Window.partitionBy(col(hostCol))
+    val chosen = groups
+      .withColumn("best", max(col("spec")).over(wHost))
+      .filter(col("spec") === col("best"))
+      .select(col(hostCol), col("grp"))
+    val rules = lines
+      .join(chosen, Seq(hostCol, "grp"), "left_semi")
+      .filter(col("kind").isin("allow", "disallow", "delay"))
+    val delays = rules.filter(col("kind") === "delay")
+      .groupBy(hostCol)
+      .agg(min(col("value").cast("long")).as("crawl_delay"))
+    rules
+      .filter(col("kind").isin("allow", "disallow") && length(col("value")) > 0)
+      .select(col(hostCol), col("value").as("path_prefix"),
+              (col("kind") === "allow").as("allow"))
+      .join(delays, Seq(hostCol), "left_outer")
+      .withColumn("crawl_delay", coalesce(col("crawl_delay"), lit(1L)))
+  }
+
   /** O2 byte-range coalescing: group cluster ranges by file, merge
     * byte-contiguous runs (offset == previous end), cap each batch at
     * `maxClusters` (cc_corpus/index.py:187–241; ≤100 clusters/request,

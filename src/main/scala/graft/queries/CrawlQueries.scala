@@ -120,6 +120,27 @@ object CrawlQueries {
              countDistinct(col("url")).as("n_urls"))
     },
 
+    // RFC 9309 robots.txt PARSER (the input side of q_robots_gate):
+    // synthesized robots files per host exercise comment stripping, an
+    // inapplicable exact-agent group, group-boundary detection, the
+    // empty-Disallow no-op and Crawl-delay; the oracle predicts the
+    // chosen group's rules from the construction.
+    "q_robots_parse" -> { (s, dir) =>
+      val hosts = indexFrame(s, dir).select(
+        regexp_extract(col("url"), "^https://([^/]*)", 1).as("host_key"))
+        .distinct()
+      val hn = regexp_extract(col("host_key"), "^h(\\d+)", 1).cast("long")
+      val files = hosts.withColumn("content", concat(
+        lit("# robots for "), col("host_key"),
+        lit("\nUser-agent: googlebot\nDisallow: /gbot-only"),
+        lit("\nUser-agent: *\nAllow: /pub"), hn,
+        lit("\nDisallow: /priv"), hn,
+        lit("\nCrawl-delay: "), pmod(hn, lit(5)) + 1,
+        lit("\nDisallow:\n")))
+      Frontier.robotsRules(files)
+        .select("host_key", "path_prefix", "allow", "crawl_delay")
+    },
+
     // Politeness ranking: per-host priority order + emission quota via
     // Frontier.politenessRank.
     "q_politeness_rank" -> { (s, dir) =>
@@ -171,6 +192,23 @@ object CrawlQueries {
                                     file_ord, line_ord) - 1 AS ord,
                  url, warc, "offset"
           FROM kept""",
+    "q_robots_parse" ->
+      s"""WITH idx AS ($indexSql),
+          hosts AS (
+            SELECT DISTINCT regexp_extract(url, '^https://([^/]*)', 1)
+                   AS host_key
+            FROM idx),
+          h AS (
+            SELECT host_key,
+                   CAST(regexp_extract(host_key, '^h(\\d+)', 1) AS BIGINT)
+                     AS hn
+            FROM hosts)
+          SELECT host_key, '/pub' || hn AS path_prefix, true AS allow,
+                 hn % 5 + 1 AS crawl_delay
+          FROM h
+          UNION ALL
+          SELECT host_key, '/priv' || hn, false, hn % 5 + 1 FROM h""",
+
     "q_robots_gate" ->
       s"""WITH idx AS ($indexSql),
           cand AS (

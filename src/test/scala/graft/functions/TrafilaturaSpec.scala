@@ -52,6 +52,32 @@ class TrafilaturaSpec extends AnyFunSuite {
     assert(kept == Seq(body))
   }
 
+  test("extractLocal agrees with the DataFrame extract path") {
+    val pages = Seq(
+      s"<article><h2>A heading</h2><p>$body</p><p>tiny</p>" +
+        "<p>Share this</p><p>Share this</p></article><footer><p>x y z q</p></footer>",
+      s"<div><p>$body</p></div>",
+      "<nav><a href=\"/\">only nav here</a></nav>",
+      "")
+    pages.zipWithIndex.foreach { case (html, i) =>
+      val df = Seq((s"d$i", html)).toDF("doc_id", "page")
+      val viaDf = Trafilatura.extract(df, "page", "doc_id")
+        .orderBy("seq").select("text").as[String].collect().toSeq
+      assert(viaDf == Trafilatura.extractLocal(html), s"page $i")
+    }
+  }
+
+  test("spanize extractor=trafilatura prunes chrome into spans") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/y\">More</a></nav>" +
+      s"<article><p>$body</p></article><footer><p>footer text here</p></footer>"
+    val df = Seq(("d1", html, "text/html")).toDF("doc_id", "chunk_body", "mime")
+    val sp = graft.operators.DocPipeline.spanize(df, extractor = "trafilatura")
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "p")
+      .select(col("s.text")).as[String].collect().toSeq
+    assert(sp.size == 1 && sp.head.startsWith("this is the main article"), sp)
+  }
+
   test("precision/recall vs justext on a clean article corpus") {
     // ground truth: the two prose paragraphs; both extractors should
     // find exactly them despite nav/footer chrome

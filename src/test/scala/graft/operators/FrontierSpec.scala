@@ -70,6 +70,39 @@ class FrontierSpec extends AnyFunSuite {
            s"per-host row_number in plan:\n$plan")
   }
 
+  test("robotsRules: groups, agent specificity, merged groups, delays") {
+    val h1 =
+      """# comment to strip
+        |User-agent: googlebot
+        |Disallow: /private
+        |
+        |User-agent: *
+        |Allow: /public   # trailing comment
+        |Disallow: /tmp
+        |Crawl-delay: 5
+        |Disallow:
+        |""".stripMargin
+    // consecutive UA lines share ONE group (RFC 9309 §2.2.1)
+    val h2 = "User-agent: special\nUser-agent: *\nDisallow: /x\n"
+    // rules before any group are ignored; no applicable group -> no rows
+    val h3 = "Disallow: /orphan\nUser-agent: otherbot\nDisallow: /y\n"
+    val files = Seq(("h1", h1), ("h2", h2), ("h3", h3))
+      .toDF("host_key", "content")
+    val got = Frontier.robotsRules(files)
+      .select("host_key", "path_prefix", "allow", "crawl_delay")
+      .as[(String, String, Boolean, Long)].collect().toSet
+    assert(got == Set(
+      ("h1", "/public", true, 5L),
+      ("h1", "/tmp", false, 5L),
+      ("h2", "/x", false, 1L)))
+    // exact agent match beats the wildcard group
+    val gbot = Frontier.robotsRules(files, agent = "googlebot")
+      .filter($"host_key" === "h1")
+      .select("path_prefix", "allow", "crawl_delay")
+      .as[(String, Boolean, Long)].collect().toSet
+    assert(gbot == Set(("/private", false, 1L)))
+  }
+
   test("scheduleWaves: not_before = t0 + (wave-1) * per-host delay") {
     val cand = (0 until 12).map(i =>
       (s"h${i % 2}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")
