@@ -149,6 +149,29 @@ object PipelineQueries {
                 col("r._4").as("sent_text"))
     },
 
+    // BERT-input conversion (scripts/convert_tsv.py:169–228, text mode +
+    // lowercase): parse the synthesized tsv, emit one sentence line +
+    // the document separator line. Oracle predicts both lines.
+    "q_tsv_bert" -> { (s, dir) =>
+      val linesUdf = udf((content: String) => {
+        val (_, docs) =
+          graft.sources.TsvUnits.parseDocs(content, useHeaders = false)
+        graft.sources.TsvUnits.trainingLines(
+          docs.head, Map.empty, "text", "bert", lowerCase = true)
+      })
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("words", slice(split(trim(col("text")), "\\s+"), 1, 5))
+        .withColumn("content", concat(
+          lit("# newdoc id = "), col("doc_id"),
+          lit("\n# newpar id = "), col("doc_id"), lit("_p1\n# text = "),
+          array_join(col("words"), " "), lit("\n"),
+          array_join(transform(col("words"),
+            w => concat(w, lit("\t"), upper(w))), "\n")))
+        .select(col("doc_id"),
+                posexplode(linesUdf(col("content"))).as(Seq("line_idx", "line")))
+        .withColumn("line_idx", col("line_idx").cast(LongType))
+    },
+
     // emMorph xpostag cleanup (tsv.py:142–154) as a codegen'd
     // regexp_replace chain; dirty tags drawn deterministically per doc.
     "q_xpostag_clean" -> { (s, dir) =>
@@ -436,6 +459,17 @@ object PipelineQueries {
                  CAST(len(words) AS BIGINT) AS n_tokens,
                  '# text = ' || array_to_string(words, ' ') AS sent_text
           FROM w""",
+
+    "q_tsv_bert" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+')[1:5] AS words
+            FROM documents)
+          SELECT doc_id, CAST(0 AS BIGINT) AS line_idx,
+                 lower(array_to_string(words, ' ')) AS line
+          FROM w
+          UNION ALL
+          SELECT doc_id, CAST(1 AS BIGINT), '' FROM w""",
 
     "q_xpostag_clean" ->
       s"""WITH t AS (

@@ -128,6 +128,106 @@ object TsvUnits {
               col("sent.comment").as("sent_text"),
               posexplode(col("sent.tokens")).as(Seq("tok_idx", "fields")))
 
+  /** Local xpostag cleanup — same rules as cleanXpostagCol
+    * (tsv.py:142–154), for the GLF extractor.
+    */
+  def cleanXpostagLocal(x: String): String = {
+    val noEmpty = x.replace("[]", "")
+    val sg = "\\[([1-3])\\](?:\\[Sg\\]|\\[S\\]\\[g\\])".r
+      .replaceAllIn(noEmpty, m => s"[${m.group(1)}Sg]")
+    val pl = "\\[([1-3])\\](?:\\[Pl\\]|\\[P\\]\\[l\\])".r
+      .replaceAllIn(sg, m => s"[${m.group(1)}Pl]")
+    val slash = "^\\[([NV])\\]".r.replaceAllIn(pl, m => s"[/${m.group(1)}]")
+    "\\[\\[+".r.replaceAllIn(slash, "[")
+  }
+
+  private val TagP = "\\[[^]]+\\]".r
+  private val PunctTags = Set("[Hyph:Dash]", "[Punct]", "[Hyph:Slash]")
+
+  /** The training-format conversion (scripts/convert_tsv.py:77–228):
+    * token extraction per sentence — "text" (the `# text` comment,
+    * whitespace-split), a named field, or "glf" (lemma + derivational/
+    * inflectional emMorph tags, convert_tsv.py:117–155) — optional
+    * lowercasing and wordpiece, assembled into output lines: `bert` =
+    * one sentence per line + a blank line after each document; `lm` =
+    * a blank/<newdoc>/blank preamble per document + one PARAGRAPH per
+    * line (sentences joined by spaces).
+    */
+  def trainingLines(doc: TsvDocument, fields: Map[String, Int],
+                    tokenType: String = "text", format: String = "bert",
+                    lowerCase: Boolean = false,
+                    vocab: Option[Set[String]] = None): Seq[String] = {
+    def norm(t: String) = if (lowerCase) t.toLowerCase else t
+    def tokensOf(s: TsvSentence): Seq[String] = tokenType match {
+      case "text" =>
+        if (s.comment.startsWith("# text = "))
+          norm(s.comment.drop(9)).split("\\s+").filter(_.nonEmpty).toSeq
+        else Seq.empty
+      case "glf" =>
+        val lemmaIdx = fields("lemma"); val xpIdx = fields("xpostag")
+        s.tokens.flatMap { f =>
+          var lemma = f(lemmaIdx)
+          val xp = cleanXpostagLocal(f(xpIdx))
+          val tags = TagP.findAllIn(xp).filter(_ != "[Nom]").toArray
+          var lastSlash = -1
+          var i = 0
+          var done = false
+          while (i < tags.length && !done) {
+            if (tags(i).charAt(1) != '/' && !PunctTags.contains(tags(i))) done = true
+            else lastSlash = i
+            i += 1
+          }
+          if (lastSlash == -1)
+            throw new IllegalArgumentException(
+              s"No / tag for word $lemma/$xp")
+          if (tags.drop(lastSlash).contains("[_Ord/Adj]") && lemma.endsWith("."))
+            lemma = lemma.dropRight(1)
+          tags(lastSlash) = norm(lemma)
+          tags.toSeq
+        }
+      case field =>
+        val idx = fields.getOrElse(field,
+          throw new IllegalArgumentException(s"Field $field does not exist"))
+        s.tokens.map(f => norm(f(idx)))
+    }
+    def pieces(toks: Seq[String]): Seq[String] = vocab match {
+      case Some(v) =>
+        graft.functions.TextAnalysis.wordpiece(toks.mkString(" "), v)
+      case None => toks
+    }
+    val lm = format == "lm"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (lm) { out += ""; out += "<newdoc>"; out += "" }
+    doc.paragraphs.foreach { p =>
+      if (lm) {
+        out += p.sentences.map(s => pieces(tokensOf(s)).mkString(" "))
+          .mkString(" ")
+      } else {
+        p.sentences.foreach(s => out += pieces(tokensOf(s)).mkString(" "))
+      }
+    }
+    if (!lm) out += ""
+    out.toSeq
+  }
+
+  /** DataFrame form over `readTsv` rows: one output row per line, in
+    * document order — (file, doc_idx, line_idx, line). Embarrassingly
+    * parallel per document.
+    */
+  def toTrainingLines(docs: DataFrame, fields: Map[String, Int],
+                      tokenType: String = "text", format: String = "bert",
+                      lowerCase: Boolean = false,
+                      vocab: Option[Set[String]] = None): DataFrame = {
+    val linesUdf = udf((comment: String, pars: Seq[TsvParagraph]) =>
+      trainingLines(TsvDocument(comment, pars), fields, tokenType, format,
+                    lowerCase, vocab))
+    docs.select(col("file"), col("doc_idx"), col("doc_comment"),
+                col("paragraphs"))
+      .withColumn("lines", linesUdf(col("doc_comment"), col("paragraphs")))
+      .select(col("file"), col("doc_idx"),
+              posexplode(col("lines")).as(Seq("line_idx", "line")))
+  }
+
   /** emMorph xpostag cleanup (tsv.py:142–154) as a pure column —
     * regexp_replace chain, codegen'd and SQL-mirrorable:
     * drop empty `[]`, normalize split Sg/Pl person tags, anchor a

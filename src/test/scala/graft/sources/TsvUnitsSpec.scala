@@ -73,6 +73,58 @@ class TsvUnitsSpec extends AnyFunSuite {
     assert(first == Seq("b", "B", "[/V]"))
   }
 
+  test("trainingLines: bert and lm layouts, text mode") {
+    val (_, docs) = TsvUnits.parseDocs(sample)
+    val d1 = docs.head
+    // bert: one sentence per line + blank line after the document
+    assert(TsvUnits.trainingLines(d1, Map.empty, "text", "bert") ==
+      Seq("a b", "c", "d", ""))
+    // lm: blank/<newdoc>/blank preamble + one PARAGRAPH per line
+    assert(TsvUnits.trainingLines(d1, Map.empty, "text", "lm") ==
+      Seq("", "<newdoc>", "", "a b c", "d"))
+    // lowercase + field mode (lemma column)
+    val fields = Map("form" -> 0, "lemma" -> 1, "xpostag" -> 2)
+    assert(TsvUnits.trainingLines(d1, fields, "lemma", "bert",
+                                  lowerCase = true) ==
+      Seq("a b", "c", "d", ""))
+  }
+
+  test("trainingLines: glf extraction (lemma + tags, Ord/Adj dot strip)") {
+    val doc = TsvUnits.TsvDocument("# newdoc id = g", Seq(
+      TsvUnits.TsvParagraph("# newpar id = gp", Seq(
+        TsvUnits.TsvSentence("# text = kutyák 3.", Seq(
+          Seq("kutyák", "kutya", "[/N][Pl][Nom]"),
+          Seq("3.", "3.", "[/Adj][_Ord/Adj]")))))))
+    val fields = Map("form" -> 0, "lemma" -> 1, "xpostag" -> 2)
+    val got = TsvUnits.trainingLines(doc, fields, "glf", "bert")
+    // [Nom] dropped; the last leading slash/punct tag is replaced by the
+    // lemma; [_Ord/Adj] after the slash block strips the lemma's dot
+    assert(got == Seq("kutya [Pl] 3 [_Ord/Adj]", ""), got)
+    // a token with no leading / tag is a format error (reference raises)
+    val bad = doc.copy(paragraphs = Seq(TsvUnits.TsvParagraph("# newpar id = x",
+      Seq(TsvUnits.TsvSentence("# text = x",
+        Seq(Seq("x", "x", "[Pl]")))))))
+    intercept[IllegalArgumentException](
+      TsvUnits.trainingLines(bad, fields, "glf", "bert"))
+  }
+
+  test("toTrainingLines: DF form emits per-line rows in document order") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv-bert")
+    java.nio.file.Files.writeString(dir.resolve("f.tsv"), sample)
+    val docs = TsvUnits.readTsv(spark, dir.toString)
+    val got = TsvUnits.toTrainingLines(docs, Map.empty)
+      .orderBy("doc_idx", "line_idx")
+      .select("line").as[String].collect().toSeq
+    assert(got == Seq("a b", "c", "d", "", "e", ""))
+    // wordpiece composition: vocab splits 'a'/'b' whole, unknown -> [UNK]
+    val wp = TsvUnits.toTrainingLines(docs, Map.empty,
+      vocab = Some(Set("a", "b", "c", "##b")))
+      .orderBy("doc_idx", "line_idx")
+      .select("line").as[String].collect().toSeq
+    assert(wp.head == "a b")
+    assert(wp(2) == "[UNK]") // 'd' not in vocab
+  }
+
   test("cleanXpostagCol mirrors the emMorph cleanup rules") {
     // cases exercise each regex of tsv.py:142–154 in order
     val cases = Seq(
