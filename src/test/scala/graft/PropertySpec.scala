@@ -89,6 +89,106 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: skew-free politeness rank == window rank on random skews") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(42)
+    (0 until 4).foreach { trial =>
+      // random host distribution: zipf-ish — a few giants, a long tail
+      val nHosts = 1 + rnd.nextInt(30)
+      val rows = (0 until 1500).map { i =>
+        val h = s"h${(math.pow(rnd.nextDouble(), 3) * nHosts).toInt}"
+        (h, i.toLong)
+      }
+      val df = rows.toDF("host_key", "pri").repartition(1 + rnd.nextInt(12))
+      val got = graft.operators.Frontier.politenessRank(
+          df, "host_key", Seq(asc("pri")), quota = Int.MaxValue)
+        .select("host_key", "pri", "wave")
+        .as[(String, Long, Int)].collect().toSet
+      val want = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"host_key").orderBy(asc("pri"))
+        df.withColumn("wave", row_number().over(w))
+          .select("host_key", "pri", "wave")
+          .as[(String, Long, Int)].collect().toSet
+      }
+      assert(got == want, s"trial $trial nHosts=$nHosts")
+    }
+  }
+
+  test("property: robotsRules on randomized files matches a local parser") {
+    // local reference parser: direct transcription of the RFC grouping
+    def localRules(content: String, agent: String)
+        : Set[(String, Boolean, Long)] = {
+      val lines = content.split("\n").map(_.replaceAll("#.*$", "").trim)
+        .filter(_.nonEmpty)
+      case class G(agents: List[String], rules: List[(String, Boolean)],
+                   delay: Option[Long])
+      var groups = List.empty[G]
+      var cur: G = null
+      var lastWasUa = false
+      lines.foreach { l =>
+        val low = l.toLowerCase
+        def v = l.substring(l.indexOf(':') + 1).trim
+        if (low.startsWith("user-agent:")) {
+          if (!lastWasUa) { if (cur != null) groups :+= cur; cur = G(Nil, Nil, None) }
+          cur = cur.copy(agents = cur.agents :+ v); lastWasUa = true
+        } else {
+          lastWasUa = false
+          if (cur != null) {
+            if (low.startsWith("allow:") && v.nonEmpty)
+              cur = cur.copy(rules = cur.rules :+ (v, true))
+            else if (low.startsWith("disallow:") && v.nonEmpty)
+              cur = cur.copy(rules = cur.rules :+ (v, false))
+            else if (low.startsWith("crawl-delay:"))
+              cur = cur.copy(delay = cur.delay.orElse(Some(v.toLong)))
+          }
+        }
+      }
+      if (cur != null) groups :+= cur
+      def spec(g: G) =
+        if (g.agents.exists(_.equalsIgnoreCase(agent))) 2
+        else if (g.agents.contains("*")) 1 else 0
+      val best = groups.map(spec).maxOption.getOrElse(0)
+      if (best == 0) Set.empty
+      else {
+        val chosen = groups.filter(spec(_) == best)
+        val delay = chosen.flatMap(_.delay).minOption.getOrElse(1L)
+        chosen.flatMap(_.rules).map { case (p, a) => (p, a, delay) }.toSet
+      }
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(7)
+    val agents = Seq("*", "googlebot", "otherbot")
+    val files = (0 until 30).map { i =>
+      val n = 2 + rnd.nextInt(10)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => sb.append(s"User-agent: ${agents(rnd.nextInt(3))}\n")
+          case 2 => sb.append(s"Disallow: /d${rnd.nextInt(5)}\n")
+          case 3 => sb.append(s"Allow: /a${rnd.nextInt(5)}\n")
+          case 4 => sb.append(s"Crawl-delay: ${1 + rnd.nextInt(9)}\n")
+          case 5 => sb.append(s"# noise ${rnd.nextInt(100)}\n")
+        }
+      }
+      (s"host$i", sb.toString)
+    }
+    val got = graft.operators.Frontier.robotsRules(
+        files.toDF("host_key", "content"), agent = "googlebot")
+      .select("host_key", "path_prefix", "allow", "crawl_delay")
+      .as[(String, String, Boolean, Long)].collect()
+      .groupBy(_._1).map { case (h, rs) =>
+        h -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    files.foreach { case (h, content) =>
+      val want = localRules(content, "googlebot")
+      assert(got.getOrElse(h, Set.empty) == want,
+             s"$h:\n$content\ngot ${got.getOrElse(h, Set.empty)} want $want")
+    }
+  }
+
   test("property: mime sniffing total (never throws) and simplify closed") {
     val rnd = new Random(99)
     (1 to 200).foreach { _ =>
