@@ -118,20 +118,25 @@ object Similarity {
       .orderBy(col(idCol).asc).limit(k)
       .select(col(embCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // one materialization feeds every iteration — each k-means pass
+    // otherwise re-reads (and re-decodes) the source per iteration
     val e = embeddings.select(col(embCol).cast("array<double>").as("v"))
-    (1 to iters).foreach { _ =>
-      val assigned = e.withColumn("cid", assignListCol(col("v"), cents))
-      val dims = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("idx", "x")))
-        .groupBy("cid", "idx")
-        .agg(round(avg("x"), 6).as("m"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("idx"), col("m")))).as("ms"))
-        .select(col("cid"), expr("transform(ms, s -> s.m)").as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      // empty clusters keep their previous centroid
-      cents = cents.indices.map(i => dims.getOrElse(i, cents(i))).toArray
-    }
+      .localCheckpoint()
+    try {
+      (1 to iters).foreach { _ =>
+        val assigned = e.withColumn("cid", assignListCol(col("v"), cents))
+        val dims = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("idx", "x")))
+          .groupBy("cid", "idx")
+          .agg(round(avg("x"), 6).as("m"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("idx"), col("m")))).as("ms"))
+          .select(col("cid"), expr("transform(ms, s -> s.m)").as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // empty clusters keep their previous centroid
+        cents = cents.indices.map(i => dims.getOrElse(i, cents(i))).toArray
+      }
+    } finally UrlDedup.releaseOrderCache(e)
     cents
   }
 
