@@ -154,7 +154,123 @@ object Multimodal {
       .drop("dec")
   }
 
-  /** STUB decode (audio/video path): deterministic pseudo-features from
+  // ---- REAL audio decode: PCM WAV (RIFF) ----
+  // The JDK ships no compressed-audio codecs, but PCM WAV is a plain
+  // container — a RIFF chunk walk and integer samples. This upgrades the
+  // audio path from stub to real for uncompressed audio; compressed
+  // formats drop into the same (bytes -> features) contract.
+
+  /** Parsed WAV: format fields + features computed in EXACT integer
+    * arithmetic (sum of squared raw sample deviations, strict sign-change
+    * count on channel 0) so an oracle replaying the sample formula gets
+    * bit-identical values.
+    */
+  case class WavFeatures(sample_rate: Int, channels: Int, bits: Int,
+                         n_frames: Long, duration_ms: Long,
+                         sum_sq: Long, zero_crossings: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Decode PCM WAV bytes (8-bit unsigned / 16-bit signed LE). Returns
+    * None for anything that is not a well-formed PCM RIFF/WAVE payload —
+    * crawled media must never fail the task.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavFeatures] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var pos = 12
+      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            fmtOk = le16(bytes, pos + 8) == 1 // PCM only
+            channels = le16(bytes, pos + 10)
+            rate = le32(bytes, pos + 12)
+            bits = le16(bytes, pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0 || channels <= 0 || rate <= 0 ||
+          (bits != 8 && bits != 16)) return None
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      var sumSq = 0L
+      var zc = 0L
+      var prevSign = 0
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val off = dataOff + f * frameBytes + c * bytesPerSample
+          // centered sample value (deviation from silence)
+          val v = if (bits == 8) (bytes(off) & 0xff) - 128
+                  else le16(bytes, off).toShort.toInt
+          sumSq += v.toLong * v
+          if (c == 0) { // zero crossings on channel 0, strict sign change
+            val s = java.lang.Integer.signum(v)
+            if (s != 0 && prevSign != 0 && s != prevSign) zc += 1
+            if (s != 0) prevSign = s
+          }
+          c += 1
+        }
+        f += 1
+      }
+      Some(WavFeatures(rate, channels, bits, nFrames,
+        nFrames * 1000L / rate, sumSq, zc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Canonical PCM WAV encoder (tests/fixtures): 8-bit unsigned or
+    * 16-bit signed LE, interleaved frames.
+    */
+  def encodePcmWav(sampleRate: Int, channels: Int, bits: Int,
+                   samples: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16, "PCM 8/16 only")
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bps)
+      .putShort((channels * bps).toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) out.put(((s + 128) & 0xff).toByte)
+      else out.putShort(s.toShort)
+    }
+    out.array()
+  }
+
+  val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
+
+  /** Real audio features over a media table — same batching contract as
+    * the image path (repartition bounds task memory, pruning keeps bytes
+    * out of non-decode stages).
+    */
+  def audioFeatures(media: DataFrame, partitions: Int = 0): DataFrame = {
+    val repart = if (partitions > 0)
+      media.repartition(partitions, col("media_ref")) else media
+    repart.withColumn("wav", decodeWavUdf(col("bytes")))
+  }
+
+  /** STUB decode (video path; compressed audio): deterministic pseudo-features from
     * the payload bytes (FNV over content, folded into `dim` floats). The
     * JDK has no audio/video codecs; the signature (binary ->
     * array<float>) and the batched execution are the contract a real

@@ -236,6 +236,29 @@ object PipelineQueries {
                   (acc, x) => acc + x * x).as("feat_sq"))
     },
 
+    // REAL audio decode end-to-end: deterministic 8-bit PCM WAVs are
+    // encoded from a sample formula, then Multimodal.audioFeatures
+    // parses the RIFF container and computes exact-integer features —
+    // the oracle predicts them straight from the formula, so any decode
+    // defect (chunk walk, sample centering, sign logic) breaks the match.
+    "q_audio_decode" -> { (s, dir) =>
+      val wavUdf = udf((ord: Long, n: Int) =>
+        Multimodal.encodePcmWav(8000, 1, 8,
+          (0 until n).map(i => (((i * 37 + ord) % 256) - 128).toInt).toArray))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://wav/"), col("doc_id")).as("media_ref"),
+        wavUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 200 + 300).cast("int"))
+          .as("bytes"))
+      Multimodal.audioFeatures(media).select(
+        col("media_ref"),
+        col("wav.sample_rate").cast(LongType).as("sample_rate"),
+        col("wav.n_frames").as("n_frames"),
+        col("wav.duration_ms").as("duration_ms"),
+        col("wav.sum_sq").as("sum_sq"),
+        col("wav.zero_crossings").as("zc"))
+    },
+
     // Multimodal plumbing: media bytes as a binary column with typed
     // metadata -> byte-histogram features (real, decode-free) -> feature
     // norm. The binary path is what's exercised; the oracle recomputes
@@ -434,6 +457,35 @@ object PipelineQueries {
                 CAST(dim.h AS BIGINT) AS height,
                 CAST(f.fsq AS BIGINT) AS feat_sq
          FROM dim JOIN f ON f.doc_id = dim.doc_id""",
+    "q_audio_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord,
+                  CAST(doc_id AS BIGINT) % 200 + 300 AS n
+           FROM documents),
+         s AS (SELECT doc_id, ord, n, unnest(range(n)) AS i FROM d),
+         v AS (SELECT doc_id, n, i, (i * 37 + ord) % 256 - 128 AS v FROM s),
+         nz AS (SELECT doc_id, i, sign(v) AS sg FROM v WHERE v <> 0),
+         zc AS (
+           SELECT doc_id,
+                  sum(CASE WHEN sg <> prev_sg THEN 1 ELSE 0 END) AS zc
+           FROM (SELECT doc_id, sg,
+                        lag(sg) OVER (PARTITION BY doc_id ORDER BY i)
+                          AS prev_sg
+                 FROM nz)
+           WHERE prev_sg IS NOT NULL
+           GROUP BY 1),
+         ss AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS sum_sq
+                FROM v GROUP BY 1)
+         SELECT 'media://wav/' || d.doc_id AS media_ref,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(d.n AS BIGINT) AS n_frames,
+                CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                ss.sum_sq,
+                CAST(coalesce(zc.zc, 0) AS BIGINT) AS zc
+         FROM d
+         JOIN ss ON ss.doc_id = d.doc_id
+         LEFT JOIN zc ON zc.doc_id = d.doc_id""",
+
     "q_media_features" ->
       """WITH c AS (
            SELECT doc_id,

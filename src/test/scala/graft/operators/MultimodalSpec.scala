@@ -58,4 +58,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("m1").contains(8))
     assert(out("m2").isEmpty)
   }
+
+  test("WAV: encode/decode roundtrip, 8-bit mono and 16-bit stereo") {
+    // 8-bit mono square wave: +100/-100 alternating every 4 samples
+    val sq = (0 until 64).map(i => if ((i / 4) % 2 == 0) 100 else -100).toArray
+    val w8 = Multimodal.decodeWav(
+      Multimodal.encodePcmWav(8000, 1, 8, sq)).get
+    assert(w8.sample_rate == 8000 && w8.channels == 1 && w8.bits == 8)
+    assert(w8.n_frames == 64 && w8.duration_ms == 8)
+    assert(w8.sum_sq == 64L * 100 * 100)
+    assert(w8.zero_crossings == 15) // 16 blocks -> 15 sign changes
+    // 16-bit stereo: ch0 carries the signal, ch1 constant
+    val st = (0 until 32).flatMap(i =>
+      Seq(if (i % 2 == 0) 1000 else -1000, 7)).toArray
+    val w16 = Multimodal.decodeWav(
+      Multimodal.encodePcmWav(44100, 2, 16, st)).get
+    assert(w16.channels == 2 && w16.bits == 16 && w16.n_frames == 32)
+    assert(w16.sum_sq == 32L * 1000 * 1000 + 32L * 49)
+    assert(w16.zero_crossings == 31)
+    // zeros neither count nor reset the previous sign
+    val z = Array(50, 0, 0, -50, 0, 50)
+    val wz = Multimodal.decodeWav(
+      Multimodal.encodePcmWav(8000, 1, 8, z)).get
+    assert(wz.zero_crossings == 2)
+  }
+
+  test("WAV: malformed payloads decode to None, never throw") {
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes ++
+      new Array[Byte](40)).isEmpty) // no fmt/data chunks
+    // valid container, non-PCM format code -> None
+    val good = Multimodal.encodePcmWav(8000, 1, 8, Array(1, 2, 3))
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    // truncated data chunk (declared size past the payload) -> None
+    val trunc = good.dropRight(2)
+    assert(Multimodal.decodeWav(trunc).isEmpty)
+  }
 }
