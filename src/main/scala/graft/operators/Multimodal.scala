@@ -270,7 +270,123 @@ object Multimodal {
     repart.withColumn("wav", decodeWavUdf(col("bytes")))
   }
 
-  /** STUB decode (video path; compressed audio): deterministic pseudo-features from
+  // ---- REAL video decode: YUV4MPEG2 (y4m) ----
+  // Like WAV, y4m is uncompressed: an ASCII stream header
+  // (`YUV4MPEG2 W.. H.. F<num>:<den> ...`), then per frame an ASCII
+  // `FRAME...` line + raw planar YUV bytes. A chunk walk + integer
+  // arithmetic gives real frame decode without any codec.
+
+  /** Parsed y4m: geometry + per-sampled-frame luma sums (exact integer
+    * arithmetic so a formula oracle matches bit-for-bit). `frame_ms`
+    * and `luma_sum` align index-wise: one entry per sampled frame.
+    */
+  case class Y4mFeatures(width: Int, height: Int, fps_num: Int,
+                         fps_den: Int, n_frames: Long, duration_ms: Long,
+                         frame_ms: Seq[Long], luma_sum: Seq[Long])
+
+  /** Decode a YUV4MPEG2 payload (C420 from the header's default or
+    * explicit C tag; 4:2:0 frame size = w*h*3/2, C444 = 3*w*h,
+    * C422 = 2*w*h). Samples every `everyN`-th frame's luma plane sum.
+    * None for malformed payloads — decode never fails a task.
+    */
+  def decodeY4m(bytes: Array[Byte], everyN: Int = 1): Option[Y4mFeatures] = {
+    try {
+      if (bytes == null || bytes.length < 10) return None
+      val magic = "YUV4MPEG2"
+      var i = 0
+      while (i < magic.length) {
+        if (bytes(i) != magic.charAt(i)) return None
+        i += 1
+      }
+      var eol = i
+      while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+      if (eol >= bytes.length) return None
+      val header = new String(bytes, 0, eol, "US-ASCII")
+      var w = 0; var h = 0; var fn = 0; var fd = 1; var colour = "420"
+      header.split(" ").drop(1).foreach { tag =>
+        if (tag.nonEmpty) tag.charAt(0) match {
+          case 'W' => w = tag.tail.toInt
+          case 'H' => h = tag.tail.toInt
+          case 'F' =>
+            val p = tag.tail.split(":")
+            fn = p(0).toInt; fd = p(1).toInt
+          case 'C' => colour = tag.tail.takeWhile(_.isDigit)
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      val lumaBytes = w * h
+      val frameBytes = colour match {
+        case "420" => lumaBytes * 3 / 2
+        case "422" => lumaBytes * 2
+        case "444" => lumaBytes * 3
+        case _ => return None
+      }
+      var pos = eol + 1
+      var nFrames = 0L
+      val frameMs  = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val lumaSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (pos < bytes.length) {
+        // FRAME line (parameters allowed), terminated by \n
+        if (pos + 5 > bytes.length ||
+            new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+        var fe = pos + 5
+        while (fe < bytes.length && bytes(fe) != '\n') fe += 1
+        if (fe >= bytes.length) return None
+        val dataOff = fe + 1
+        if (dataOff + frameBytes > bytes.length) return None
+        if (nFrames % everyN == 0) {
+          var s = 0L
+          var j = 0
+          while (j < lumaBytes) { s += (bytes(dataOff + j) & 0xff); j += 1 }
+          frameMs  += nFrames * 1000L * fd / fn
+          lumaSums += s
+        }
+        nFrames += 1
+        pos = dataOff + frameBytes
+      }
+      Some(Y4mFeatures(w, h, fn, fd, nFrames,
+        nFrames * 1000L * fd / fn, frameMs.toSeq, lumaSums.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Canonical y4m encoder (tests/fixtures): C420, luma from a pixel
+    * formula, chroma planes constant 128.
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, nFrames: Int,
+                luma: (Int, Int, Int) => Int): Array[Byte] = {
+    val headerStr = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n"
+    val chroma = (w / 2) * (h / 2)
+    val buf = new java.io.ByteArrayOutputStream(
+      headerStr.length + nFrames * (6 + w * h + 2 * chroma))
+    buf.write(headerStr.getBytes("US-ASCII"))
+    (0 until nFrames).foreach { f =>
+      buf.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { buf.write(luma(f, x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * chroma) { buf.write(128); c += 1 }
+    }
+    buf.toByteArray
+  }
+
+  val decodeY4mUdf = udf((b: Array[Byte], everyN: Int) => decodeY4m(b, everyN))
+
+  /** Real video features over a media table — decode + frame sampling in
+    * one pass; same batching contract as image/audio.
+    */
+  def videoFeatures(media: DataFrame, everyN: Int = 1,
+                    partitions: Int = 0): DataFrame = {
+    val repart = if (partitions > 0)
+      media.repartition(partitions, col("media_ref")) else media
+    repart.withColumn("y4m", decodeY4mUdf(col("bytes"), lit(everyN)))
+  }
+
+  /** STUB decode (compressed audio/video): deterministic pseudo-features from
     * the payload bytes (FNV over content, folded into `dim` floats). The
     * JDK has no audio/video codecs; the signature (binary ->
     * array<float>) and the batched execution are the contract a real

@@ -259,6 +259,34 @@ object PipelineQueries {
         col("wav.zero_crossings").as("zc"))
     },
 
+    // REAL video decode end-to-end: uncompressed YUV4MPEG2 payloads are
+    // encoded from a luma formula, then Multimodal.videoFeatures walks
+    // the container (header tags, FRAME markers, planar C420 frames),
+    // samples every 2nd frame and sums its luma plane in exact integers.
+    // The oracle replays the formula per sampled frame.
+    "q_video_decode" -> { (s, dir) =>
+      val y4mUdf = udf((ord: Long, w: Int, h: Int, n: Int) =>
+        Multimodal.encodeY4m(w, h, fpsNum = 25, fpsDen = 1, nFrames = n,
+          (f, x, y) => ((x * 31 + y * 17 + f * 7 + ord) % 256).toInt))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://y4m/"), col("doc_id")).as("media_ref"),
+        y4mUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 5 * 2 + 8).cast("int"),
+               (col("doc_id").cast(LongType) % 3 * 2 + 6).cast("int"),
+               (col("doc_id").cast(LongType) % 4 + 3).cast("int"))
+          .as("bytes"))
+      Multimodal.videoFeatures(media, everyN = 2).select(
+        col("media_ref"),
+        col("y4m.width").cast(LongType).as("width"),
+        col("y4m.height").cast(LongType).as("height"),
+        col("y4m.n_frames").as("n_frames"),
+        col("y4m.duration_ms").as("duration_ms"),
+        aggregate(col("y4m.luma_sum"), lit(0L), (a, x) => a + x)
+          .as("luma_total"),
+        aggregate(col("y4m.frame_ms"), lit(0L), (a, x) => a + x)
+          .as("ms_total"))
+    },
+
     // Multimodal plumbing: media bytes as a binary column with typed
     // metadata -> byte-histogram features (real, decode-free) -> feature
     // norm. The binary path is what's exercised; the oracle recomputes
@@ -485,6 +513,35 @@ object PipelineQueries {
          FROM d
          JOIN ss ON ss.doc_id = d.doc_id
          LEFT JOIN zc ON zc.doc_id = d.doc_id""",
+
+    "q_video_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),
+         g AS (
+           SELECT doc_id, ord, ord % 5 * 2 + 8 AS w,
+                  ord % 3 * 2 + 6 AS h, ord % 4 + 3 AS n
+           FROM d),
+         f AS (SELECT doc_id, ord, w, h,
+                      unnest(range(0, n, 2)) AS fr
+               FROM g),
+         px AS (SELECT doc_id, ord, fr, h, unnest(range(w)) AS x FROM f),
+         pxy AS (SELECT doc_id, ord, fr, x, unnest(range(h)) AS y FROM px),
+         ls AS (
+           SELECT doc_id, fr,
+                  sum((x * 31 + y * 17 + fr * 7 + ord) % 256) AS lsum
+           FROM pxy GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, sum(lsum) AS luma_total,
+                  sum(fr) * 40 AS ms_total
+           FROM ls GROUP BY 1)
+         SELECT 'media://y4m/' || g.doc_id AS media_ref,
+                CAST(g.w AS BIGINT) AS width,
+                CAST(g.h AS BIGINT) AS height,
+                CAST(g.n AS BIGINT) AS n_frames,
+                CAST(g.n * 40 AS BIGINT) AS duration_ms,
+                CAST(agg.luma_total AS BIGINT) AS luma_total,
+                CAST(agg.ms_total AS BIGINT) AS ms_total
+         FROM g JOIN agg ON agg.doc_id = g.doc_id""",
 
     "q_media_features" ->
       """WITH c AS (

@@ -83,6 +83,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wz.zero_crossings == 2)
   }
 
+  test("y4m: encode/decode roundtrip with frame sampling") {
+    val enc = Multimodal.encodeY4m(8, 6, 25, 1, nFrames = 5,
+      (f, x, y) => (x + y * 8 + f * 100) % 256)
+    val v = Multimodal.decodeY4m(enc, everyN = 2).get
+    assert(v.width == 8 && v.height == 6)
+    assert(v.fps_num == 25 && v.fps_den == 1)
+    assert(v.n_frames == 5 && v.duration_ms == 200)
+    assert(v.frame_ms == Seq(0L, 80L, 160L)) // frames 0, 2, 4 at 25 fps
+    def lumaSum(f: Int) =
+      (for (y <- 0 until 6; x <- 0 until 8)
+        yield (x + y * 8 + f * 100) % 256).map(_.toLong).sum
+    assert(v.luma_sum == Seq(lumaSum(0), lumaSum(2), lumaSum(4)))
+    // everyN = 1 samples every frame
+    assert(Multimodal.decodeY4m(enc).get.luma_sum.size == 5)
+  }
+
+  test("y4m: malformed payloads decode to None, never throw") {
+    assert(Multimodal.decodeY4m(null).isEmpty)
+    assert(Multimodal.decodeY4m("MPEG".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W8 H6 F25:1\nNOTFRAME".getBytes).isEmpty)
+    val good = Multimodal.encodeY4m(4, 4, 25, 1, 2, (_, _, _) => 10)
+    assert(Multimodal.decodeY4m(good.dropRight(3)).isEmpty) // truncated frame
+    // unsupported colour space tag
+    val c411 = new String(good, "ISO-8859-1")
+      .replace("C420", "C411").getBytes("ISO-8859-1")
+    assert(Multimodal.decodeY4m(c411).isEmpty)
+  }
+
   test("WAV: malformed payloads decode to None, never throw") {
     assert(Multimodal.decodeWav(null).isEmpty)
     assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
