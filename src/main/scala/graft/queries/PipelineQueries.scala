@@ -172,6 +172,28 @@ object PipelineQueries {
         .withColumn("line_idx", col("line_idx").cast(LongType))
     },
 
+    // A8 over the CoNLL surface (scripts/top_n_conll.py): parse the
+    // synthesized tsv into the Unit tree, explode to the token view,
+    // count the lowered lemma column, top-n with a total tie-break.
+    "q_conll_topn" -> { (s, dir) =>
+      val parseUdf = udf((content: String) =>
+        graft.sources.TsvUnits.parseDocs(content, useHeaders = false)._2.head)
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("words", slice(split(trim(col("text")), "\\s+"), 1, 5))
+        .withColumn("content", concat(
+          lit("# newdoc id = "), col("doc_id"),
+          lit("\n# newpar id = "), col("doc_id"), lit("_p1\n# text = "),
+          array_join(col("words"), " "), lit("\n"),
+          array_join(transform(col("words"),
+            w => concat(w, lit("\t"), upper(w))), "\n")))
+        .withColumn("doc", parseUdf(col("content")))
+        .select(col("doc_id"), col("doc.paragraphs").as("paragraphs"))
+        .transform(graft.sources.TsvUnits.tokensView)
+        .select(lower(element_at(col("fields"), 2)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("v")).limit(50)
+    },
+
     // emMorph xpostag cleanup (tsv.py:142–154) as a codegen'd
     // regexp_replace chain; dirty tags drawn deterministically per doc.
     "q_xpostag_clean" -> { (s, dir) =>
@@ -568,6 +590,15 @@ object PipelineQueries {
                  CAST(len(words) AS BIGINT) AS n_tokens,
                  '# text = ' || array_to_string(words, ' ') AS sent_text
           FROM w""",
+
+    "q_conll_topn" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')[1:5]) AS v
+            FROM documents)
+          SELECT v, CAST(count(*) AS BIGINT) AS n
+          FROM w GROUP BY 1
+          ORDER BY n DESC, v ASC LIMIT 50""",
 
     "q_tsv_bert" ->
       s"""WITH w AS (

@@ -228,6 +228,34 @@ object TsvUnits {
               posexplode(col("lines")).as(Seq("line_idx", "line")))
   }
 
+  /** Sentencepiece → BERT/LM vocabulary conversion
+    * (scripts/sentencepiece_to_bert.py:15–55). A vocab file is model
+    * state (line number = token id, so ORDER IS THE CONTRACT), not
+    * data-scale — this is a deliberate driver-side pure function.
+    */
+  def spmToBertVocab(lines: Seq[String], tagSet: String = "bert",
+                     unusedTokens: Int = -1): Seq[String] = {
+    val remove = Set("<unk>", "<s>", "</s>")
+    val add =
+      if (tagSet == "bert") Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+      else Seq("<newdoc>", "<unk>")
+    val nUnused =
+      if (unusedTokens >= 0) unusedTokens
+      else if (tagSet == "bert") 1000 else 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out ++= add
+    (1 to nUnused).foreach(i => out += s"[unused$i]")
+    lines.foreach { line =>
+      val token = line.trim.split("\t")(0)
+      if (!remove.contains(token)) {
+        if (token.startsWith("▁")) {
+          if (token.length > 1) out += token.drop(1)
+        } else out += s"##$token"
+      }
+    }
+    out.toSeq
+  }
+
   /** emMorph xpostag cleanup (tsv.py:142–154) as a pure column —
     * regexp_replace chain, codegen'd and SQL-mirrorable:
     * drop empty `[]`, normalize split Sg/Pl person tags, anchor a

@@ -125,6 +125,20 @@ class TsvUnitsSpec extends AnyFunSuite {
     assert(wp(2) == "[UNK]") // 'd' not in vocab
   }
 
+  test("spmToBertVocab: tag sets, unused tokens, piece mapping, order") {
+    val spm = Seq("<unk>\t0", "<s>\t0", "</s>\t0",
+                  "▁the\t-1.5", "▁a\t-2.0", "ing\t-3.1", "▁\t-9")
+    val bert = TsvUnits.spmToBertVocab(spm, "bert", unusedTokens = 2)
+    assert(bert == Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+      "[unused1]", "[unused2]",
+      "the", "a", "##ing")) // specials removed; bare '▁' dropped
+    val lm = TsvUnits.spmToBertVocab(spm, "lm")
+    assert(lm.take(2) == Seq("<newdoc>", "<unk>"))
+    assert(!lm.contains("[unused1]")) // lm default: no unused tokens
+    // bert default is 1000 unused tokens
+    assert(TsvUnits.spmToBertVocab(Seq.empty).length == 5 + 1000)
+  }
+
   test("cleanXpostagCol mirrors the emMorph cleanup rules") {
     // cases exercise each regex of tsv.py:142–154 in order
     val cases = Seq(
