@@ -54,6 +54,27 @@ object FrequentParagraphs {
         }
       }
 
+    /** Exact state restore (streaming continuation): re-inserts entries
+      * under their ORIGINAL keys in the given order — unlike bootstrap,
+      * which assigns synthetic keys for a new epoch. LinkedHashMap
+      * order = insertion order, so snapshot→restore is the identity.
+      */
+    def restore(entries: Seq[(String, Array[Long], Double, Long)]): Unit =
+      entries.foreach { case (key, bands, score, count) =>
+        freqPs(key) = new PDataMut(bands, score, count)
+        var b = 0
+        while (b < bands.length) {
+          buckets.getOrElseUpdate((b, bands(b)), mutable.Set.empty) += key
+          b += 1
+        }
+      }
+
+    /** Serializable state snapshot, insertion order preserved. */
+    def snapshot: Seq[(String, Seq[Long], Double, Long)] =
+      freqPs.iterator.map { case (k, pd) =>
+        (k, pd.bands.toSeq, pd.score, pd.count)
+      }.toSeq
+
     private def insert(key: String, bands: Array[Long]): Unit = {
       freqPs(key) = new PDataMut(bands, 1.0, 1L)
       var i = 0
