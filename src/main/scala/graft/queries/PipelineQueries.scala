@@ -194,6 +194,33 @@ object PipelineQueries {
         .orderBy(desc("n"), asc("v")).limit(50)
     },
 
+    // fix_corpus over the Unit tree (fix_corpus.py:52–88): synthesized
+    // tsv whose token lines carry ONLY the form field — every line gets
+    // the invalid-line expansion, then the wsafter field is derived from
+    // the `# text` raw string. The oracle predicts the fixed fields.
+    "q_tsv_fix" -> { (s, dir) =>
+      val fixUdf = udf((content: String) => {
+        val (_, docs) =
+          graft.sources.TsvUnits.parseDocs(content, useHeaders = false)
+        val (fixed, n) = graft.sources.TsvUnits.fixInvalidLines(docs.head, 4)
+        val ws = graft.sources.TsvUnits.addWsafter(fixed)
+        val toks = ws.paragraphs.flatMap(_.sentences).flatMap(_.tokens)
+        (n, toks.head.mkString("|"), toks.last(1))
+      })
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("words", slice(split(trim(col("text")), "\\s+"), 1, 5))
+        .withColumn("content", concat(
+          lit("# newdoc id = "), col("doc_id"),
+          lit("\n# newpar id = "), col("doc_id"), lit("_p1\n# text = "),
+          array_join(col("words"), " "), lit("\n"),
+          array_join(col("words"), "\n")))
+        .withColumn("r", fixUdf(col("content")))
+        .select(col("doc_id"),
+                col("r._1").as("n_fixed"),
+                col("r._2").as("first_fields"),
+                col("r._3").as("last_ws"))
+    },
+
     // emMorph xpostag cleanup (tsv.py:142–154) as a codegen'd
     // regexp_replace chain; dirty tags drawn deterministically per doc.
     "q_xpostag_clean" -> { (s, dir) =>
@@ -599,6 +626,19 @@ object PipelineQueries {
           SELECT v, CAST(count(*) AS BIGINT) AS n
           FROM w GROUP BY 1
           ORDER BY n DESC, v ASC LIMIT 50""",
+
+    "q_tsv_fix" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+')[1:5] AS words
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_fixed,
+                 words[1] || '|' ||
+                   CASE WHEN len(words) = 1 THEN '"\\n\\n"' ELSE '" "' END ||
+                   '|[]|' || words[1] || '|[/N][Nom]' AS first_fields,
+                 '"\\n\\n"' AS last_ws
+          FROM w""",
 
     "q_tsv_bert" ->
       s"""WITH w AS (

@@ -228,6 +228,51 @@ object TsvUnits {
               posexplode(col("lines")).as(Seq("line_idx", "line")))
   }
 
+  /** fix_corpus rule 1 (scripts/fix_corpus.py:52–66): a line with a
+    * single field (assumed the form) expands to
+    * `form / [] / form / [/N][Nom]`; any other wrong field count is a
+    * hard error. Returns (fixed doc, number of fixed lines).
+    */
+  def fixInvalidLines(doc: TsvDocument, numFields: Int): (TsvDocument, Long) = {
+    var fixed = 0L
+    val d = doc.copy(paragraphs = doc.paragraphs.map(p =>
+      p.copy(sentences = p.sentences.map(s =>
+        s.copy(tokens = s.tokens.map { t =>
+          if (t.length == numFields) t
+          else if (t.length == 1) {
+            fixed += 1
+            Seq(t.head, "[]", t.head, "[/N][Nom]")
+          } else throw new IllegalArgumentException(
+            s"Another error: only ${t.length} in line ${t.mkString("\t")}")
+        })))))
+    (d, fixed)
+  }
+
+  /** fix_corpus rule 2 (fix_corpus.py:69–88): insert the `wsafter` field
+    * at position 1, derived by walking the sentence's `# text` raw
+    * string — `" "` when the next raw char is a space, `""` when glued,
+    * `"\n"` after a sentence, `"\n\n"` after a paragraph's last sentence
+    * (the two-character escape sequences, as in the reference).
+    */
+  def addWsafter(doc: TsvDocument): TsvDocument =
+    doc.copy(paragraphs = doc.paragraphs.map { p =>
+      val nS = p.sentences.length
+      p.copy(sentences = p.sentences.zipWithIndex.map { case (s, sIdx) =>
+        val raw = s.comment.stripPrefix("# text = ")
+        var rawIdx = 0
+        val nL = s.tokens.length
+        s.copy(tokens = s.tokens.zipWithIndex.map { case (t, lIdx) =>
+          rawIdx += t.head.length
+          val ws =
+            if (lIdx == nL - 1) { if (sIdx == nS - 1) "\\n\\n" else "\\n" }
+            else if (rawIdx < raw.length && raw.charAt(rawIdx) == ' ') {
+              rawIdx += 1; " "
+            } else ""
+          t.head +: (s""""$ws"""" +: t.tail)
+        })
+      })
+    })
+
   /** Sentencepiece → BERT/LM vocabulary conversion
     * (scripts/sentencepiece_to_bert.py:15–55). A vocab file is model
     * state (line number = token id, so ORDER IS THE CONTRACT), not

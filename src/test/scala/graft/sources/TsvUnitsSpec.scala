@@ -125,6 +125,31 @@ class TsvUnitsSpec extends AnyFunSuite {
     assert(wp(2) == "[UNK]") // 'd' not in vocab
   }
 
+  test("fix_corpus rules: invalid-line expansion + wsafter derivation") {
+    val doc = TsvUnits.TsvDocument("# newdoc id = f", Seq(
+      TsvUnits.TsvParagraph("# newpar id = fp", Seq(
+        TsvUnits.TsvSentence("# text = ab c",
+          Seq(Seq("ab"), Seq("c", "C", "[/N]", "x"))),
+        TsvUnits.TsvSentence("# text = de",
+          Seq(Seq("de", "DE", "[/V]", "y")))))))
+    val (fixed, n) = TsvUnits.fixInvalidLines(doc, numFields = 4)
+    assert(n == 1)
+    assert(fixed.paragraphs.head.sentences.head.tokens.head ==
+      Seq("ab", "[]", "ab", "[/N][Nom]"))
+    // wrong-but-not-1 field count is a hard error (reference raises)
+    intercept[IllegalArgumentException](
+      TsvUnits.fixInvalidLines(doc, numFields = 3))
+    val ws = TsvUnits.addWsafter(fixed)
+    val s1 = ws.paragraphs.head.sentences.head.tokens
+    val s2 = ws.paragraphs.head.sentences(1).tokens
+    // 'ab' followed by a space in the raw text; 'c' ends sentence 1 of 2
+    assert(s1.head(1) == "\" \"" && s1(1)(1) == "\"\\n\"")
+    // 'de' ends the paragraph's last sentence
+    assert(s2.head(1) == "\"\\n\\n\"")
+    // inserted at position 1, rest of the fields preserved
+    assert(s1(1) == Seq("c", "\"\\n\"", "C", "[/N]", "x"))
+  }
+
   test("spmToBertVocab: tag sets, unused tokens, piece mapping, order") {
     val spm = Seq("<unk>\t0", "<s>\t0", "</s>\t0",
                   "▁the\t-1.5", "▁a\t-2.0", "ing\t-3.1", "▁\t-9")
