@@ -46,11 +46,19 @@ object Frontier {
                        salts: Int = 16): (DataFrame, Seq[DataFrame]) = {
     if (quota >= Int.MaxValue / math.max(salts, 1) &&
         !sys.env.contains("GRAFT_POLITE_WINDOW")) {
-      // Unbounded quota: the window below would put a mega-host's EVERY
-      // row into one task (no pre-prune bounds it) — straggler/OOM at a
-      // skewed host distribution. Exact skew-free path instead.
+      // Large/unbounded quota: the window below would put a mega-host's
+      // EVERY row into one task (the pre-prune keeps quota*salts rows per
+      // host — no bound when quota is this large) — straggler/OOM at a
+      // skewed host distribution. Exact skew-free path instead; a FINITE
+      // quota routed here is still enforced by filtering on the exact
+      // wave (it was silently dropped before r5).
       // GRAFT_POLITE_WINDOW=1 forces the legacy window path (A/B only).
-      politenessRankUnbounded(candidates, hostCol, priorityCols)
+      val (ranked, caches) =
+        politenessRankUnbounded(candidates, hostCol, priorityCols)
+      val limited =
+        if (quota < Int.MaxValue) ranked.filter(col("wave") <= quota)
+        else ranked
+      (limited, caches)
     } else {
       val w = Window.partitionBy(col(hostCol)).orderBy(priorityCols: _*)
       val pruned =
@@ -179,11 +187,14 @@ object Frontier {
   /** J8 robots gating: keep candidates not disallowed by the most
     * specific matching rule for their host (RFC 9309: longest pattern
     * wins, `*`/`$` wildcards supported); hosts with no matching rule are
-    * allowed. The rules table is small relative to the frontier →
-    * patterns compile to regexes once on the (tiny) rules side, then a
-    * broadcast join on host_key, match, and a longest-pattern argmax per
-    * candidate. Plain prefix rules (no `*`/`$`) keep the codegen'd
-    * startsWith fast path.
+    * allowed. Patterns compile to regexes once on the rules side, then
+    * a host_key join, match, and a longest-pattern argmax per candidate.
+    * The join strategy is AQE's call, NOT a forced broadcast: at
+    * fixture scale the rules side is tiny and AQE broadcasts it anyway,
+    * but at web scale the all-hosts rules table is GBs — a mandatory
+    * BroadcastExchange would OOM the driver, while the host_key
+    * sort-merge path stays skew-split capable. Plain prefix rules (no
+    * `*`/`$`) keep the codegen'd startsWith fast path.
     */
   def robotsGate(candidates: DataFrame, rules: DataFrame,
                  urlCol: String = "url",
@@ -199,7 +210,7 @@ object Frontier {
     val verdicts = candidates
       .select(col("host_key"), col(urlCol), col(urlPathCol))
       .distinct()
-      .join(broadcast(compiled), Seq("host_key"), "inner")
+      .join(compiled, Seq("host_key"), "inner")
       .filter(
         when(col("__wild"), regexp_like(col(urlPathCol), col("__rx")))
           .otherwise(col(urlPathCol).startsWith(col("path_prefix"))))

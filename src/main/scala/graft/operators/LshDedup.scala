@@ -178,7 +178,13 @@ object LshDedup {
   private case class ReplayDoc(doc_id: String, ord: Long, bands: Seq[Long])
 
   /** A1 self-dedup: survivors of the first-wins insert/query replay.
-    * Returns the input rows (doc_id, ord) that are kept.
+    * Returns the input rows (doc_id, ord) that are kept, with `doc_id`
+    * in the INPUT column's exact dataType: the replay only ever compares
+    * doc_ids for equality, so it stringifies them internally (injective
+    * per column type), emits surviving `ord`s, and semi-joins back to
+    * the source frame — the output schema is sliced from the input, not
+    * re-encoded through a fixed tuple Encoder (which silently cast a
+    * BIGINT doc_id to STRING in rounds 3–4).
     */
   def selfDedup(mh: DataFrame): DataFrame = {
     val spark = mh.sparkSession
@@ -188,20 +194,21 @@ object LshDedup {
     val mhp    = mh.localCheckpoint()
     val edges  = chainEdges(mhp)
     val comps  = connectedComponents(edges)
-    val member = mhp.select($"doc_id", $"ord", $"bands")
+    val member = mhp
+      .select($"doc_id".cast("string").as("doc_id"), $"ord", $"bands")
       .join(comps, Seq("ord"), "left_outer")
       // singletons form their own component
       .withColumn("comp", coalesce($"comp", $"ord"))
       .select($"doc_id", $"ord", $"bands", $"comp")
       .as[(String, Long, Seq[Long], Long)]
-    val kept = member
+    val keptOrds = member
       .groupByKey(_._4)
       .flatMapGroups { (_, it) =>
         val docs = it.map(t => ReplayDoc(t._1, t._2, t._3)).toArray
         java.util.Arrays.sort(docs, Ordering.by((d: ReplayDoc) => d.ord))
         val insertedIds   = mutable.HashSet.empty[String]
         val insertedBands = mutable.HashSet.empty[(Int, Long)]
-        val out = mutable.ArrayBuffer.empty[(String, Long)]
+        val out = mutable.ArrayBuffer.empty[Long]
         docs.foreach { d =>
           if (!insertedIds.contains(d.doc_id)) {
             val hit = d.bands.iterator.zipWithIndex
@@ -211,20 +218,22 @@ object LshDedup {
               d.bands.iterator.zipWithIndex.foreach { case (h, i) =>
                 insertedBands += ((i, h))
               }
-              out += ((d.doc_id, d.ord))
+              out += d.ord
             }
           }
         }
         out.iterator
       }
-      .toDF("doc_id", "ord")
-    // Canonical output order. The kept SET is deterministic (per-component
-    // replay over deterministic components), but flatMapGroups emits rows
-    // in hash-partition order, which is stable per-plan yet not canonical
-    // across environments — an order-sensitive downstream hasher would see
-    // "different" results for identical sets. The sort is on the final
-    // (small) survivor set, so it costs one exchange over output rows only.
-    kept.orderBy("ord")
+      .toDF("ord")
+    // Survivors are tiny relative to the corpus -> broadcast semi join;
+    // doc_id comes straight from the input frame, type intact.
+    // Canonical output order: the kept SET is deterministic (per-component
+    // replay over deterministic components), but emit order is
+    // hash-partition order, stable per-plan yet not canonical across
+    // environments — the sort is over the final (small) survivor set only.
+    mhp.join(keptOrds, Seq("ord"), "left_semi")
+      .select($"doc_id", $"ord")
+      .orderBy("ord")
   }
 
   /** A2 cross-dedup: drop any new doc with a band collision against the

@@ -70,6 +70,42 @@ class FrontierSpec extends AnyFunSuite {
            s"per-host row_number in plan:\n$plan")
   }
 
+  test("finite quota routed to the unbounded path is still enforced") {
+    // salts high enough that quota=3 crosses the Int.MaxValue/salts
+    // routing threshold -> exercises the skew-free path, which before r5
+    // silently dropped the quota filter
+    val cand = (0 until 40).map(i =>
+      (s"h${i % 4}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")
+    val got = Frontier.politenessRank(cand, "host_key",
+      Seq(asc("pri")), quota = 3, salts = Int.MaxValue)
+      .select("host_key", "url", "wave")
+      .as[(String, String, Int)].collect()
+    assert(got.length == 12, s"quota unenforced: ${got.length} rows")
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    assert(got.forall(_._3 <= 3))
+    assert(got.filter(r => r._1 == "h0" && r._3 == 1).head._2 == "u0")
+  }
+
+  test("robotsGate plans without a mandatory BroadcastExchange") {
+    // At web scale the all-hosts rules table is GBs; a forced
+    // broadcast() hint would OOM the driver no matter what AQE thinks.
+    // Simulate "rules side exceeds the threshold" by disabling
+    // auto-broadcast: the gate must still plan (as a shuffle join).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = Seq(("h1", "u1", "/a/b/c"), ("h1", "u2", "/other"))
+        .toDF("host_key", "url", "path")
+      val rules = Seq(("h1", "/a", false))
+        .toDF("host_key", "path_prefix", "allow")
+      val got = Frontier.robotsGate(cand, rules)
+      assert(got.select("url").as[String].collect().toSet == Set("u2"))
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+             s"rules join must not force a broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("robotsRules: groups, agent specificity, merged groups, delays") {
     val h1 =
       """# comment to strip

@@ -8,6 +8,7 @@ import glob
 import json
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -17,23 +18,52 @@ TABLES = [
 ]
 
 
+def norm(v):
+    """Normalize a value WITHOUT erasing its Python type. The driver's
+    hash is type-sensitive (an int doc_id != its str form), so the old
+    str(v) canonicalization structurally could not catch type drift —
+    the r3/r4 q_lsh_dedup bug class. Numeric width is collapsed
+    (Decimal/HUGEINT of an integer -> int, matching how both engines
+    surface SUM results) but int vs str vs float stay distinct."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return int(v)
+        return round(float(v), 6)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
 def canon(rows, cols):
-    """Sort columns by name, normalize values, sort rows -> hashable form."""
+    """Sort columns by name, normalize values, sort rows -> comparable form."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    # mixed-type tuples aren't orderable in py3 -> sort on (typename, str)
+    out.sort(key=lambda t: tuple((type(x).__name__, str(x)) for x in t))
     return out
+
+
+def col_types(rows, cols):
+    """Per-column set of python value types (None excluded), post-norm."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    types = {n: set() for n in names}
+    for r in rows:
+        for n, i in zip(names, order):
+            v = norm(r[i])
+            if v is not None:
+                types[n].add(type(v).__name__)
+    return types
 
 
 def main(sf_dir, out_dir):
@@ -66,6 +96,15 @@ def main(sf_dir, out_dir):
         if sorted(scols) != sorted(dcols):
             print(f"SCHEMA MISMATCH {name}: spark={sorted(scols)} "
                   f"duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        st, dt = col_types(srows, scols), col_types(drows, dcols)
+        drift = {n: (st[n], dt[n]) for n in st
+                 if st[n] and dt[n] and st[n] != dt[n]}
+        if drift:
+            print(f"TYPE MISMATCH {name}: " + ", ".join(
+                f"{n}: spark={sorted(s)} duck={sorted(d)}"
+                for n, (s, d) in sorted(drift.items())))
             n_fail += 1
             continue
         a, b = canon(srows, scols), canon(drows, dcols)
