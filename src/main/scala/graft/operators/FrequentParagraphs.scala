@@ -181,45 +181,75 @@ object FrequentParagraphs {
   /** A3: collect frequent paragraphs per domain. Input requires columns
     * (domain, ord, doc_id, pbands: array<array<long>>); output one row
     * per (domain, pdata_id) with bands, score, count.
+    *
+    * J6 bootstrap (previous epoch's pdata) is a domain-keyed JOIN, not a
+    * driver collect+broadcast: bootstrap rows union into the doc stream
+    * with a sort key that places them before every doc of their domain
+    * (and in pdata_id order among themselves), so the one
+    * repartition+sortWithinPartitions that already feeds the state
+    * machine co-locates each domain's seed state with its docs. At 100×
+    * the per-domain frequent state of a whole previous crawl never
+    * touches the driver — it shuffles like any other table. Domains
+    * present only in the bootstrap (no new docs) emit nothing, matching
+    * the reference (frequent_paragraphs.py:433–439 seeds state only for
+    * domains it is about to read).
     */
   def collect(docs: DataFrame, decay: Double = 0.99,
               minFreq: Long = 2, decayThreshold: Double = 0.5,
               bootstrapDf: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // J6 bootstrap state, broadcast per domain (previous year's pdata)
-    val bootBc = spark.sparkContext.broadcast(
-      bootstrapDf.map { bdf =>
-        bdf.select($"domain", $"bands", $"score", $"count")
-          .as[(String, Seq[Long], Double, Long)]
-          .collect()
-          .groupBy(_._1)
-          .map { case (d, rows) =>
-            d -> rows.toSeq.map(r => (r._2.toArray, r._3, r._4))
-          }
-      }.getOrElse(Map.empty[String, Seq[(Array[Long], Double, Long)]]))
-    docs
-      .select($"domain", $"ord", $"doc_id", $"pbands")
-      .as[(String, Long, String, Seq[Seq[Long]])]
+    val pbandsT = "array<array<bigint>>"
+    val docRows = docs.select(
+      $"domain", lit(1).as("__k"), lit(0L).as("__bord"),
+      $"ord", $"doc_id".cast("string").as("doc_id"), $"pbands",
+      array().cast("array<bigint>").as("__bbands"),
+      lit(0.0).as("__bscore"), lit(0L).as("__bcount"))
+    val unified = bootstrapDf match {
+      case None => docRows
+      case Some(bdf) =>
+        // per-domain seed order: pdata_id when the frame carries one
+        // (collect output always does), else frame row order
+        val bord =
+          if (bdf.columns.contains("pdata_id")) col("pdata_id").cast("long")
+          else monotonically_increasing_id()
+        docRows.unionByName(bdf.select(
+          $"domain", lit(0).as("__k"), bord.as("__bord"),
+          lit(0L).as("ord"), lit("").as("doc_id"),
+          array().cast(pbandsT).as("pbands"),
+          $"bands".as("__bbands"),
+          $"score".cast("double").as("__bscore"),
+          $"count".cast("long").as("__bcount")))
+    }
+    unified
       .repartition($"domain")
-      .sortWithinPartitions($"domain", $"ord")
+      .sortWithinPartitions($"domain", $"__k", $"__bord", $"ord")
+      .as[(String, Int, Long, Long, String, Seq[Seq[Long]], Seq[Long], Double, Long)]
       .mapPartitions { it =>
         val out = mutable.ArrayBuffer.empty[(String, Int, Seq[Long], Double, Long)]
         var curDomain: String = null
         var collector: Collector = null
+        val bootBuf = mutable.ArrayBuffer.empty[(Array[Long], Double, Long)]
         def flush(): Unit = if (collector != null) {
           collector.wrapUp(minFreq).foreach { case (id, pd) =>
             out += ((curDomain, id, pd.bands.toSeq, pd.score, pd.count))
           }
         }
-        it.foreach { case (domain, _, docId, pbands) =>
+        it.foreach { case (domain, k, _, _, docId, pbands, bbands, bscore, bcount) =>
           if (domain != curDomain) {
             flush()
             curDomain = domain
             collector = new Collector(decay, decayThreshold)
-            bootBc.value.get(domain).foreach(collector.bootstrap)
+            bootBuf.clear()
           }
-          collector.addDoc(docId, pbands.map(_.toArray))
+          if (k == 0) bootBuf += ((bbands.toArray, bscore, bcount))
+          else {
+            if (bootBuf.nonEmpty) {
+              collector.bootstrap(bootBuf.toSeq)
+              bootBuf.clear()
+            }
+            collector.addDoc(docId, pbands.map(_.toArray))
+          }
         }
         flush()
         out.iterator

@@ -101,6 +101,28 @@ object PipelineQueries {
              sum(size(col("spans"))).as("n_spans"))
     },
 
+    // J6 bootstrapped A3: epoch 1 = even-ord docs, epoch 2 = odd-ord docs
+    // seeded with epoch 1's frequents (carried score/count, synthetic
+    // keys) through the domain-keyed JOIN path — no driver-side state.
+    // Oracle: two instances of the recursive replay machine, the second
+    // seeded from the first's kept list.
+    "q_frequent_bootstrap" -> { (s, dir) =>
+      graft.expressions.MinHashExpressions.register(s)
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      val docs = DocPipeline.spanize(htmlFrame(s, dir))
+        .select(col("source").as("domain"),
+                col("doc_id").cast(LongType).as("ord"),
+                col("doc_id"), col("spans"))
+        .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
+          FrequentParagraphs.textSpans(col("spans")), b))
+        .localCheckpoint()
+      val boot = FrequentParagraphs.collect(docs.filter(col("ord") % 2 === 0))
+      FrequentParagraphs.collect(docs.filter(col("ord") % 2 === 1),
+                                 bootstrapDf = Some(boot))
+        .select(col("domain"), col("pdata_id").cast(LongType).as("pdata_id"),
+                col("score"), col("count"))
+    },
+
     // JusText-core boilerplate classification: HTML with a link-heavy nav
     // block, content paragraphs and a © footer; the Spark side runs the
     // production parser + column/window classifier (Boilerplate.classify),
@@ -379,6 +401,10 @@ object PipelineQueries {
     * Collector runs, so even unrounded doubles hash-match.
     */
   private def frequentReplayCte(b: Int): String =
+    frequentBaseCte(b) + ",\n" + frequentMachineCte(b, "", "TRUE", None)
+
+  /** Shared paragraph/minhash derivation (domain-split independent). */
+  private def frequentBaseCte(b: Int): String =
     s"""pdocs AS MATERIALIZED (
          SELECT doc_id, CAST(doc_id AS BIGINT) AS ord, source AS domain,
                 list_append(
@@ -397,21 +423,42 @@ object PipelineQueries {
        src AS (SELECT ord * 10000 + p_id AS k, ptext AS text FROM pp),
        ${TextQueries.minhashBandsCte(b)},
        pmh AS MATERIALIZED (
-         SELECT k, list(bhash ORDER BY band ASC) AS mh FROM bands GROUP BY k),
-       steps AS MATERIALIZED (
+         SELECT k, list(bhash ORDER BY band ASC) AS mh FROM bands GROUP BY k)"""
+
+  /** One instance of the recursive state machine over the docs matched
+    * by `pred` (on pp.ord), CTE names prefixed with `p` so two machines
+    * can share one WITH RECURSIVE list. `bootCte`, when set, names a CTE
+    * of (domain, entries) seeding each domain's initial PData state —
+    * the J6 bootstrap (carried score/count, synthetic "1".."n" keys,
+    * exactly Collector.bootstrap). Ends with `${p}kept`.
+    */
+  private def frequentMachineCte(b: Int, p: String, pred: String,
+                                 bootCte: Option[String]): String = {
+    val bandIdx = (1 to b).mkString("[", ",", "]")
+    val entriesT =
+      "STRUCT(key VARCHAR, bands BIGINT[], score DOUBLE, cnt BIGINT)[]"
+    val (baseEntries, baseFrom) = bootCte match {
+      case None =>
+        (s"CAST([] AS $entriesT)",
+         s"(SELECT DISTINCT domain FROM ${p}steps)")
+      case Some(bc) =>
+        (s"coalesce(bt.entries, CAST([] AS $entriesT))",
+         s"(SELECT DISTINCT domain FROM ${p}steps) d LEFT JOIN $bc bt USING (domain)")
+    }
+    s"""${p}steps AS MATERIALIZED (
          SELECT pp.domain, pp.ord, pp.p_id,
                 row_number() OVER (PARTITION BY pp.domain
                                    ORDER BY pp.ord, pp.p_id) AS sidx,
                 pp.p_id = 1 AS isf,
                 pp.doc_id || '_' || pp.p_id AS pkey,
                 pmh.mh AS mh
-         FROM pp JOIN pmh ON pmh.k = pp.ord * 10000 + pp.p_id),
-       st(domain, i, entries, inc) AS (
+         FROM pp JOIN pmh ON pmh.k = pp.ord * 10000 + pp.p_id
+         WHERE $pred),
+       ${p}st(domain, i, entries, inc) AS (
          SELECT domain, CAST(0 AS BIGINT),
-                CAST([] AS STRUCT(key VARCHAR, bands BIGINT[],
-                                  score DOUBLE, cnt BIGINT)[]),
+                $baseEntries,
                 CAST([] AS VARCHAR[])
-         FROM (SELECT DISTINCT domain FROM steps)
+         FROM $baseFrom
          UNION ALL
          SELECT domain, i, e2 AS entries,
                 CASE WHEN len(newkeys) = 0 THEN list_append(i0, pkey)
@@ -427,44 +474,45 @@ object PipelineQueries {
              SELECT q0.*,
                     list_transform(
                       list_filter(e0, e -> (NOT list_contains(i0, e.key)) AND
-                        len(list_filter([1,2,3,4,5,6,7,8],
+                        len(list_filter($bandIdx,
                                         ix -> e.bands[ix] = mh[ix])) > 0),
                       e -> e.key) AS newkeys,
                     list_transform(e0, e ->
                       CASE WHEN (NOT list_contains(i0, e.key)) AND
-                             len(list_filter([1,2,3,4,5,6,7,8],
+                             len(list_filter($bandIdx,
                                              ix -> e.bands[ix] = mh[ix])) > 0
                            THEN struct_pack(key := e.key, bands := e.bands,
                                   score := e.score + CAST(1.0 AS DOUBLE),
                                   cnt := e.cnt + 1)
                            ELSE e END) AS e1
              FROM (
-               SELECT st.domain, st.i + 1 AS i, s.pkey, s.mh,
+               SELECT ${p}st.domain, ${p}st.i + 1 AS i, s.pkey, s.mh,
                       CASE WHEN s.isf
                            THEN list_transform(
-                                  list_filter(st.entries,
+                                  list_filter(${p}st.entries,
                                     e -> e.score >= CAST(0.5 AS DOUBLE)),
                                   e -> struct_pack(key := e.key,
                                          bands := e.bands,
                                          score := e.score * CAST(0.99 AS DOUBLE),
                                          cnt := e.cnt))
-                           ELSE st.entries END AS e0,
+                           ELSE ${p}st.entries END AS e0,
                       CASE WHEN s.isf THEN CAST([] AS VARCHAR[])
-                           ELSE st.inc END AS i0
-               FROM st JOIN steps s ON s.domain = st.domain
-                                   AND s.sidx = st.i + 1) q0) q1) q2),
-       fin AS (
+                           ELSE ${p}st.inc END AS i0
+               FROM ${p}st JOIN ${p}steps s ON s.domain = ${p}st.domain
+                                   AND s.sidx = ${p}st.i + 1) q0) q1) q2),
+       ${p}fin AS (
          SELECT domain, entries FROM (
            SELECT domain, entries,
                   row_number() OVER (PARTITION BY domain
                                      ORDER BY i DESC) AS rw
-           FROM st) WHERE rw = 1),
-       kept AS (
+           FROM ${p}st) WHERE rw = 1),
+       ${p}kept AS (
          SELECT domain,
                 list_filter(
                   list_filter(entries, e -> e.score >= CAST(0.5 AS DOUBLE)),
                   e -> e.cnt >= 2) AS entries
-         FROM fin)"""
+         FROM ${p}fin)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q_frequent_collect" -> {
@@ -475,6 +523,29 @@ object PipelineQueries {
                  unnest(entries).score AS score,
                  unnest(entries).cnt AS count
           FROM kept"""
+    },
+    "q_frequent_bootstrap" -> {
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      s"""WITH RECURSIVE ${frequentBaseCte(b)},
+          ${frequentMachineCte(b, "a", "pp.ord % 2 = 0", None)},
+          boot AS (
+            SELECT domain,
+                   list(struct_pack(key := CAST(i AS VARCHAR),
+                          bands := bands, score := score, cnt := cnt)
+                        ORDER BY i) AS entries
+            FROM (SELECT domain,
+                         generate_subscripts(entries, 1) AS i,
+                         unnest(entries).bands AS bands,
+                         unnest(entries).score AS score,
+                         unnest(entries).cnt AS cnt
+                  FROM akept)
+            GROUP BY domain),
+          ${frequentMachineCte(b, "n", "pp.ord % 2 = 1", Some("boot"))}
+          SELECT domain,
+                 CAST(generate_subscripts(entries, 1) AS BIGINT) AS pdata_id,
+                 unnest(entries).score AS score,
+                 unnest(entries).cnt AS count
+          FROM nkept"""
     },
     "q_frequent_filter" -> {
       val b = graft.functions.MinHashF.optimalBands(0.95)
