@@ -315,6 +315,11 @@ object Multimodal {
         }
       }
       if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      // Untrusted header dims: w*h in Int can overflow to a zero/negative
+      // frameBytes, and a negative frameBytes can stop `pos` advancing —
+      // an infinite loop NonFatal can't catch. A genuine frame must fit
+      // the payload, so bound with Long math before any Int arithmetic.
+      if (w.toLong * h > bytes.length) return None
       val lumaBytes = w * h
       val frameBytes = colour match {
         case "420" => lumaBytes * 3 / 2
@@ -322,6 +327,7 @@ object Multimodal {
         case "444" => lumaBytes * 3
         case _ => return None
       }
+      if (frameBytes <= 0) return None
       var pos = eol + 1
       var nFrames = 0L
       val frameMs  = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -356,9 +362,12 @@ object Multimodal {
   def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, nFrames: Int,
                 luma: (Int, Int, Int) => Int): Array[Byte] = {
     val headerStr = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n"
-    val chroma = (w / 2) * (h / 2)
+    // chroma byte count derived the same way decode sizes the frame
+    // (w*h*3/2 - w*h), so odd-dimension fixtures round-trip; real C420
+    // requires even dims, where this equals (w/2)*(h/2)*2.
+    val chroma2 = w * h * 3 / 2 - w * h
     val buf = new java.io.ByteArrayOutputStream(
-      headerStr.length + nFrames * (6 + w * h + 2 * chroma))
+      headerStr.length + nFrames * (6 + w * h + chroma2))
     buf.write(headerStr.getBytes("US-ASCII"))
     (0 until nFrames).foreach { f =>
       buf.write("FRAME\n".getBytes("US-ASCII"))
@@ -369,7 +378,7 @@ object Multimodal {
         y += 1
       }
       var c = 0
-      while (c < 2 * chroma) { buf.write(128); c += 1 }
+      while (c < chroma2) { buf.write(128); c += 1 }
     }
     buf.toByteArray
   }

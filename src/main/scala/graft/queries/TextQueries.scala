@@ -198,8 +198,12 @@ object TextQueries {
     // listing). Oracle: identical to q_ann_ivf.
     "q_ann_ivf_indexed" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-ivf-idx").toString
+      // deterministic per-input path, overwritten in place on each run —
+      // a fresh createTempDirectory here leaked one full index copy per
+      // harness invocation
+      val idx = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-idx-${Integer.toHexString(dir.hashCode)}").toString
       Similarity.ivfBuild(emb, idx, kLists = 8, iters = 3)
       val qVec = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))

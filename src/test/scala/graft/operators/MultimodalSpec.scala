@@ -110,6 +110,21 @@ class MultimodalSpec extends AnyFunSuite {
     val c411 = new String(good, "ISO-8859-1")
       .replace("C420", "C411").getBytes("ISO-8859-1")
     assert(Multimodal.decodeY4m(c411).isEmpty)
+    // overflowing header dims: 65536*65536 wraps Int to 0, which before
+    // the Long-math guard made frameBytes 0 and the frame walk loop
+    // forever (a hang NonFatal cannot catch)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W65536 H65536 F25:1\nFRAME\n".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W46341 H46341 F25:1\nFRAME\n".getBytes).isEmpty)
+  }
+
+  test("y4m: odd dimensions round-trip (encode chroma == decode sizing)") {
+    val enc = Multimodal.encodeY4m(5, 3, 25, 1, nFrames = 3,
+      (f, x, y) => f + x + y)
+    val v = Multimodal.decodeY4m(enc).get
+    assert(v.width == 5 && v.height == 3 && v.n_frames == 3)
+    assert(v.luma_sum.size == 3)
   }
 
   test("WAV: malformed payloads decode to None, never throw") {
