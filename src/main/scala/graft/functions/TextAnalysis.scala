@@ -32,8 +32,8 @@ object TextAnalysis {
     * counts, fixed priority on ties (seq order), 'unk' when all scores
     * are zero. Deterministic heuristic per the builder brief (the
     * reference uses cld2 over ~100 languages, filter_corpus.py:95–147);
-    * breadth here covers the 22 highest-volume space-delimited-script
-    * languages of the reference's corpora. Markers are chosen to be
+    * breadth covers 61 space-delimited-script
+    * languages (22 original + the r5 extension below) of the reference's corpora. Markers are chosen to be
     * high-frequency function words that are near-unique to the language
     * (priority order resolves the genuine collisions, e.g. no/da 'og').
     * CJK scripts are out of scope for this heuristic: space-padded word
@@ -61,7 +61,52 @@ object TextAnalysis {
     "vi" -> Seq("và", "của"),
     "el" -> Seq("και", "να"),
     "ar" -> Seq("في", "من"),
-    "he" -> Seq("של", "את")
+    "he" -> Seq("של", "את"),
+    // r5 breadth extension toward the reference's cld2 coverage
+    // (filter_corpus.py:95–147), space-delimited scripts only. Appended
+    // AFTER the original 22 so existing tie priority is unchanged; the
+    // Column scorer, the native codegen'd expression and the DuckDB
+    // oracle all generate from this table, so each added row extends
+    // all three at once.
+    "uk" -> Seq("що", "це"),
+    "bg" -> Seq("това", "към"),
+    "sr" -> Seq("је", "су"),
+    "hr" -> Seq("koji", "ili"),
+    "sk" -> Seq("čo", "ktorý"),
+    "sl" -> Seq("tudi", "lahko"),
+    "lt" -> Seq("ir", "yra"),
+    "lv" -> Seq("arī", "nav"),
+    "et" -> Seq("ning", "või"),
+    "be" -> Seq("гэта", "што"),
+    "mk" -> Seq("дека", "во"),
+    "fa" -> Seq("که", "از"),
+    "ur" -> Seq("کے", "ہے"),
+    "hi" -> Seq("है", "के"),
+    "bn" -> Seq("এবং", "করে"),
+    "ta" -> Seq("மற்றும்", "ஒரு"),
+    "te" -> Seq("మరియు", "ఒక"),
+    "ml" -> Seq("ഒരു", "എന്ന്"),
+    "tl" -> Seq("ang", "ng"),
+    "sw" -> Seq("kwa", "ya"),
+    "af" -> Seq("die", "nie"),
+    "ca" -> Seq("amb", "els"),
+    "gl" -> Seq("unha", "máis"),
+    "eu" -> Seq("eta", "bat"),
+    "sq" -> Seq("dhe", "një"),
+    "az" -> Seq("və", "üçün"),
+    "kk" -> Seq("және", "бір"),
+    "uz" -> Seq("va", "bilan"),
+    "ky" -> Seq("жана", "менен"),
+    "hy" -> Seq("և", "որ"),
+    "ka" -> Seq("და", "რომ"),
+    "mn" -> Seq("нь", "байна"),
+    "ne" -> Seq("छ", "गरेको"),
+    "si" -> Seq("සහ", "ඇත"),
+    "is" -> Seq("við", "það"),
+    "ga" -> Seq("agus", "sé"),
+    "cy" -> Seq("bod", "wedi"),
+    "mt" -> Seq("huwa", "jew"),
+    "am" -> Seq("ነው", "እና")
   )
 
   def langScoreCol(text: Column, lang: String): Column =

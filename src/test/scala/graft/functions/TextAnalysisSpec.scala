@@ -36,15 +36,19 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("langid markers count literally (non-overlapping replace)") {
     // column form parity is covered in CrawlParitySpec; here the
-    // marker-table shape: 22 languages, priority order starts with the
-    // original four, every language has >= 2 markers
+    // marker-table shape: 61 languages (22 original + r5 breadth
+    // extension), priority order starts with the original four, every
+    // language has >= 2 markers, and no marker embeds a quote that
+    // would break the generated oracle SQL literal
     val langs = TextAnalysis.LangMarkers.map(_._1)
     assert(langs.take(4) == Seq("en", "de", "fr", "es"))
-    assert(langs.length == 22 && langs.distinct.length == 22)
+    assert(langs.length == 61 && langs.distinct.length == 61)
     assert(TextAnalysis.LangMarkers.forall(_._2.length >= 2))
+    assert(TextAnalysis.LangMarkers.forall(_._2.forall(w =>
+      !w.contains("'") && !w.contains(" "))))
   }
 
-  test("langIdCol classifies sample sentences across the 22 languages") {
+  test("langIdCol classifies sample sentences across all 61 languages") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -70,7 +74,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       "vi" -> "con chó và con mèo của tôi và của bạn",
       "el" -> "το σπίτι και ο σκύλος να τρέχει και να παίζει",
       "ar" -> "البيت في المدينة من الحجر في الشارع من هنا",
-      "he" -> "הבית של האיש את הכלב של הילד את החתול")
+      "he" -> "הבית של האיש את הכלב של הילד את החתול",
+      "uk" -> "що це добре що це так",
+      "bg" -> "това е към града и това е към дома",
+      "sr" -> "пас је добар и мачке су добре је су ту",
+      "hr" -> "čovjek koji radi ili koji spava ili pjeva",
+      "sk" -> "čo je to ktorý deň a čo je ktorý čas",
+      "sl" -> "to je tudi lahko res tudi lahko prav",
+      "lt" -> "tai ir yra gerai ir yra taip",
+      "lv" -> "tas arī nav labi arī nav slikti",
+      "et" -> "see ning too või see ning too või",
+      "be" -> "гэта што трэба гэта што было",
+      "mk" -> "дека во градот дека во домот",
+      "fa" -> "گفت که از خانه که از شهر",
+      "ur" -> "اس کے گھر ہے اور اس کے پاس ہے",
+      "hi" -> "यह है और उस के घर है के पास",
+      "bn" -> "সে এবং তারা করে এবং আবার করে",
+      "ta" -> "அது மற்றும் இது ஒரு வீடு மற்றும் ஒரு நாய்",
+      "te" -> "అది మరియు ఇది ఒక ఇల్లు మరియు ఒక కుక్క",
+      "ml" -> "അത് ഒരു വീട് എന്ന് ഒരു നായ എന്ന് പറഞ്ഞു",
+      "tl" -> "ito ang bahay ng tao ang aso ng bata",
+      "sw" -> "nyumba kwa watu ya mbwa kwa paka ya mtu",
+      "af" -> "die huis en die hond is nie hier nie",
+      "ca" -> "amb els gossos amb els gats",
+      "gl" -> "unha casa e máis unha vida e máis",
+      "eu" -> "eta bat etxe eta bat txakur",
+      "sq" -> "dhe një shtëpi dhe një qen",
+      "az" -> "ev və it üçün və pişik üçün",
+      "kk" -> "үй және ит бір мысық және бір",
+      "uz" -> "uy va it bilan va mushuk bilan",
+      "ky" -> "үй жана ит менен жана мышык менен",
+      "hy" -> "տուն և շուն որ և կատու որ",
+      "ka" -> "სახლი და ძაღლი რომ და კატა რომ",
+      "mn" -> "байшин нь байна нохой нь байна",
+      "ne" -> "घर छ गरेको र कुकुर छ गरेको",
+      "si" -> "ගෙය සහ බල්ලා ඇත සහ පූසා ඇත",
+      "is" -> "við erum það hér við það þar",
+      "ga" -> "tá sé anseo agus tá sé ansin agus",
+      "cy" -> "mae wedi bod yma wedi bod yno",
+      "mt" -> "dan huwa dar jew huwa kelb jew",
+      "am" -> "ቤት ነው እና ውሻ ነው እና")
     val got = samples.map(_._2).toDF("text")
       .select(TextAnalysis.langIdCol(col("text")).as("lang"))
       .as[String].collect().toSeq
