@@ -175,9 +175,44 @@ object Multimodal {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-  /** Decode PCM WAV bytes (8-bit unsigned / 16-bit signed LE). Returns
-    * None for anything that is not a well-formed PCM RIFF/WAVE payload —
-    * crawled media must never fail the task.
+  // IMA-ADPCM tables (public spec: IMA "Recommended Practices for
+  // Enhancing Digital Audio Compatibility", also RFC 3551 DVI4): the
+  // 89-entry step-size table and the per-magnitude index adjustment.
+  // visible to the query layer: the oracle SQL embeds this same table
+  val ImaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private def imaIndexAdj(magnitude: Int): Int =
+    if (magnitude < 4) -1 else (magnitude - 3) * 2 // 4→2, 5→4, 6→6, 7→8
+
+  /** One IMA step shared by encoder and decoder: given state and the
+    * 3-bit magnitude+sign, returns (newPredictor, newIndex). The
+    * reconstruction diff is computed FROM the nibble bits (step/8 +
+    * bit-gated step, step/2, step/4), exactly as the decoder does — the
+    * encoder tracking this same state is what makes ADPCM self-correcting.
+    */
+  private def imaAdvance(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaSteps(idx)
+    val delta = nibble & 7
+    var diffq = step >> 3
+    if ((delta & 4) != 0) diffq += step
+    if ((delta & 2) != 0) diffq += step >> 1
+    if ((delta & 1) != 0) diffq += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diffq else pred + diffq
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + imaIndexAdj(delta)))
+    (p, i)
+  }
+
+  /** Decode WAV bytes: PCM (8-bit unsigned / 16-bit signed LE) or mono
+    * IMA-ADPCM (format tag 0x11 — the one compressed codec with a fully
+    * public pure-integer spec; bits=4 in the result marks it). Returns
+    * None for anything else — crawled media must never fail the task.
     */
   def decodeWav(bytes: Array[Byte]): Option[WavFeatures] = {
     try {
@@ -186,7 +221,8 @@ object Multimodal {
             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
             bytes(10) == 'V' && bytes(11) == 'E')) return None
       var pos = 12
-      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      var channels = 0; var rate = 0; var bits = 0; var fmtTag = -1
+      var blockAlign = 0; var samplesPerBlock = 0
       var dataOff = -1; var dataLen = 0
       while (pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, "US-ASCII")
@@ -194,17 +230,23 @@ object Multimodal {
         if (size < 0 || pos + 8 + size > bytes.length) return None
         id match {
           case "fmt " if size >= 16 =>
-            fmtOk = le16(bytes, pos + 8) == 1 // PCM only
+            fmtTag = le16(bytes, pos + 8)
             channels = le16(bytes, pos + 10)
             rate = le32(bytes, pos + 12)
+            blockAlign = le16(bytes, pos + 20)
             bits = le16(bytes, pos + 22)
+            if (fmtTag == 0x11 && size >= 20)
+              samplesPerBlock = le16(bytes, pos + 26)
           case "data" => dataOff = pos + 8; dataLen = size
           case _ => ()
         }
         pos += 8 + size + (size & 1) // chunks are word-aligned
       }
-      if (!fmtOk || dataOff < 0 || channels <= 0 || rate <= 0 ||
-          (bits != 8 && bits != 16)) return None
+      if (dataOff < 0 || channels <= 0 || rate <= 0) return None
+      if (fmtTag == 0x11)
+        return decodeImaAdpcm(bytes, dataOff, dataLen, channels, rate,
+                              bits, blockAlign, samplesPerBlock)
+      if (fmtTag != 1 || (bits != 8 && bits != 16)) return None
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
@@ -232,6 +274,100 @@ object Multimodal {
       Some(WavFeatures(rate, channels, bits, nFrames,
         nFrames * 1000L / rate, sumSq, zc))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mono IMA-ADPCM block walk: each block = 4-byte header (predictor
+    * int16 LE = the block's FIRST output sample, step index, reserved)
+    * + 4-bit samples, LOW nibble first. `samplesPerBlock` (fmt
+    * extension) caps decoded samples per block; the same exact-integer
+    * features as the PCM path are computed over the DECODED samples.
+    */
+  private def decodeImaAdpcm(bytes: Array[Byte], dataOff: Int,
+                             dataLen: Int, channels: Int, rate: Int,
+                             bits: Int, blockAlign: Int,
+                             samplesPerBlock: Int): Option[WavFeatures] = {
+    if (channels != 1 || bits != 4 || blockAlign < 5 ||
+        samplesPerBlock < 1) return None
+    var sumSq = 0L; var zc = 0L; var prevSign = 0; var nFrames = 0L
+    var off = dataOff
+    val end = dataOff + math.min(dataLen, bytes.length - dataOff)
+    def take(v: Int): Unit = {
+      sumSq += v.toLong * v
+      val s = java.lang.Integer.signum(v)
+      if (s != 0 && prevSign != 0 && s != prevSign) zc += 1
+      if (s != 0) prevSign = s
+      nFrames += 1
+    }
+    while (off + 4 <= end) {
+      var pred = le16(bytes, off).toShort.toInt
+      var idx = math.max(0, math.min(88, bytes(off + 2) & 0xff))
+      take(pred) // header predictor IS sample 0 of the block
+      var produced = 1
+      val blockEnd = math.min(end, off + blockAlign)
+      var p = off + 4
+      while (p < blockEnd && produced < samplesPerBlock) {
+        val b = bytes(p) & 0xff
+        var n = 0
+        while (n < 2 && produced < samplesPerBlock) {
+          val nib = if (n == 0) b & 0xf else b >>> 4
+          val (np, ni) = imaAdvance(pred, idx, nib)
+          pred = np; idx = ni
+          take(pred)
+          produced += 1
+          n += 1
+        }
+        p += 1
+      }
+      off += blockAlign
+    }
+    if (nFrames == 0) return None
+    Some(WavFeatures(rate, 1, 4, nFrames, nFrames * 1000L / rate,
+      sumSq, zc))
+  }
+
+  /** Canonical mono IMA-ADPCM WAV encoder (tests/fixtures): one block,
+    * initial predictor = samples(0) and index 0 (so sample 0 round-trips
+    * exactly), remaining samples as nibbles via the shared imaAdvance
+    * state. fmt carries the samplesPerBlock extension + a fact chunk.
+    */
+  def encodeImaAdpcmWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.nonEmpty, "need at least one sample")
+    val n = samples.length
+    val nNib = n - 1
+    val dataLen = 4 + (nNib + 1) / 2
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate) // nominal byte rate; decoder does not use it
+      .putShort(dataLen.toShort).putShort(4)
+      .putShort(2).putShort(n.toShort) // cbSize, samplesPerBlock
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var pred = samples(0); var idx = 0
+    out.putShort(pred.toShort).put(0.toByte).put(0.toByte)
+    var i = 1
+    var byteAcc = 0; var half = false
+    while (i < n) {
+      val diff = samples(i) - pred
+      val sign = if (diff < 0) 8 else 0
+      var adiff = math.abs(diff)
+      val step = ImaSteps(idx)
+      var delta = 0
+      if (adiff >= step) { delta |= 4; adiff -= step }
+      if (adiff >= (step >> 1)) { delta |= 2; adiff -= step >> 1 }
+      if (adiff >= (step >> 2)) delta |= 1
+      val nib = sign | delta
+      val (np, ni) = imaAdvance(pred, idx, nib)
+      pred = np; idx = ni
+      if (!half) { byteAcc = nib; half = true }
+      else { out.put((byteAcc | (nib << 4)).toByte); half = false }
+      i += 1
+    }
+    if (half) out.put(byteAcc.toByte)
+    out.array()
   }
 
   /** Canonical PCM WAV encoder (tests/fixtures): 8-bit unsigned or

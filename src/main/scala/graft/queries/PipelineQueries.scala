@@ -330,6 +330,33 @@ object PipelineQueries {
         col("wav.zero_crossings").as("zc"))
     },
 
+    // REAL compressed-audio decode: mono IMA-ADPCM (format 0x11, the one
+    // codec with a fully public pure-integer spec). Payloads are encoded
+    // from a 16-bit sample formula, decoded through the production RIFF
+    // walk + nibble state machine; the oracle replays the SAME
+    // encoder+decoder state recursion in SQL (the encoder tracks the
+    // decoder's predictor, so one pass yields the decoded samples) —
+    // any drift in step table, clamping or index adjustment breaks it.
+    "q_audio_adpcm" -> { (s, dir) =>
+      val wavUdf = udf((ord: Long, n: Int) =>
+        Multimodal.encodeImaAdpcmWav(8000,
+          (0 until n)
+            .map(i => ((((i * 37 + ord) % 256) - 128) * 256).toInt)
+            .toArray))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://adpcm/"), col("doc_id")).as("media_ref"),
+        wavUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 150 + 100).cast("int"))
+          .as("bytes"))
+      Multimodal.audioFeatures(media).select(
+        col("media_ref"),
+        col("wav.bits").cast(LongType).as("bits"),
+        col("wav.n_frames").as("n_frames"),
+        col("wav.duration_ms").as("duration_ms"),
+        col("wav.sum_sq").as("sum_sq"),
+        col("wav.zero_crossings").as("zc"))
+    },
+
     // REAL video decode end-to-end: uncompressed YUV4MPEG2 payloads are
     // encoded from a luma formula, then Multimodal.videoFeatures walks
     // the container (header tags, FRAME markers, planar C420 frames),
@@ -634,6 +661,85 @@ object PipelineQueries {
          JOIN ss ON ss.doc_id = d.doc_id
          LEFT JOIN zc ON zc.doc_id = d.doc_id""",
 
+    // IMA-ADPCM replay: one recursion step per sample per doc (all docs
+    // advance in parallel). The encoder tracks the decoder's predictor
+    // state, so a single pass over the INPUT samples yields the DECODED
+    // samples: nibble selection by residual thresholds, reconstruction
+    // diff from the nibble bits (step/8 + gated step, step/2, step/4),
+    // clamp to int16, index adjust clamped to [0,88].
+    "q_audio_adpcm" -> {
+      val steps = graft.operators.Multimodal.ImaSteps
+        .mkString("[", ",", "]")
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord,
+                  CAST(doc_id AS BIGINT) % 150 + 100 AS n
+           FROM documents),
+         st(doc_id, ord, n, i, pred, idx, sum_sq, zc, prev_sign) AS (
+           SELECT doc_id, ord, n, CAST(0 AS BIGINT),
+                  (ord % 256 - 128) * 256, 0,
+                  CAST((ord % 256 - 128) * 256 AS BIGINT)
+                    * ((ord % 256 - 128) * 256),
+                  CAST(0 AS BIGINT),
+                  CASE WHEN (ord % 256 - 128) > 0 THEN 1
+                       WHEN (ord % 256 - 128) < 0 THEN -1 ELSE 0 END
+           FROM d
+           UNION ALL
+           SELECT doc_id, ord, n, i, pred2, idx2,
+                  sum_sq + CAST(pred2 AS BIGINT) * pred2,
+                  zc + CASE WHEN pred2 <> 0 AND prev_sign <> 0
+                             AND CASE WHEN pred2 > 0 THEN 1 ELSE -1 END
+                                 <> prev_sign
+                            THEN 1 ELSE 0 END,
+                  CASE WHEN pred2 > 0 THEN 1 WHEN pred2 < 0 THEN -1
+                       ELSE prev_sign END
+           FROM (
+             SELECT qd.*,
+                    greatest(-32768, least(32767,
+                      CASE WHEN sgn = 1 THEN pred - diffq
+                           ELSE pred + diffq END)) AS pred2,
+                    greatest(0, least(88, idx +
+                      CASE WHEN delta < 4 THEN -1
+                           ELSE (delta - 3) * 2 END)) AS idx2
+             FROM (
+               SELECT qc.*, d4 * 4 + d2 * 2 + d1 AS delta,
+                      (stp // 8) + d4 * stp + d2 * (stp // 2)
+                        + d1 * (stp // 4) AS diffq
+               FROM (
+                 SELECT qb.*,
+                        CASE WHEN r2 >= stp // 4 THEN 1 ELSE 0 END AS d1
+                 FROM (
+                   SELECT qa.*,
+                          CASE WHEN r1 >= stp // 2 THEN 1 ELSE 0 END AS d2,
+                          r1 - CASE WHEN r1 >= stp // 2
+                                    THEN stp // 2 ELSE 0 END AS r2
+                   FROM (
+                     SELECT q0.*,
+                            CASE WHEN adiff >= stp THEN 1 ELSE 0 END AS d4,
+                            adiff - CASE WHEN adiff >= stp
+                                         THEN stp ELSE 0 END AS r1
+                     FROM (
+                       SELECT st.doc_id, st.ord, st.n, st.i + 1 AS i,
+                              st.pred, st.idx, st.sum_sq, st.zc,
+                              st.prev_sign,
+                              CASE WHEN v < st.pred THEN 1 ELSE 0 END AS sgn,
+                              abs(v - st.pred) AS adiff,
+                              ($steps)[st.idx + 1] AS stp
+                       FROM (SELECT *,
+                               ((i + 1) * 37 + ord) % 256 * 256
+                                 - 32768 AS v
+                             FROM st WHERE i + 1 < n) st) q0) qa) qb) qc) qd)),
+         fin AS (
+           SELECT doc_id, n, sum_sq, zc,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY i DESC) AS rw
+           FROM st)
+         SELECT 'media://adpcm/' || doc_id AS media_ref,
+                CAST(4 AS BIGINT) AS bits,
+                CAST(n AS BIGINT) AS n_frames,
+                CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                sum_sq, zc
+         FROM fin WHERE rw = 1"""
+    },
     "q_video_decode" ->
       """WITH d AS (
            SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),

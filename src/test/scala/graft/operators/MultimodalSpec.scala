@@ -127,6 +127,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.luma_sum.size == 3)
   }
 
+  test("IMA-ADPCM: features match an independently written decoder") {
+    // straight-from-spec mini decoder, tables inlined — independent of
+    // the production imaAdvance so a shared bug cannot self-confirm
+    val steps = Multimodal.ImaSteps
+    val idxTab = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    def le16of(b: Array[Byte], i: Int) =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def refDecode(bytes: Array[Byte]): (Long, Long, Long) = {
+      def le16(i: Int) = le16of(bytes, i)
+      // encoder's fixed layout: RIFF(12) fmt(8+20) fact(8+4) data(8+..)
+      val spb = le16(38)
+      val dataLen = le16(56)
+      val dataOff = 60
+      var pred = le16(dataOff).toShort.toInt
+      var idx = bytes(dataOff + 2) & 0xff
+      var sumSq = pred.toLong * pred; var zc = 0L
+      var prevSign = Integer.signum(pred)
+      var produced = 1
+      var p = dataOff + 4
+      while (p < dataOff + dataLen && produced < spb) {
+        val b = bytes(p) & 0xff
+        Seq(b & 0xf, b >>> 4).foreach { nib =>
+          if (produced < spb) {
+            val step = steps(idx)
+            var d = step >> 3
+            if ((nib & 4) != 0) d += step
+            if ((nib & 2) != 0) d += step >> 1
+            if ((nib & 1) != 0) d += step >> 2
+            pred = math.max(-32768,
+              math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+            idx = math.max(0, math.min(88, idx + idxTab(nib & 7)))
+            sumSq += pred.toLong * pred
+            val s = Integer.signum(pred)
+            if (s != 0 && prevSign != 0 && s != prevSign) zc += 1
+            if (s != 0) prevSign = s
+            produced += 1
+          }
+        }
+        p += 1
+      }
+      (produced.toLong, sumSq, zc)
+    }
+    Seq(5L, 17L, 123L).foreach { seed =>
+      val n = (seed % 150 + 100).toInt
+      val samples = (0 until n)
+        .map(i => ((((i * 37 + seed) % 256) - 128) * 256).toInt).toArray
+      val wav = Multimodal.encodeImaAdpcmWav(8000, samples)
+      val got = Multimodal.decodeWav(wav).get
+      val (rn, rsq, rzc) = refDecode(wav)
+      assert(got.bits == 4 && got.sample_rate == 8000)
+      assert(got.n_frames == rn && rn == n)
+      assert(got.sum_sq == rsq, s"seed $seed sum_sq")
+      assert(got.zero_crossings == rzc, s"seed $seed zc")
+      // sample 0 round-trips exactly through the block header
+      assert(le16of(wav, 60).toShort.toInt == samples(0))
+    }
+  }
+
   test("WAV: malformed payloads decode to None, never throw") {
     assert(Multimodal.decodeWav(null).isEmpty)
     assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
