@@ -116,11 +116,29 @@ object Snapshots {
 
   /** Paths for the next snapshot's data/state dirs (uncommitted until
     * `commit` succeeds).
+    *
+    * Any EXISTING content at these paths is an orphan from a run that
+    * staged this id and died before commit (the manifest is the only
+    * commit point, so uncommitted staging is garbage by definition) —
+    * it is deleted here. Leaving it was a real resume hazard: the
+    * cuckoo state writer carries forward blobs for partitions the new
+    * batch does not touch by checking existence in the staging dir, so
+    * an orphan blob from the crashed attempt would smuggle
+    * never-committed inserts into the next snapshot — URLs marked seen
+    * that were never scheduled.
     */
   def stage(table: String): (Long, Path, Path) = {
     val next = latest(table).map(_.snapshotId + 1).getOrElse(0L)
     val d = Paths.get(table, "data", s"snap-$next")
     val s = Paths.get(table, "state", s"snap-$next")
+    Seq(d, s).foreach { p =>
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
     Files.createDirectories(d)
     Files.createDirectories(s)
     (next, d, s)

@@ -216,6 +216,28 @@ class StateSpec extends AnyFunSuite {
     }
   }
 
+  test("stage() cleans orphan staging from a crashed pre-commit attempt") {
+    val dir = Files.createTempDirectory("snaporphan").toString
+    // run 1 stages snap-0, writes data + a state blob, DIES before commit
+    val (id0, d0, s0) = Snapshots.stage(dir)
+    Files.writeString(d0.resolve("orphan.parquet"), "uncommitted delta")
+    Files.writeString(s0.resolve("part-00003.cuckoo"), "uncommitted inserts")
+    // run 2 resumes: latest() is still empty, stage() hands out the SAME
+    // id — the orphan files must be GONE, or the untouched-partition
+    // carry-forward would smuggle never-committed inserts into snap-0
+    val (id1, d1, s1) = Snapshots.stage(dir)
+    assert(id1 == id0)
+    assert(!Files.exists(d1.resolve("orphan.parquet")))
+    assert(!Files.exists(s1.resolve("part-00003.cuckoo")))
+    assert(Files.list(d1).count() == 0 && Files.list(s1).count() == 0)
+    // a committed snapshot's dirs are never touched by later stage calls
+    Files.writeString(d1.resolve("real.parquet"), "committed delta")
+    Snapshots.commit(dir, id1, Map("rows" -> 1L), "c")
+    val (id2, _, _) = Snapshots.stage(dir)
+    assert(id2 == id1 + 1)
+    assert(Files.exists(d1.resolve("real.parquet")))
+  }
+
   test("frontier job: two batches, resume from committed snapshot") {
     val spark = TestSpark.spark
     import spark.implicits._
