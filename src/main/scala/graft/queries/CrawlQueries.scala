@@ -54,6 +54,35 @@ object CrawlQueries {
        FROM events"""
 
   val defs: Map[String, Q] = Map(
+    // S2 ranged fetch through the PRODUCTION retry loop: the documents
+    // table doubles as the remote store (file = doc_id, bytes = ASCII
+    // text — the sandbox's network stand-in, NOT a data-path collect:
+    // in production the transport reads external storage and nothing
+    // ships from the driver). Each doc fetches two byte ranges through
+    // Fetch.fetchBatches (per-partition transport, retry/backoff state
+    // machine); the oracle recomputes the parts as substrings.
+    "q_fetch_ranges" -> { (s, dir) =>
+      import s.implicits._
+      val store = table(s, dir, "documents")
+        .select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)].collect()
+        .map { case (id, t) => id -> t.getBytes("US-ASCII") }.toMap
+      val batches = table(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("file_name"))
+        .select(col("file_name"), explode(array(
+          struct(lit(4L).as("range_start"), lit(24L).as("range_end")),
+          struct(lit(30L).as("range_start"), lit(40L).as("range_end"))))
+          .as("r"))
+        .select(col("file_name"), col("r.range_start"), col("r.range_end"))
+      graft.sources.Fetch.fetchBatches(batches,
+          () => graft.sources.Fetch.storeTransport(store, failFirst = 1),
+          retries = 3, delayMs = 0)
+        .select(col("file_name").cast(LongType).as("doc_id"),
+                col("range_start"),
+                md5(col("bytes")).as("part_md5"),
+                length(col("bytes")).cast(LongType).as("n_bytes"))
+    },
+
     // F4/F7/F8: URL canonicalization — percent-decode fixpoint, www strip,
     // netloc, SURT key, via the production column functions.
     "q_url_canonical" -> { (s, dir) =>
@@ -155,6 +184,17 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // every documents.text is ASCII (driver fixture), so byte ranges ==
+    // character substrings; min text length is 48 > the largest range end
+    "q_fetch_ranges" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS range_start,
+                md5(substr(text, 5, 20)) AS part_md5,
+                CAST(20 AS BIGINT) AS n_bytes
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(30 AS BIGINT), md5(substr(text, 31, 10)),
+                CAST(10 AS BIGINT)
+         FROM documents""",
     "q_url_canonical" ->
       """SELECT doc_id,
            'https://www.' || source || '.example.com/d/aab/' || doc_id AS canon_url,
