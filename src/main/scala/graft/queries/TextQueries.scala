@@ -95,6 +95,23 @@ object TextQueries {
         col("doc_id"), md5(col("text")).as("fp"))
     },
 
+    // Exact substring-overlap pairs: docs sharing >= 1 eight-token
+    // window (the LLM-pipeline "exact substring dedup" granularity
+    // between whole-doc md5 and MinHash similarity). md5 window
+    // fingerprints are reproduced verbatim by the oracle.
+    "q_substring_pairs" -> { (s, dir) =>
+      graft.operators.SubstringDedup.sharedPairs(
+        table(s, dir, "documents").select("doc_id", "text"))
+    },
+
+    // Keep/drop form (linear, no pair materialization): survivors have
+    // no window shared with a smaller doc_id.
+    "q_substring_dedup" -> { (s, dir) =>
+      graft.operators.SubstringDedup.survivors(
+        table(s, dir, "documents").select("doc_id", "text"))
+        .select("doc_id")
+    },
+
     // N-gram (word-set) Jaccard near-dup pairs, blocked by source —
     // exact two-regime set-similarity join (deletion signatures + prefix
     // filter; see SetSimilarity). The word sets feed both regimes and
@@ -405,6 +422,40 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_substring_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         fp0 AS (
+           SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+           FROM toks WHERE len(t) >= 8),
+         fps AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(t[i:i+7], ' ')) AS fp
+           FROM fp0),
+         ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+         f2 AS (SELECT fps.* FROM fps JOIN ok USING (fp))
+         SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                count(*) AS n_shared
+         FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         GROUP BY 1, 2""",
+    "q_substring_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         fp0 AS (
+           SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+           FROM toks WHERE len(t) >= 8),
+         fps AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(t[i:i+7], ' ')) AS fp
+           FROM fp0),
+         minp AS (SELECT fp, min(doc_id) AS min_id FROM fps GROUP BY fp),
+         dropd AS (
+           SELECT DISTINCT f.doc_id FROM fps f
+           JOIN minp USING (fp) WHERE f.doc_id > min_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropd)""",
     "q_lsh_bands" ->
       s"""WITH $docSrcCte,
           ${minhashBandsCte(MinHashF.optimalBands(0.9))}
