@@ -81,6 +81,33 @@ object TextQueries {
         round(stops * lit(1.0) / words, 4).as("stop_ratio"))
     },
 
+    // Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
+    // shape, thresholds tuned to the fixture): word stats as pure
+    // columns, the top-word fraction via explode + partial-agg groupBy
+    // keyed by doc_id (skew-free — a doc's words land in one group).
+    "q_quality_gopher" -> { (s, dir) =>
+      val toks  = split(trim(col("text")), "\\s+")
+      val n     = size(toks).cast(LongType)
+      val meanW = round(
+        aggregate(transform(toks, w => length(w)), lit(0L), _ + _)
+          * lit(1.0) / n, 4)
+      val ttr   = round(size(array_distinct(toks)) * lit(1.0) / n, 4)
+      val base  = table(s, dir, "documents").select(
+        col("doc_id"), n.as("n_words"), meanW.as("mean_word_len"),
+        ttr.as("ttr"), toks.as("toks"))
+      val top = base.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("topc"))
+      base.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("ttr"),
+          round(col("topc") * lit(1.0) / col("n_words"), 4)
+            .as("top_word_frac"),
+          (col("n_words") >= 10 && col("mean_word_len") >= 2.0 &&
+           col("mean_word_len") <= 12.0 && col("ttr") >= 0.3 &&
+           col("topc") * lit(1.0) / col("n_words") <= 0.2).as("pass"))
+    },
+
     // Exact dedup: hash-groupBy on full text, keep lexicographically
     // smallest doc_id as the representative.
     "q_dedup_exact" -> { (s, dir) =>
@@ -422,6 +449,30 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_quality_gopher" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         base AS (
+           SELECT doc_id, len(t) AS n,
+                  list_sum(list_transform(t, w -> length(w))) AS chars,
+                  len(list_distinct(t)) AS nd, t
+           FROM toks),
+         cnt AS (
+           SELECT doc_id, word, count(*) AS c
+           FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+           GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1)
+         SELECT b.doc_id,
+                CAST(b.n AS BIGINT) AS n_words,
+                round(b.chars * 1.0 / b.n, 4) AS mean_word_len,
+                round(b.nd * 1.0 / b.n, 4) AS ttr,
+                round(t.topc * 1.0 / b.n, 4) AS top_word_frac,
+                (b.n >= 10 AND b.chars * 1.0 / b.n >= 2.0
+                 AND b.chars * 1.0 / b.n <= 12.0
+                 AND b.nd * 1.0 / b.n >= 0.3
+                 AND t.topc * 1.0 / b.n <= 0.2) AS pass
+         FROM base b JOIN top t ON t.doc_id = b.doc_id""",
     "q_substring_pairs" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
