@@ -175,6 +175,20 @@ object LshDedup {
     labels
   }
 
+  /** (ord, comp) for every input row: band-graph connected component
+    * labeled by its minimum member ord (same-doc_id coupling included,
+    * as in the replay); singletons label themselves. Exposes the CC
+    * stage of selfDedup directly for inspection/oracling.
+    */
+  def components(mh: DataFrame): DataFrame = {
+    val spark = mh.sparkSession
+    import spark.implicits._
+    val mhp   = mh.localCheckpoint()
+    val comps = connectedComponents(chainEdges(mhp))
+    mhp.select($"ord").join(comps, Seq("ord"), "left_outer")
+      .withColumn("comp", coalesce($"comp", $"ord"))
+  }
+
   private case class ReplayDoc(doc_id: String, ord: Long, bands: Seq[Long])
 
   /** A1 self-dedup: survivors of the first-wins insert/query replay.

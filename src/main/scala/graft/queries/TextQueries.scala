@@ -187,6 +187,15 @@ object TextQueries {
         .distinct()
     },
 
+    // Band-graph connected components (the CC stage of self-dedup,
+    // exposed directly): comp = min ord of the component, singletons
+    // label themselves. Oracle: transitive closure over the conflict
+    // pairs (band collisions ∪ same-doc_id couples) as a recursive CTE.
+    "q_lsh_components" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      LshDedup.components(LshDedup.minhashed(lshDocs(s, dir), b))
+    },
+
     // MinHash+LSH self-dedup survivors over the documents table, via the
     // production first-wins replay (b bands for t=0.9). Oracle: the same
     // greedy replay as a DuckDB recursive CTE over the conflict-pair
@@ -517,6 +526,26 @@ object TextQueries {
           ${minhashBandsCte(MinHashF.optimalBands(0.9))},
           $lshPairsCte
           SELECT a_ord, b_ord FROM pairs""",
+    // components = transitive closure over the symmetric conflict graph
+    // (UNION dedups each round -> terminates at the fixpoint); comp is
+    // the min reachable ord. Same conf edges as the q_lsh_dedup replay.
+    "q_lsh_components" ->
+      s"""WITH RECURSIVE $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+          $lshPairsCte,
+          conf AS MATERIALIZED (
+            SELECT a_ord, b_ord FROM pairs
+            UNION
+            SELECT x.ord, y.ord FROM docs x JOIN docs y
+            ON x.doc_id = y.doc_id AND x.ord < y.ord),
+          sym AS MATERIALIZED (
+            SELECT a_ord AS x, b_ord AS y FROM conf
+            UNION SELECT b_ord, a_ord FROM conf),
+          reach(a, b) AS (
+            SELECT ord, ord FROM docs
+            UNION
+            SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b)
+          SELECT a AS ord, min(b) AS comp FROM reach GROUP BY a""",
     // First-wins replay as a sequential state machine: one recursion step
     // per doc in ord order, the kept set carried as a LIST; a doc is
     // dropped iff it conflicts (shared band bucket, or same doc_id) with
