@@ -189,6 +189,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: substring-dedup pairs/survivors match a brute-force model") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(77)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val docTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0L until 40L).foreach { i =>
+      // overlapping texts: some docs copy a run from an earlier doc
+      val base = Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i > 5 && rnd.nextInt(3) == 0) {
+          val donor = docTexts(rnd.nextInt(i.toInt))
+          (base.take(3) ++ donor.split(" ").take(10) ++ base.drop(3)).mkString(" ")
+        } else base.mkString(" ")
+      docTexts += text
+    }
+    val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+    val df = docs.toDF("doc_id", "text")
+    val w = 8
+    def windows(t: String): Set[Seq[String]] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < w) Set.empty else toks.sliding(w).map(_.toSeq).toSet
+    }
+    val model = docs.map { case (id, t) => id -> windows(t) }.toMap
+    val wantPairs = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      n = (model(a) intersect model(b)).size if n >= 1
+    } yield (a, b, n.toLong)).toSet
+    val gotPairs = graft.operators.SubstringDedup.sharedPairs(df, w,
+        maxBucket = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotPairs == wantPairs)
+    val wantKept = docs.map(_._1).filter { id =>
+      !docs.exists { case (o, _) => o < id && (model(o) intersect model(id)).nonEmpty }
+    }.toSet
+    val gotKept = graft.operators.SubstringDedup.survivors(df, w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotKept == wantKept)
+  }
+
   test("property: mime sniffing total (never throws) and simplify closed") {
     val rnd = new Random(99)
     (1 to 200).foreach { _ =>
