@@ -234,6 +234,74 @@ object Similarity {
     bruteForceTopK(cands.drop("list_id"), queryVec, k, idCol, embCol)
   }
 
+  // ---- Product quantization (PQ) — the compressed-ANN scale path ----
+  // At 100 TB of embeddings, IVF prunes WHICH vectors are read but each
+  // still costs dim*4 bytes; PQ compresses every vector to m bytes (a
+  // codebook index per subspace), so the candidate scan and the ADC
+  // distance are both ~dim/m smaller. Codebooks are model state
+  // (m*k*subDim doubles on the driver, like IVF centroids); the corpus
+  // never leaves the cluster.
+
+  /** Train per-subspace codebooks: the embedding splits into m
+    * contiguous subspaces; each runs the SAME deterministic k-means as
+    * IVF (init = first k vectors' subvectors, mean rounded to 6,
+    * distances to 8) so the SQL oracle replays it with the existing
+    * k-means CTE. Returns [m][k][dim/m].
+    */
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int = 2,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val dim = embeddings.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    (0 until m).map { s =>
+      val sub = embeddings.select(col(idCol),
+        slice(col(embCol).cast("array<double>"), s * sd + 1, sd)
+          .as("embedding"))
+      ivfCentroids(sub, k, iters, idCol, "embedding")
+    }.toArray
+  }
+
+  /** Encode: one code column per subspace (nearest codebook entry via
+    * the shared assignListCol — rounded distances, cid tie-break).
+    */
+  def pqEncode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val sd = books(0)(0).length
+    val v = col(embCol).cast("array<double>")
+    val codes = books.indices.map(s =>
+      assignListCol(slice(v, s * sd + 1, sd), books(s)).as(s"code$s"))
+    embeddings.select(col(idCol) +: codes: _*)
+  }
+
+  /** ADC search: per-subspace lookup table of (query-sub ↔ codebook
+    * entry) squared distances, summed across subspaces — the classic
+    * asymmetric distance. Pure column work over the encoded frame: the
+    * scan reads m small ints per vector, never the embedding.
+    */
+  def pqSearch(encoded: DataFrame, books: Array[Array[Array[Double]]],
+               queryVec: Seq[Double], k: Int,
+               excludeId: Option[Long] = None,
+               idCol: String = "vec_id"): DataFrame = {
+    val sd = books(0)(0).length
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cents, s) =>
+      val q = queryVec.slice(s * sd, (s + 1) * sd)
+      cents.map(c => r8(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum))
+    }
+    val adc = round(
+      books.indices.map(s =>
+        element_at(array(lut(s).map(lit).toIndexedSeq: _*),
+                   col(s"code$s") + 1)).reduce(_ + _), 4)
+    val base = excludeId.fold(encoded)(q => encoded.filter(col(idCol) =!= q))
+    base.withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact within blocks: the
     * all-pairs cosine is quadratic, so a block column (a shard key —
     * here supplied by the caller) bounds each task's pair count; within

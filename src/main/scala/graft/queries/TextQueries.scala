@@ -265,6 +265,21 @@ object TextQueries {
         excludeId = Some(0L))
     },
 
+    // Product-quantization ADC search: train per-subspace codebooks
+    // (m=4 x 16 dims, k=8, 2 iters), encode the corpus to 4 code
+    // columns, rank by asymmetric distance to vec 0. The oracle
+    // replays the per-subspace k-means with the shared CTE, the
+    // encoding argmin and the LUT-sum — every rounding step mirrored.
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.pqSearch(Similarity.pqEncode(emb, books), books, q,
+        k = 10, excludeId = Some(0L))
+    },
+
     // Embedding-cosine near-dup pairs, exact within blocks. The raw
     // embeddings carry no near-duplicates (max pairwise cosine ~0.51),
     // so the frame plants exact copies of vec_id < 50 at id+10000
@@ -311,11 +326,12 @@ object TextQueries {
     * `$out(cid, idx, w)`; assignment = rounded-argmin, mean rounded 6dp,
     * empty clusters carry the previous centroid.
     */
-  private def kmeansIterCte(in: String, out: String): String =
+  private def kmeansIterCte(in: String, out: String,
+                            e: String = "e"): String =
     s"""d_$out AS (
          SELECT e.vec_id, c.cid,
                 round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
-         FROM e JOIN $in c ON c.idx = e.idx
+         FROM $e e JOIN $in c ON c.idx = e.idx
          GROUP BY 1, 2),
        a_$out AS (
          SELECT vec_id, cid FROM (
@@ -325,7 +341,7 @@ object TextQueries {
            FROM d_$out) WHERE rw = 1),
        m_$out AS (
          SELECT a.cid, e.idx, round(avg(e.v), 6) AS w
-         FROM a_$out a JOIN e ON e.vec_id = a.vec_id
+         FROM a_$out a JOIN $e e ON e.vec_id = a.vec_id
          GROUP BY 1, 2),
        $out AS MATERIALIZED (
          SELECT c.cid, c.idx, coalesce(m.w, c.w) AS w
@@ -677,6 +693,58 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_ann_pq" -> {
+      val m = 4; val kc = 8; val sd = 16
+      val subCtes = (0 until m).map { s =>
+        s"""es$s AS MATERIALIZED (
+              SELECT vec_id, idx - ${s * sd} AS idx, v FROM e
+              WHERE idx BETWEEN ${s * sd + 1} AND ${(s + 1) * sd}),
+            s${s}c0 AS MATERIALIZED (
+              SELECT r.cid, es.idx, es.v AS w
+              FROM (SELECT vec_id,
+                           CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                                AS INT) AS cid
+                    FROM embeddings ORDER BY vec_id ASC LIMIT $kc) r
+              JOIN es$s es ON es.vec_id = r.vec_id),
+            ${kmeansIterCte(s"s${s}c0", s"s${s}c1", s"es$s")},
+            ${kmeansIterCte(s"s${s}c1", s"s${s}c2", s"es$s")}"""
+      }.mkString(",\n          ")
+      val assigns = (0 until m).map { s =>
+        s"""da$s AS (
+              SELECT e2.vec_id, c.cid,
+                     round(sum((e2.v - c.w) * (e2.v - c.w)), 8) AS d
+              FROM es$s e2 JOIN s${s}c2 c ON c.idx = e2.idx
+              GROUP BY 1, 2),
+            code$s AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d ASC, cid ASC) AS rw
+                FROM da$s) WHERE rw = 1),
+            lut$s AS (
+              SELECT c.cid, round(sum((q.v - c.w) * (q.v - c.w)), 8) AS d
+              FROM es$s q JOIN s${s}c2 c ON c.idx = q.idx
+              WHERE q.vec_id = 0 GROUP BY 1)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          $subCtes,
+          $assigns
+          SELECT c0.vec_id,
+                 round(l0.d + l1.d + l2.d + l3.d, 4) AS adc
+          FROM code0 c0
+          JOIN code1 c1 USING (vec_id)
+          JOIN code2 c2 USING (vec_id)
+          JOIN code3 c3 USING (vec_id)
+          JOIN lut0 l0 ON l0.cid = c0.cid
+          JOIN lut1 l1 ON l1.cid = c1.cid
+          JOIN lut2 l2 ON l2.cid = c2.cid
+          JOIN lut3 l3 ON l3.cid = c3.cid
+          WHERE c0.vec_id <> 0
+          ORDER BY adc ASC, c0.vec_id ASC LIMIT 10"""
+    },
     "q_simhash_neardup" ->
       """WITH toks AS (
            SELECT doc_id,

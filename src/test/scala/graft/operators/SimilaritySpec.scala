@@ -48,4 +48,40 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(full == exact)
   }
+
+  test("PQ: codes are total and in range; ADC ranks near-dups first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val books = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+           books.forall(_.forall(_.length == 16)))
+    val enc = Similarity.pqEncode(emb, books)
+    assert(enc.count() == emb.count())
+    val codeStats = enc.select(
+      (0 until 4).map(s => max(col(s"code$s")).cast("int")) ++
+      (0 until 4).map(s => min(col(s"code$s")).cast("int")): _*).head()
+    (0 until 4).foreach { s =>
+      assert(codeStats.getInt(s) <= 7 && codeStats.getInt(s + 4) >= 0)
+    }
+    // a planted exact copy of the query vector must come back at adc 0,
+    // rank 1 — ADC of identical codes is the LUT sum at the query's own
+    // codes, i.e. quantization distance only
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val enc2 = Similarity.pqEncode(
+      emb.select("vec_id", "embedding").unionByName(planted), books)
+    val top = Similarity.pqSearch(enc2, books, q, k = 5,
+        excludeId = Some(0L))
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 100000L, s"planted copy not rank 1: ${top.toSeq}")
+    // NOTE: recall-vs-exact is NOT asserted on this fixture — uniform
+    // random embeddings have concentrated pairwise distances, where any
+    // m=4/k=8 quantizer scores at chance (measured 0.1 ≈ 10/99). The
+    // planted-copy invariant above is the meaningful ADC property;
+    // the adc value of an exact copy equals the query's own
+    // quantization distance, strictly below any other code combination
+    // chosen by argmin. q_ann_pq's oracle pins the arithmetic exactly.
+  }
 }
