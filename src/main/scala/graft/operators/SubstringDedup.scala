@@ -41,11 +41,19 @@ object SubstringDedup {
     // posexplode yields no rows)
     val starts = when(nWin >= 1, sequence(lit(1), nWin))
       .otherwise(array().cast("array<int>"))
+    // Work split deliberately: the window STRINGS are built inside the
+    // array lambda (one row per doc — exploding start indices instead
+    // would copy the whole token array into every window row, O(tokens²)
+    // bytes per doc), while the md5 runs OUTSIDE the lambda on the
+    // exploded window string — higher-order functions are
+    // CodegenFallback, so a hash inside transform() evaluates
+    // interpreted per window.
     docs.select(
         col(idCol).as("doc_id"),
         posexplode(transform(starts,
-          i => md5(array_join(slice(toks, i, lit(w)), " "))))
-          .as(Seq("widx", "fp")))
+          i => array_join(slice(toks, i, lit(w)), " ")))
+          .as(Seq("widx", "__wtext")))
+      .select(col("doc_id"), col("widx"), md5(col("__wtext")).as("fp"))
   }
 
   /** Distinct doc pairs sharing >= minShared window fingerprints, with
@@ -58,9 +66,12 @@ object SubstringDedup {
                   maxBucket: Int = 64): DataFrame = {
     val fps = windowFingerprints(docs, w)
       .select("doc_id", "fp").distinct()
+    // checkpoint: both self-join sides consume this frame — without it
+    // the tokenize+md5 chain (the dominant cost) runs twice
     val small = fps.withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .where(col("n") <= maxBucket).drop("n")
+      .localCheckpoint()
     small.alias("x").join(small.alias("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
