@@ -136,6 +136,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), "hamming must be the built-in bit_count")
   }
 
+  test("substring dedup: pruned scan, no cartesian, md5 outside lambdas") {
+    val p = finalPlan("q_substring_dedup")
+    // multiple scans: the fingerprint side reads (doc_id, text); the
+    // anti-join probe side prunes all the way down to doc_id alone
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.exists(_.contains("text")), reads.mkString("\n"))
+    assert(reads.forall(r => !r.contains("source") && !r.contains("url")),
+           s"over-wide scan: $reads")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+           "keep/drop form must stay join/agg only")
+    // the hash must be a top-level projection (codegen), not buried in
+    // an interpreted transform() lambda
+    assert(p.contains("md5"), p.take(1500))
+    assert(!"transform\\([^\\n]*md5".r.findFirstIn(p).isDefined,
+           "md5 inside a HOF lambda evaluates interpreted")
+  }
+
+  test("PQ search: top-k is TakeOrdered over code columns, no embeddings") {
+    val p = finalPlan("q_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"),
+           s"top-k must not be a global sort:\n${p.take(1500)}")
+    // ADC ranks on the code columns + literal LUTs — the final ranking
+    // stage must not re-read the embedding column
+    val afterEncode = p.split("TakeOrderedAndProject")(0)
+    assert(!afterEncode.contains("sqdist") || p.contains("graft_sqdist"),
+           "ADC must come from LUT lookups, not recomputed distances")
+  }
+
   test("index filter chain is codegen'd column work (no UDF)") {
     import spark.implicits._
     val p0 = graft.fixtures.CrawlFixtures.Params(nRecords = 200)
