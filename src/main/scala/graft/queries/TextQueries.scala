@@ -108,6 +108,39 @@ object TextQueries {
            col("topc") * lit(1.0) / col("n_words") <= 0.2).as("pass"))
     },
 
+    // BM25 retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) for a fixed
+    // term set: corpus stats (N, avgdl) are model-scale scalars; tf/df
+    // are partial-aggregated groupBys. Float discipline for the oracle:
+    // idf rounded to 6 right after ln on BOTH sides, constants written
+    // as the same literals (2.2, 1.2, 0.25, 0.75 — never derived), the
+    // final score rounded to 4. dl sums are integer-valued doubles, so
+    // sum order cannot change avgdl.
+    "q_bm25_search" -> { (s, dir) =>
+      val terms = Seq("join", "scan", "window")
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+        .localCheckpoint()
+      val n = docs.count().toDouble
+      val avgdl = docs.agg(sum("dl")).head().getDouble(0) / n
+      val tf = docs.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("w"))
+        .where(col("w").isin(terms: _*))
+        .groupBy("doc_id", "dl", "w")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dft = tf.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      tf.join(dft, "w")
+        .withColumn("idf", round(
+          log(lit(1.0) + (lit(n) - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))), 6))
+        .withColumn("contrib",
+          col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+    },
+
     // Exact dedup: hash-groupBy on full text, keep lexicographically
     // smallest doc_id as the representative.
     "q_dedup_exact" -> { (s, dir) =>
@@ -474,6 +507,32 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_bm25_search" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         d AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(dl) / count(*) AS avgdl
+           FROM d),
+         w AS (SELECT doc_id, dl, unnest(t) AS w FROM d),
+         tf AS (
+           SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+           FROM w WHERE w IN ('join', 'scan', 'window')
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(
+                    round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)), 6)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4)
+                    AS bm25
+           FROM tf JOIN dft USING (w) CROSS JOIN stats s
+           GROUP BY 1)
+         SELECT doc_id, bm25 FROM sc
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
     "q_quality_gopher" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
