@@ -101,6 +101,23 @@ object PipelineQueries {
              sum(size(col("spans"))).as("n_spans"))
     },
 
+    // emtsv analysis stage through the deterministic analyzer stand-in
+    // (the NLP service is environment-bound; the seam is documented at
+    // sources/Emtsv.Analyzer): quntoken-semantics tokenization → Unit
+    // tree → exploded token view with lemma/xpostag. The fixture text
+    // is punctuation-free single-sentence prose, so the oracle derives
+    // the same view from a whitespace split + the stand-in's rules; the
+    // sentence-split and ≤3-punct-run semantics are spec-tested.
+    "q_emtsv_tokenize" -> { (s, dir) =>
+      graft.sources.Emtsv.analyzeTokens(
+          table(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+                col("p_id").cast(LongType).as("p_id"),
+                col("s_id").cast(LongType).as("s_id"),
+                col("t_id").cast(LongType).as("t_id"),
+                col("form"), col("lemma"), col("xpostag"))
+    },
+
     // J6 bootstrapped A3: epoch 1 = even-ord docs, epoch 2 = odd-ord docs
     // seeded with epoch 1's frequents (carried score/count, synthetic
     // keys) through the domain-keyed JOIN path — no driver-side state.
@@ -551,6 +568,22 @@ object PipelineQueries {
                  unnest(entries).cnt AS count
           FROM kept"""
     },
+    "q_emtsv_tokenize" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         w AS (
+           SELECT doc_id, generate_subscripts(t, 1) AS i,
+                  unnest(t) AS form
+           FROM toks)
+         SELECT doc_id, CAST(1 AS BIGINT) AS p_id, CAST(1 AS BIGINT) AS s_id,
+                CAST(i AS BIGINT) AS t_id, form, lower(form) AS lemma,
+                CASE WHEN regexp_full_match(form, '[0-9]+')
+                       THEN '[/Num][Nom]'
+                     WHEN regexp_full_match(form, '[A-Z].*')
+                       THEN '[/N][Nom]'
+                     ELSE '[/V][Prs.NDef.3Sg]' END AS xpostag
+         FROM w""",
     "q_frequent_bootstrap" -> {
       val b = graft.functions.MinHashF.optimalBands(0.95)
       s"""WITH RECURSIVE ${frequentBaseCte(b)},
