@@ -180,6 +180,25 @@ object CrawlQueries {
         cand, "host_key",
         Seq(desc("length"), asc("offset")), quota = 5)
         .select("host_key", "url", "offset", "wave")
+    },
+
+    // Politeness schedule as data: not_before = t0 + (wave-1) * per-host
+    // crawl delay (hosts ending in an even digit get a 2 s delay, the
+    // rest the reference's 1 s default) — the fetch-executor contract
+    // that makes politeness a column, not a thread sleep.
+    "q_schedule_waves" -> { (s, dir) =>
+      val cand = indexFrame(s, dir).select(
+        regexp_extract(col("url"), "^https://([^/]*)", 1).as("host_key"),
+        col("url"), col("offset"), col("length"))
+      val ranked = Frontier.politenessRank(
+          cand, "host_key", Seq(desc("length"), asc("offset")), quota = 5)
+        .withColumn("delay",
+          when(pmod(regexp_extract(col("host_key"), "h(\\d+)", 1)
+                      .cast(LongType), lit(2L)) === 0L, 2L).otherwise(1L))
+      Frontier.scheduleWaves(ranked, lit(1700000000L), col("delay"))
+        .select(col("host_key"), col("url"),
+                col("wave").cast(LongType).as("wave"),
+                col("not_before_epoch"))
     }
   )
 
@@ -293,6 +312,25 @@ object CrawlQueries {
             SELECT host_key, url, "offset",
                    row_number() OVER (PARTITION BY host_key
                      ORDER BY length DESC, "offset" ASC) AS wave
-            FROM cand) WHERE wave <= 5"""
+            FROM cand) WHERE wave <= 5""",
+    "q_schedule_waves" ->
+      s"""WITH idx AS ($indexSql),
+          cand AS (
+            SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host_key,
+                   url, "offset", length
+            FROM idx),
+          ranked AS (
+            SELECT host_key, url, wave,
+                   CASE WHEN CAST(regexp_extract(host_key, 'h(\\d+)', 1)
+                               AS BIGINT) % 2 = 0
+                        THEN 2 ELSE 1 END AS delay
+            FROM (
+              SELECT host_key, url,
+                     row_number() OVER (PARTITION BY host_key
+                       ORDER BY length DESC, "offset" ASC) AS wave
+              FROM cand) WHERE wave <= 5)
+          SELECT host_key, url, CAST(wave AS BIGINT) AS wave,
+                 1700000000 + (wave - 1) * delay AS not_before_epoch
+          FROM ranked"""
   )
 }
