@@ -435,7 +435,7 @@ object Bench {
            |i.e. the memory subsystem, not the engine, caps data-movement-
            |heavy stages on this box. The CPU-dense minhash control caps at
            |${f"$mhEff%.3f"} on the same windows; the frontier preserves
-           |${f"${effCtrl * 100}%.0f"}%% of the scaling the box physically
+           |${f"${effCtrl * 100}%.0f"}% of the scaling the box physically
            |offers. On a real 4x-executor cluster each node adds its own
            |memory channels and disks — exactly the resource this
            |single-box stand-in cannot multiply. The >=0.8 criterion is

@@ -34,4 +34,24 @@ object Sessions {
   /** Read one of the driver-provided parquet tables under `dir`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  private val exitDeletes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Recursively delete `path` on JVM exit (idempotent per path). For
+    * scratch artifacts that must outlive a query but not the process.
+    */
+  def deleteOnExit(path: String): Unit =
+    if (exitDeletes.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          catch { case scala.util.control.NonFatal(_) => () }
+          finally walk.close()
+        }
+      }))
+    }
 }

@@ -239,8 +239,10 @@ object LshDedup {
         out.iterator
       }
       .toDF("ord")
-    // Survivors are tiny relative to the corpus -> broadcast semi join;
-    // doc_id comes straight from the input frame, type intact.
+    // Join-back semi join: doc_id comes straight from the input frame,
+    // type intact. No broadcast hint — survivors are typically MOST of
+    // the corpus (dedup keeps the unique majority), so the right
+    // strategy is AQE's call; a forced broadcast would OOM at scale.
     // Canonical output order: the kept SET is deterministic (per-component
     // replay over deterministic components), but emit order is
     // hash-partition order, stable per-plan yet not canonical across

@@ -204,7 +204,8 @@ object CrawlQueries {
 
   val oracles: Map[String, String] = Map(
     // every documents.text is ASCII (driver fixture), so byte ranges ==
-    // character substrings; min text length is 48 > the largest range end
+    // character substrings; min text length is 44 (measured) >= the
+    // largest range end (40) — shrink the ranges before the fixture
     "q_fetch_ranges" ->
       """SELECT doc_id, CAST(4 AS BIGINT) AS range_start,
                 md5(substr(text, 5, 20)) AS part_md5,

