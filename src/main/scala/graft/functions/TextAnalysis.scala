@@ -32,7 +32,7 @@ object TextAnalysis {
     * counts, fixed priority on ties (seq order), 'unk' when all scores
     * are zero. Deterministic heuristic per the builder brief (the
     * reference uses cld2 over ~100 languages, filter_corpus.py:95–147);
-    * breadth covers 61 space-delimited-script
+    * breadth covers 79 space-delimited-script
     * languages (22 original + the r5 extension below) of the reference's corpora. Markers are chosen to be
     * high-frequency function words that are near-unique to the language
     * (priority order resolves the genuine collisions, e.g. no/da 'og').
@@ -106,7 +106,29 @@ object TextAnalysis {
     "ga" -> Seq("agus", "sé"),
     "cy" -> Seq("bod", "wedi"),
     "mt" -> Seq("huwa", "jew"),
-    "am" -> Seq("ነው", "እና")
+    "am" -> Seq("ነው", "እና"),
+    // second breadth wave (r5): Indic scripts, African and Austronesian
+    // languages, Iranian family — same mechanics, appended to keep
+    // priority stable. CJK/Thai/Khmer/Lao/Burmese remain out of scope
+    // (unsegmented scripts).
+    "mr" -> Seq("आहे", "आणि"),
+    "gu" -> Seq("છે", "અને"),
+    "pa" -> Seq("ਹੈ", "ਅਤੇ"),
+    "kn" -> Seq("ಮತ್ತು", "ಒಂದು"),
+    "or" -> Seq("ଏବଂ", "ଅଛି"),
+    "yo" -> Seq("àti", "jẹ́"),
+    "ha" -> Seq("kuma", "yana"),
+    "zu" -> Seq("futhi", "ukuthi"),
+    "xh" -> Seq("kwaye", "ukuba"),
+    "so" -> Seq("iyo", "waa"),
+    "rw" -> Seq("kandi", "cyane"),
+    "mg" -> Seq("dia", "izay"),
+    "ceb" -> Seq("ug", "kini"),
+    "jv" -> Seq("lan", "iku"),
+    "su" -> Seq("jeung", "anu"),
+    "tg" -> Seq("ва", "аст"),
+    "ps" -> Seq("او", "دی"),
+    "ku" -> Seq("û", "heye")
   )
 
   def langScoreCol(text: Column, lang: String): Column =

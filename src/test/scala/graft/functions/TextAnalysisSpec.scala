@@ -36,19 +36,19 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("langid markers count literally (non-overlapping replace)") {
     // column form parity is covered in CrawlParitySpec; here the
-    // marker-table shape: 61 languages (22 original + r5 breadth
-    // extension), priority order starts with the original four, every
+    // marker-table shape: 79 languages (22 original + two r5 breadth
+    // waves), priority order starts with the original four, every
     // language has >= 2 markers, and no marker embeds a quote that
     // would break the generated oracle SQL literal
     val langs = TextAnalysis.LangMarkers.map(_._1)
     assert(langs.take(4) == Seq("en", "de", "fr", "es"))
-    assert(langs.length == 61 && langs.distinct.length == 61)
+    assert(langs.length == 79 && langs.distinct.length == 79)
     assert(TextAnalysis.LangMarkers.forall(_._2.length >= 2))
     assert(TextAnalysis.LangMarkers.forall(_._2.forall(w =>
       !w.contains("'") && !w.contains(" "))))
   }
 
-  test("langIdCol classifies sample sentences across all 61 languages") {
+  test("langIdCol classifies sample sentences across all 79 languages") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -113,7 +113,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       "ga" -> "tá sé anseo agus tá sé ansin agus",
       "cy" -> "mae wedi bod yma wedi bod yno",
       "mt" -> "dan huwa dar jew huwa kelb jew",
-      "am" -> "ቤት ነው እና ውሻ ነው እና")
+      "am" -> "ቤት ነው እና ውሻ ነው እና",
+      "mr" -> "घर आहे आणि कुत्रा आहे आणि",
+      "gu" -> "ઘર છે અને કૂતરો છે અને",
+      "pa" -> "ਘਰ ਹੈ ਅਤੇ ਕੁੱਤਾ ਹੈ ਅਤੇ",
+      "kn" -> "ಮನೆ ಮತ್ತು ಒಂದು ನಾಯಿ ಮತ್ತು ಒಂದು",
+      "or" -> "ଘର ଏବଂ ଅଛି କୁକୁର ଏବଂ ଅଛି",
+      "yo" -> "ilé àti ajá jẹ́ dára àti jẹ́",
+      "ha" -> "gida kuma yana nan kare kuma yana",
+      "zu" -> "indlu futhi ukuthi inja futhi ukuthi",
+      "xh" -> "indlu kwaye ukuba inja kwaye ukuba",
+      "so" -> "guriga iyo eyga waa fiican iyo waa",
+      "rw" -> "inzu kandi imbwa cyane nziza kandi cyane",
+      "mg" -> "trano dia izay alika dia izay",
+      "ceb" -> "balay ug kini iro ug kini",
+      "jv" -> "omah lan iku asu lan iku",
+      "su" -> "imah jeung anu anjing jeung anu",
+      "tg" -> "хона аст ва саг аст ва",
+      "ps" -> "کور دی او سپی دی او",
+      "ku" -> "mal heye û kûçik heye û")
     val got = samples.map(_._2).toDF("text")
       .select(TextAnalysis.langIdCol(col("text")).as("lang"))
       .as[String].collect().toSeq
