@@ -101,6 +101,29 @@ object PipelineQueries {
              sum(size(col("spans"))).as("n_spans"))
     },
 
+    // THE FULL CORPUS PIPELINE under one oracle: spanize → length filter
+    // → doc-level minhash → first-wins self-dedup → per-domain frequent-
+    // paragraph removal → renumber, via CorpusJob's resumable
+    // snapshot-committed runner. The oracle composes the spanize
+    // derivation, the prefixed doc-level minhash chain, the LSH replay,
+    // and the frequent machine restricted to dedup survivors — every
+    // stage's semantics hash-checked end to end in one row set.
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val docs = DocPipeline.spanize(htmlFrame(s, dir))
+        .select(col("source").as("domain"),
+                col("doc_id").cast(LongType).as("ord"),
+                col("doc_id"), col("spans"))
+      val tbl = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-corpusjob-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid()).toString
+      graft.Sessions.deleteOnExit(tbl)
+      val ms = graft.operators.CorpusJob.runPipeline(
+        s, docs, tbl, langs = None, minTokens = 2, simThreshold = 0.9)
+      s.read.parquet(s"$tbl/${ms.last.dataPath}")
+        .select(col("doc_id"), col("ord"))
+    },
+
     // emtsv analysis stage through the deterministic analyzer stand-in
     // (the NLP service is environment-bound; the seam is documented at
     // sources/Emtsv.Analyzer): quntoken-semantics tokenization → Unit
@@ -567,6 +590,60 @@ object PipelineQueries {
                  unnest(entries).score AS score,
                  unnest(entries).cnt AS count
           FROM kept"""
+    },
+    "q_corpus_pipeline" -> {
+      val b = graft.functions.MinHashF.optimalBands(0.9)
+      s"""WITH RECURSIVE ${frequentBaseCte(b)},
+          docsL AS MATERIALIZED (
+            SELECT doc_id, ord, domain,
+                   array_to_string(paras, chr(10)) AS text
+            FROM pdocs
+            WHERE len(string_split_regex(
+                    trim(array_to_string(paras, chr(10))), '\\s+')) >= 2),
+          srcL AS (SELECT ord AS k, text FROM docsL),
+          ${TextQueries.minhashBandsCte(b, "L", "srcL")},
+          ${TextQueries.lshReplayCte("L", "docsL", "Lbands")},
+          ${frequentMachineCte(b, "f",
+            "pp.ord IN (SELECT ord FROM Lkept)", None)},
+          fb AS (
+            SELECT k2.domain, k2.pdata_id,
+                   CAST(generate_subscripts(k2.bands, 1) - 1 AS BIGINT)
+                     AS band,
+                   unnest(k2.bands) AS bhash
+            FROM (SELECT domain, generate_subscripts(entries, 1) AS pdata_id,
+                         unnest(entries).bands AS bands
+                  FROM fkept) k2),
+          pband AS (
+            SELECT pp.domain, pp.ord, pp.p_id, b.band, b.bhash
+            FROM pp JOIN bands b ON b.k = pp.ord * 10000 + pp.p_id
+            WHERE pp.ord IN (SELECT ord FROM Lkept)),
+          nh AS (
+            SELECT p.domain, p.ord, p.p_id, min(f.pdata_id) AS freq_id
+            FROM pband p JOIN fb f
+              ON f.domain = p.domain AND f.band = p.band AND f.bhash = p.bhash
+            GROUP BY 1, 2, 3),
+          rk AS (
+            SELECT domain, ord, freq_id,
+                   row_number() OVER (PARTITION BY domain, freq_id
+                                      ORDER BY ord ASC) AS rnk
+            FROM (SELECT DISTINCT domain, ord, freq_id FROM nh)),
+          dropp AS (
+            SELECT DISTINCT nh.domain, nh.ord, nh.p_id
+            FROM nh JOIN rk ON rk.domain = nh.domain AND rk.ord = nh.ord
+                           AND rk.freq_id = nh.freq_id
+            WHERE rk.rnk >= 2),
+          dcount AS (
+            SELECT domain, ord, count(*) AS ndrop FROM dropp GROUP BY 1, 2),
+          fin AS (
+            SELECT d.domain, d.doc_id,
+                   len(d.paras) - coalesce(c.ndrop, 0) AS np_left
+            FROM pdocs d
+            JOIN Lkept k ON k.ord = d.ord
+            LEFT JOIN dcount c ON c.domain = d.domain AND c.ord = d.ord)
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY domain ASC, doc_id ASC) - 1
+                   AS ord
+          FROM fin WHERE np_left > 0"""
     },
     "q_emtsv_tokenize" ->
       """WITH toks AS (

@@ -396,10 +396,19 @@ object TextQueries {
     * `bands(k, band, bhash)`, MATERIALIZED so multi-reference queries
     * (pairs, the recursive replays) compute the chain once.
     */
-  private[queries] def minhashBandsCte(b: Int): String = {
+  /** The 256-perm permutation table — shared by every minhash CTE
+    * instance in one WITH list; emit exactly once.
+    */
+  private[queries] val permsCte: String =
+    s"perms(j, pa, pb) AS (VALUES ${MinHashF.permValuesSql})"
+
+  /** Prefixed minhash band chain over the relation `$src(k, text)`;
+    * requires `perms` defined earlier. Ends with `${p}bands`.
+    */
+  private[queries] def minhashBandsCte(b: Int, p: String,
+                                       src: String): String = {
     val r = MinHashF.NumPerm / b
-    s"""perms(j, pa, pb) AS (VALUES ${MinHashF.permValuesSql}),
-       sh AS (
+    s"""${p}sh AS (
          SELECT DISTINCT k,
                 ((((CAST(unicode(text[i]) AS BIGINT) * 131
                     + unicode(text[i+1])) * 131
@@ -407,15 +416,15 @@ object TextQueries {
                   + unicode(text[i+3])) * 131
                  + unicode(text[i+4])) AS h0
          FROM (SELECT k, text, unnest(range(1, length(text) - 3)) AS i
-               FROM src WHERE length(text) >= 5)),
-       sig0 AS (
+               FROM $src WHERE length(text) >= 5)),
+       ${p}sig0 AS (
          SELECT k, j, min((pa * (h0 % 2147483647) + pb) % 2147483647) AS v
-         FROM sh CROSS JOIN perms GROUP BY 1, 2),
-       sig AS (
+         FROM ${p}sh CROSS JOIN perms GROUP BY 1, 2),
+       ${p}sig AS (
          SELECT d.k, p.j, coalesce(s.v, 9223372036854775807) AS v
-         FROM (SELECT DISTINCT k FROM src) d CROSS JOIN perms p
-         LEFT JOIN sig0 s ON s.k = d.k AND s.j = p.j),
-       bands AS MATERIALIZED (
+         FROM (SELECT DISTINCT k FROM $src) d CROSS JOIN perms p
+         LEFT JOIN ${p}sig0 s ON s.k = d.k AND s.j = p.j),
+       ${p}bands AS MATERIALIZED (
          SELECT k, CAST(band0 AS BIGINT) AS band,
                 CAST(CASE WHEN hu >= 9223372036854775808
                           THEN hu - 18446744073709551616
@@ -428,8 +437,53 @@ object TextQueries {
                                      x -> CAST(x AS HUGEINT))),
                     (h, x) -> (xor(h, x) * 1099511628211)
                               % 18446744073709551616) AS hu
-           FROM sig GROUP BY k, j // $r))"""
+           FROM ${p}sig GROUP BY k, j // $r))"""
   }
+
+  private[queries] def minhashBandsCte(b: Int): String =
+    permsCte + ",\n       " + minhashBandsCte(b, "", "src")
+
+  /** First-wins LSH self-dedup replay (lsh.py:96–135 semantics) over
+    * `$docsRel(doc_id, ord)` with band rows `$bandsRel(k, band, bhash)`;
+    * ends with `${p}kept(doc_id, ord)`. Conflict = shared band bucket OR
+    * equal doc_id; a doc is dropped iff it conflicts with an
+    * already-KEPT doc (dropped docs never suppress later ones).
+    */
+  private[queries] def lshReplayCte(p: String, docsRel: String,
+                                    bandsRel: String): String =
+    s"""${p}pairs AS MATERIALIZED (
+         SELECT DISTINCT x.k AS a_ord, y.k AS b_ord
+         FROM $bandsRel x JOIN $bandsRel y
+           ON x.band = y.band AND x.bhash = y.bhash AND x.k < y.k),
+       ${p}conf AS MATERIALIZED (
+         SELECT a_ord, b_ord FROM ${p}pairs
+         UNION
+         SELECT x.ord, y.ord FROM $docsRel x JOIN $docsRel y
+         ON x.doc_id = y.doc_id AND x.ord < y.ord),
+       ${p}seq AS MATERIALIZED (
+         SELECT ord, row_number() OVER (ORDER BY ord ASC) AS rn
+         FROM $docsRel),
+       ${p}confl AS MATERIALIZED (
+         SELECT b_ord, list(a_ord) AS froms FROM ${p}conf GROUP BY 1),
+       ${p}st(i, kept) AS (
+         SELECT 0, CAST([] AS BIGINT[])
+         UNION ALL
+         -- join-driven step (one doc per iteration, terminates when seq
+         -- runs out). NOTE two DuckDB 1.0 recursion quirks: a scalar
+         -- subquery returns NULL on the first iteration, and a
+         -- correlated EXISTS against the materialized conflict CTE
+         -- never fires — hence plain joins + list_has_any only.
+         SELECT st.i + 1,
+                CASE WHEN list_has_any(st.kept, coalesce(cf.froms, []))
+                     THEN st.kept
+                     ELSE list_append(st.kept, s.ord) END
+         FROM ${p}st st JOIN ${p}seq s ON s.rn = st.i + 1
+         LEFT JOIN ${p}confl cf ON cf.b_ord = s.ord),
+       ${p}kept AS (
+         SELECT d.doc_id, d.ord
+         FROM $docsRel d,
+              (SELECT kept FROM ${p}st ORDER BY i DESC LIMIT 1) k
+         WHERE list_contains(k.kept, d.ord))"""
 
   /** `docs` + `src` CTEs keying the band chain by doc ord. */
   private val docSrcCte: String =
@@ -636,35 +690,8 @@ object TextQueries {
     "q_lsh_dedup" ->
       s"""WITH RECURSIVE $docSrcCte,
           ${minhashBandsCte(MinHashF.optimalBands(0.9))},
-          $lshPairsCte,
-          conf AS MATERIALIZED (
-            SELECT a_ord, b_ord FROM pairs
-            UNION
-            SELECT x.ord, y.ord FROM docs x JOIN docs y
-            ON x.doc_id = y.doc_id AND x.ord < y.ord),
-          seq AS MATERIALIZED (
-            SELECT ord, row_number() OVER (ORDER BY ord ASC) AS rn
-            FROM docs),
-          confl AS MATERIALIZED (
-            SELECT b_ord, list(a_ord) AS froms FROM conf GROUP BY 1),
-          st(i, kept) AS (
-            SELECT 0, CAST([] AS BIGINT[])
-            UNION ALL
-            -- join-driven step (one doc per iteration, terminates when seq
-            -- runs out). NOTE two DuckDB 1.0 recursion quirks: a scalar
-            -- subquery returns NULL on the first iteration, and a
-            -- correlated EXISTS against the materialized conflict CTE
-            -- never fires — hence plain joins + list_has_any only.
-            SELECT st.i + 1,
-                   CASE WHEN list_has_any(st.kept, coalesce(cf.froms, []))
-                        THEN st.kept
-                        ELSE list_append(st.kept, s.ord) END
-            FROM st JOIN seq s ON s.rn = st.i + 1
-            LEFT JOIN confl cf ON cf.b_ord = s.ord)
-          SELECT d.doc_id, d.ord
-          FROM docs d,
-               (SELECT kept FROM st ORDER BY i DESC LIMIT 1) k
-          WHERE list_contains(k.kept, d.ord)""",
+          ${lshReplayCte("L", "docs", "bands")}
+          SELECT doc_id, ord FROM Lkept""",
     "q_fingerprint_shingle" ->
       """SELECT doc_id,
            CASE WHEN length(text) >= 5 THEN
