@@ -113,8 +113,14 @@ object PipelineQueries {
         .select(col("source").as("domain"),
                 col("doc_id").cast(LongType).as("ord"),
                 col("doc_id"), col("spans"))
-      val tbl = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+      // tmpfs when available: the job writes each stage's full output
+      // as its snapshot delta — five rounds of parquet I/O that the
+      // ~150 MB/s VM disk would serialize
+      val scratchRoot =
+        if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+        else sys.props("java.io.tmpdir")
+      val tbl = java.nio.file.Paths.get(scratchRoot,
         s"graft-corpusjob-${Integer.toHexString(dir.hashCode)}-" +
           ProcessHandle.current().pid()).toString
       graft.Sessions.deleteOnExit(tbl)
