@@ -34,10 +34,14 @@ object Main {
           sys.env.contains("SPARK_MASTER")) b
       else b.master(s"local[${Runtime.getRuntime.availableProcessors()}]")
     val spark = withMaster.getOrCreate()
-    // size shuffles to the actual cluster when the submit conf left
-    // Spark's fixed default of 200 in place (an explicit setting on the
-    // command line reads back as itself and is honored)
-    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+    // LOCAL masters only: size shuffles to the core count instead of
+    // Spark's fixed 200. On cluster managers defaultParallelism at
+    // session-creation time reflects only the executors registered so
+    // far (near zero under dynamic allocation), so pinning from it
+    // would cap every shuffle — there, the submit conf + AQE coalesce
+    // own the sizing, and any explicit setting is left untouched.
+    if (spark.sparkContext.master.startsWith("local") &&
+        spark.conf.get("spark.sql.shuffle.partitions") == "200")
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(spark.sparkContext.defaultParallelism * 2, 32))
     spark.sparkContext.setLogLevel("WARN")
@@ -54,6 +58,8 @@ object Main {
     val spark = clusterSession(s"graft-${args(0)}")
     args(0) match {
       case "frontier" =>
+        require(args.length >= 4,
+          "usage: frontier <inDir> <table> <dumpId> [quota]")
         val Array(_, inDir, table, dumpId) = args.take(4)
         val quota =
           if (args.length > 4) args(4).toInt else Int.MaxValue
@@ -64,6 +70,7 @@ object Main {
           r.manifest.metrics.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "corpus" =>
+        require(args.length >= 3, "usage: corpus <inDir> <table> [minTokens]")
         val Array(_, inDir, table) = args.take(3)
         val minTokens = if (args.length > 3) args(3).toInt else 5
         val ms = graft.operators.CorpusJob.runPipeline(

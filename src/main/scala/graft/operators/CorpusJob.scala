@@ -50,6 +50,11 @@ object CorpusJob {
     def docText = array_join(FrequentParagraphs.textSpans(col("spans")), "\n")
     val base = Seq[String]("domain", "ord", "doc_id", "spans")
 
+    // caches pinned by stage closures — released right after the
+    // owning stage's output is written (see the run loop below)
+    val toRelease = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+
     val stages: Seq[Stage] = Seq(
       // 06 filter_corpus: language + min length, pure columns
       "filter" -> { in =>
@@ -85,6 +90,7 @@ object CorpusJob {
           FrequentParagraphs.paragraphBandsCol(
             FrequentParagraphs.textSpans(col("spans")), b))
           .localCheckpoint() // consumed by collect AND filter
+        toRelease += withP
         val freqs = FrequentParagraphs.collect(withP, minFreq = minFreq)
         FrequentParagraphs.filterFrequent(withP, freqs, minFreq = minFreq)
           .select(base.map(col): _*)
@@ -94,9 +100,7 @@ object CorpusJob {
       "renumber" -> { in =>
         val (ordered, cache) = UrlDedup.ordByPartitionOffsets(
           in.drop("ord"), Seq(asc("domain"), asc("doc_id")), "ord")
-        // the write in the commit step below materializes `ordered`
-        // exactly once; the checkpoint blocks are released by the
-        // caller's session teardown (single-batch job)
+        toRelease += cache
         ordered.select(base.map(col): _*)
       }
     )
@@ -107,11 +111,27 @@ object CorpusJob {
     stages.zipWithIndex.map { case ((name, f), i) =>
       byId.get(i.toLong) match {
         case Some(m) =>
-          // committed by a previous run — reuse its parquet verbatim
+          // committed by a previous run — reuse its parquet verbatim,
+          // but only if it IS this pipeline's stage: a foreign table
+          // (frontier snapshots, a differently-parameterized corpus)
+          // must fail loudly, not masquerade as resumed work
+          require(m.lineage == s"corpus stage=$name",
+            s"table $tableDir snapshot $i has lineage '${m.lineage}', " +
+            s"expected 'corpus stage=$name' — refusing to resume from " +
+            "a foreign snapshot chain")
           cur = spark.read.parquet(s"$tableDir/${m.dataPath}")
           m
         case None =>
-          if (rowsIn < 0) rowsIn = cur.count()
+          if (rowsIn < 0) {
+            if (i == 0) {
+              // pin the (possibly expensive) input chain once: the
+              // rows_in count and the stage body would otherwise both
+              // execute it
+              cur = cur.localCheckpoint()
+              toRelease += cur
+            }
+            rowsIn = cur.count()
+          }
           val out = f(cur)
           val (id, dataDir, _) = Snapshots.stage(tableDir)
           require(id == i,
@@ -120,6 +140,8 @@ object CorpusJob {
             graft.sources.CorpusSource.writeBatched(
               out, dataDir.toString, "ord", recordsPerFile)
           else out.write.mode("overwrite").parquet(dataDir.toString)
+          toRelease.foreach(UrlDedup.releaseOrderCache)
+          toRelease.clear()
           cur = spark.read.parquet(dataDir.toString)
           val rowsOut = cur.count()
           val m = Snapshots.commit(tableDir, id,

@@ -123,6 +123,17 @@ object PipelineQueries {
       val tbl = java.nio.file.Paths.get(scratchRoot,
         s"graft-corpusjob-${Integer.toHexString(dir.hashCode)}-" +
           ProcessHandle.current().pid()).toString
+      // ALWAYS start from an empty table: a repeated in-process
+      // invocation would otherwise resume (a no-op masquerading as a
+      // timed run), and a SIGKILLed predecessor's snapshots could be
+      // inherited by a pid-reusing successor as stale query results
+      val tp = java.nio.file.Paths.get(tbl)
+      if (java.nio.file.Files.isDirectory(tp)) {
+        val walk = java.nio.file.Files.walk(tp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
       graft.Sessions.deleteOnExit(tbl)
       val ms = graft.operators.CorpusJob.runPipeline(
         s, docs, tbl, langs = None, minTokens = 2, simThreshold = 0.9)

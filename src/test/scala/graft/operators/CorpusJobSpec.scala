@@ -79,6 +79,17 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(a == b, "resumed history must equal the uninterrupted one")
   }
 
+  test("resume refuses a foreign snapshot chain") {
+    val dir = Files.createTempDirectory("corpusjob-foreign").toString
+    val (id, d, _) = Snapshots.stage(dir)
+    Files.writeString(d.resolve("x.parquet"), "not ours")
+    Snapshots.commit(dir, id, Map("n_scheduled" -> 5L), "frontier dump=d1")
+    val e = intercept[IllegalArgumentException] {
+      CorpusJob.runPipeline(spark, corpusDf(20), dir, minTokens = 5)
+    }
+    assert(e.getMessage.contains("foreign snapshot"))
+  }
+
   test("cross-dedup wiring: dump 2 drops docs colliding with dump 1") {
     val dir1 = Files.createTempDirectory("corpusjob3a").toString
     val dir2 = Files.createTempDirectory("corpusjob3b").toString
