@@ -320,6 +320,19 @@ object TextQueries {
         k = 10, excludeId = Some(0L))
     },
 
+    // The PQ code table itself (vec_id -> one code per subspace): the
+    // compressed representation every downstream ADC search reads.
+    "q_ann_pq_codes" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+      Similarity.pqEncode(emb, books).select(
+        col("vec_id"),
+        col("code0").cast(LongType).as("code0"),
+        col("code1").cast(LongType).as("code1"),
+        col("code2").cast(LongType).as("code2"),
+        col("code3").cast(LongType).as("code3"))
+    },
+
     // Embedding-cosine near-dup pairs, exact within blocks. The raw
     // embeddings carry no near-duplicates (max pairwise cosine ~0.51),
     // so the frame plants exact copies of vec_id < 50 at id+10000
@@ -499,6 +512,52 @@ object TextQueries {
          SELECT DISTINCT x.k AS a_ord, y.k AS b_ord
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bhash = y.bhash AND x.k < y.k)"""
+
+  /** Shared WITH prefix for the PQ oracles: per-subspace k-means (the
+    * parameterized kmeansIterCte per subspace), argmin codes and the
+    * query's LUT distances — q_ann_pq appends the ADC ranking select,
+    * q_ann_pq_codes the code-table select.
+    */
+  private lazy val pqOracleWith: String = {
+    val m = 4; val kc = 8; val sd = 16
+    val subCtes = (0 until m).map { s =>
+      s"""es$s AS MATERIALIZED (
+            SELECT vec_id, idx - ${s * sd} AS idx, v FROM e
+            WHERE idx BETWEEN ${s * sd + 1} AND ${(s + 1) * sd}),
+          s${s}c0 AS MATERIALIZED (
+            SELECT r.cid, es.idx, es.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT $kc) r
+            JOIN es$s es ON es.vec_id = r.vec_id),
+          ${kmeansIterCte(s"s${s}c0", s"s${s}c1", s"es$s")},
+          ${kmeansIterCte(s"s${s}c1", s"s${s}c2", s"es$s")}"""
+    }.mkString(",\n          ")
+    val assigns = (0 until m).map { s =>
+      s"""da$s AS (
+            SELECT e2.vec_id, c.cid,
+                   round(sum((e2.v - c.w) * (e2.v - c.w)), 8) AS d
+            FROM es$s e2 JOIN s${s}c2 c ON c.idx = e2.idx
+            GROUP BY 1, 2),
+          code$s AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM da$s) WHERE rw = 1),
+          lut$s AS (
+            SELECT c.cid, round(sum((q.v - c.w) * (q.v - c.w)), 8) AS d
+            FROM es$s q JOIN s${s}c2 c ON c.idx = q.idx
+            WHERE q.vec_id = 0 GROUP BY 1)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        $subCtes,
+        $assigns"""
+  }
 
   private val oraclesBase: Map[String, String] = Map(
     "q_token_count" ->
@@ -786,45 +845,8 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
-    "q_ann_pq" -> {
-      val m = 4; val kc = 8; val sd = 16
-      val subCtes = (0 until m).map { s =>
-        s"""es$s AS MATERIALIZED (
-              SELECT vec_id, idx - ${s * sd} AS idx, v FROM e
-              WHERE idx BETWEEN ${s * sd + 1} AND ${(s + 1) * sd}),
-            s${s}c0 AS MATERIALIZED (
-              SELECT r.cid, es.idx, es.v AS w
-              FROM (SELECT vec_id,
-                           CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
-                                AS INT) AS cid
-                    FROM embeddings ORDER BY vec_id ASC LIMIT $kc) r
-              JOIN es$s es ON es.vec_id = r.vec_id),
-            ${kmeansIterCte(s"s${s}c0", s"s${s}c1", s"es$s")},
-            ${kmeansIterCte(s"s${s}c1", s"s${s}c2", s"es$s")}"""
-      }.mkString(",\n          ")
-      val assigns = (0 until m).map { s =>
-        s"""da$s AS (
-              SELECT e2.vec_id, c.cid,
-                     round(sum((e2.v - c.w) * (e2.v - c.w)), 8) AS d
-              FROM es$s e2 JOIN s${s}c2 c ON c.idx = e2.idx
-              GROUP BY 1, 2),
-            code$s AS (
-              SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d ASC, cid ASC) AS rw
-                FROM da$s) WHERE rw = 1),
-            lut$s AS (
-              SELECT c.cid, round(sum((q.v - c.w) * (q.v - c.w)), 8) AS d
-              FROM es$s q JOIN s${s}c2 c ON c.idx = q.idx
-              WHERE q.vec_id = 0 GROUP BY 1)"""
-      }.mkString(",\n          ")
-      s"""WITH e AS MATERIALIZED (
-            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
-                   CAST(unnest(embedding) AS DOUBLE) AS v
-            FROM embeddings),
-          $subCtes,
-          $assigns
+    "q_ann_pq" ->
+      (pqOracleWith + """
           SELECT c0.vec_id,
                  round(l0.d + l1.d + l2.d + l3.d, 4) AS adc
           FROM code0 c0
@@ -836,8 +858,18 @@ object TextQueries {
           JOIN lut2 l2 ON l2.cid = c2.cid
           JOIN lut3 l3 ON l3.cid = c3.cid
           WHERE c0.vec_id <> 0
-          ORDER BY adc ASC, c0.vec_id ASC LIMIT 10"""
-    },
+          ORDER BY adc ASC, c0.vec_id ASC LIMIT 10"""),
+    "q_ann_pq_codes" ->
+      (pqOracleWith + """
+          SELECT c0.vec_id,
+                 CAST(c0.cid AS BIGINT) AS code0,
+                 CAST(c1.cid AS BIGINT) AS code1,
+                 CAST(c2.cid AS BIGINT) AS code2,
+                 CAST(c3.cid AS BIGINT) AS code3
+          FROM code0 c0
+          JOIN code1 c1 USING (vec_id)
+          JOIN code2 c2 USING (vec_id)
+          JOIN code3 c3 USING (vec_id)"""),
     "q_simhash_neardup" ->
       """WITH toks AS (
            SELECT doc_id,
