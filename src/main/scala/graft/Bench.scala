@@ -167,17 +167,20 @@ object Bench {
   }
 
   /** Incremental cross-dump dedup (the lsh.py:331–381 cumulative
-    * semantics as a measured scenario): dump 1 self-dedups and commits
-    * its survivors' band table as the seen batch; dump 2 cross-dedups
-    * against that batch, self-dedups the remainder, and commits the
-    * union-able second batch. Returns (dump1 secs, dump2 secs,
-    * survivors 1, survivors 2); inputs pre-written as parquet
-    * (generation is harness, not workload).
+    * semantics as a measured scenario), now through the seen-table
+    * LIFECYCLE (state.LshSeen): dump 1 self-dedups and appends its
+    * survivors' distinct band segment; the table is COMPACTED; dump 2
+    * cross-dedups by reading the compacted single segment (no distinct
+    * pass), self-dedups the remainder, and appends its own segment.
+    * Returns (dump1 secs incl. append+compact, dump2 secs, survivors 1,
+    * survivors 2, live band rows after dump 2); inputs pre-written as
+    * parquet (generation is harness, not workload).
     */
   private def crossDedupRun(spark: SparkSession, nDocs: Long):
-      (Double, Double, Long, Long) = {
+      (Double, Double, Long, Long, Long) = {
     import spark.implicits._
     import graft.operators.LshDedup
+    import graft.state.LshSeen
     graft.expressions.MinHashExpressions.register(spark)
     val p = DocFixtures.Params(nDocs = nDocs,
       nHosts = math.max(nDocs / 200, 20),
@@ -185,6 +188,7 @@ object Bench {
     val b = MinHashF.optimalBands(0.9)
     val dir = Files.createTempDirectory(
       Paths.get("/dev/shm"), "bench-xdedup").toString
+    val seenTable = s"$dir/seen"
     try {
       val docsDf = spark.range(nDocs).map { i =>
         (DocFixtures.docOf(i, p).doc_id, i,
@@ -194,26 +198,31 @@ object Bench {
         .write.mode("overwrite").parquet(s"$dir/dump1")
       docsDf.filter($"ord" % 2 === 1)
         .write.mode("overwrite").parquet(s"$dir/dump2")
-      var surv1 = 0L; var surv2 = 0L
+      var surv1 = 0L; var surv2 = 0L; var liveBands = 0L
       val t1 = time {
         val mh1 = LshDedup.minhashed(spark.read.parquet(s"$dir/dump1"), b)
         val kept1 = LshDedup.selfDedup(mh1)
-        mh1.join(kept1.select("ord"), Seq("ord"), "left_semi")
-          .select("doc_id", "ord", "bands")
-          .write.mode("overwrite").parquet(s"$dir/seen-1")
-        surv1 = spark.read.parquet(s"$dir/seen-1").count()
+        val surv1Df = mh1.join(kept1.select("ord"), Seq("ord"), "left_semi")
+        val m1 = LshSeen.append(spark, seenTable, surv1Df, "dump1")
+        LshSeen.compact(spark, seenTable)
+        surv1 = {
+          // survivor count = distinct docs in the appended segment's
+          // source; read it off the committed metrics-free path cheaply
+          surv1Df.select("ord").count()
+        }
+        require(m1.metrics("n_bands") > 0)
       }
       val t2 = time {
         val mh2 = LshDedup.minhashed(spark.read.parquet(s"$dir/dump2"), b)
-        val fresh = LshDedup.crossDedup(mh2,
-          spark.read.parquet(s"$dir/seen-1"))
+        val fresh = LshDedup.crossDedupBands(mh2,
+          LshSeen.seenBands(spark, seenTable))
         val kept2 = LshDedup.selfDedup(fresh)
-        fresh.join(kept2.select("ord"), Seq("ord"), "left_semi")
-          .select("doc_id", "ord", "bands")
-          .write.mode("overwrite").parquet(s"$dir/seen-2")
-        surv2 = spark.read.parquet(s"$dir/seen-2").count()
+        val surv2Df = fresh.join(kept2.select("ord"), Seq("ord"), "left_semi")
+        val m2 = LshSeen.append(spark, seenTable, surv2Df, "dump2")
+        surv2 = surv2Df.select("ord").count()
+        liveBands = m2.metrics("n_rows_live")
       }
-      (t1, t2, surv1, surv2)
+      (t1, t2, surv1, surv2, liveBands)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
@@ -337,7 +346,7 @@ object Bench {
 
     // ---- incremental cross-dump dedup scenario (A2 at bench scale) ----
     val xdN = sys.env.getOrElse("SPARK_GRAFT_XDEDUP_N", "100000").toLong
-    val (xd1, xd2, xs1, xs2) = {
+    val (xd1, xd2, xs1, xs2, xlive) = {
       val s = session(cpus)
       try crossDedupRun(s, xdN)
       finally {
@@ -374,7 +383,8 @@ object Bench {
     val xdedup =
       s"""{"n_docs":$xdN,"secs_dump1":${r3(xd1)},"secs_dump2":${r3(xd2)},""" +
       s""""docs_per_sec":${(xdN / (xd1 + xd2)).round},""" +
-      s""""survivors_1":$xs1,"survivors_2":$xs2}"""
+      s""""survivors_1":$xs1,"survivors_2":$xs2,""" +
+      s""""seen_bands_live":$xlive,"seen_compacted":true}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""frontier":$frontier,"minhash_control":$minhash,""" +

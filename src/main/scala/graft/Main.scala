@@ -40,8 +40,11 @@ object Main {
     // far (near zero under dynamic allocation), so pinning from it
     // would cap every shuffle — there, the submit conf + AQE coalesce
     // own the sizing, and any explicit setting is left untouched.
+    // "Explicit" is detected via the SparkConf, not the resolved value:
+    // comparing to "200" can't tell the built-in default from a user's
+    // deliberate --conf spark.sql.shuffle.partitions=200.
     if (spark.sparkContext.master.startsWith("local") &&
-        spark.conf.get("spark.sql.shuffle.partitions") == "200")
+        !spark.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(spark.sparkContext.defaultParallelism * 2, 32))
     spark.sparkContext.setLogLevel("WARN")

@@ -187,7 +187,14 @@ object Mimes {
         .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val ext = when(fixed.contains("."),
       lower(substring_index(fixed, ".", -1))).otherwise(lit(null))
-    when(fixed.rlike("^(?:[-\\w]+|[*])/(?:[-+.\\w]+|[*])$"), fixed)
+    val full = when(fixed.rlike("^(?:[-\\w]+|[*])/(?:[-+.\\w]+|[*])$"), fixed)
       .otherwise(element_at(extMap, ext))
+    // Fast path for the overwhelmingly common already-clean mime
+    // ("text/html"): ONE regex instead of four. The fast pattern is a
+    // strict subset of the slow path's accept pattern, and such a value
+    // is a fixpoint of all three strips (no leading/trailing [\/"],
+    // no [,;], no backslash — none of those characters can appear in
+    // [-\w]+/[-+.\w]+), so both paths return the input unchanged.
+    when(mime.rlike("^[-\\w]+/[-+.\\w]+$"), mime).otherwise(full)
   }
 }

@@ -105,6 +105,25 @@ object CorpusJob {
       }
     )
 
+    // Parameter fingerprint, carried in every stage's metrics: resume
+    // must see the SAME pipeline parameters, else the committed stages
+    // were computed under a different configuration and silently reusing
+    // them would return wrong results (reachable from Main's corpus
+    // command via minTokens). seenMh is fingerprinted by presence only —
+    // its content is a DataFrame; callers rotating seen batches between
+    // runs of one table are rerunning a *different* dump and should use
+    // a fresh table.
+    val paramsFp: Long = {
+      val canon = Seq(
+        s"langs=${langs.map(_.sorted.mkString(",")).getOrElse("-")}",
+        s"minTokens=$minTokens",
+        s"simThreshold=$simThreshold",
+        s"seenMh=${seenMh.isDefined}",
+        s"minFreq=$minFreq",
+        s"recordsPerFile=$recordsPerFile").mkString(";")
+      scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL
+    }
+
     val byId = Snapshots.chain(tableDir).map(m => m.snapshotId -> m).toMap
     var cur = corpus
     var rowsIn = -1L // lazily counted only when a stage actually runs
@@ -119,6 +138,12 @@ object CorpusJob {
             s"table $tableDir snapshot $i has lineage '${m.lineage}', " +
             s"expected 'corpus stage=$name' — refusing to resume from " +
             "a foreign snapshot chain")
+          require(m.metrics.get("params_fp").contains(paramsFp),
+            s"table $tableDir snapshot $i was committed with params_fp=" +
+            s"${m.metrics.get("params_fp").getOrElse("<absent>")}, this " +
+            s"run has params_fp=$paramsFp — refusing to resume a " +
+            "pipeline with different parameters (langs/minTokens/" +
+            "simThreshold/seenMh/minFreq/recordsPerFile)")
           cur = spark.read.parquet(s"$tableDir/${m.dataPath}")
           m
         case None =>
@@ -145,7 +170,8 @@ object CorpusJob {
           cur = spark.read.parquet(dataDir.toString)
           val rowsOut = cur.count()
           val m = Snapshots.commit(tableDir, id,
-            Map("rows_in" -> rowsIn, "rows_out" -> rowsOut),
+            Map("rows_in" -> rowsIn, "rows_out" -> rowsOut,
+                "params_fp" -> paramsFp),
             lineage = s"corpus stage=$name")
           rowsIn = rowsOut
           m

@@ -208,11 +208,17 @@ object FrequentParagraphs {
     val unified = bootstrapDf match {
       case None => docRows
       case Some(bdf) =>
-        // per-domain seed order: pdata_id when the frame carries one
-        // (collect output always does), else frame row order
-        val bord =
-          if (bdf.columns.contains("pdata_id")) col("pdata_id").cast("long")
-          else monotonically_increasing_id()
+        // per-domain seed order MUST be canonical: Collector.bootstrap
+        // assigns keys in seed order, so first-match/min semantics of
+        // the frequent state depend on it. collect() output always
+        // carries pdata_id; a frame without one would fall back to
+        // partition-layout-dependent order and fork history between
+        // environments — refuse instead.
+        require(bdf.columns.contains("pdata_id"),
+          "bootstrap frame must carry a pdata_id column (the per-domain " +
+          "seed order); collect() output does — for hand-built frames " +
+          "add an explicit order column named pdata_id")
+        val bord = col("pdata_id").cast("long")
         docRows.unionByName(bdf.select(
           $"domain", lit(0).as("__k"), bord.as("__bord"),
           lit(0L).as("ord"), lit("").as("doc_id"),

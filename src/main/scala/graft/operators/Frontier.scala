@@ -143,11 +143,70 @@ object Frontier {
       // small, skew-split sort-merge when it is not — no single task
       // ever owns a whole mega-host
       .join(firsts, Seq(hostCol))
+      // wave stays LongType here: this path exists precisely for
+      // mega-hosts, where an Int cast would wrap past 2^31 candidates
+      // (and the quota filter would then keep negative waves). The
+      // window path's wave is IntegerType but is quota-bounded by
+      // construction, so the narrower type is safe there.
       .withColumn("wave",
-        (col("__offset") + col("__mid").bitwiseAND(mask)
-          - col("__h0") + 1L).cast("int"))
+        col("__offset") + col("__mid").bitwiseAND(mask)
+          - col("__h0") + 1L)
       .drop("__pid", "__mid", "__offset", "__h0")
     (ranked, Seq(pre, sorted, aux))
+  }
+
+  /** Exact per-host politeness rank for the frontier's own priority
+    * order (file_ord, line_ord) — ONE hash shuffle, no range sort, no
+    * checkpoint. The decomposition: line_ord is unique within a file,
+    * so
+    *
+    *   wave = Σ_{f' < file_ord} count(host, f')            (cum table)
+    *        + row_number within (host, file_ord) by line_ord
+    *
+    * Skew: the window task group is (host, file_ord) — bounded by a
+    * host's lines in ONE index shard, which the FORMAT caps (cdx/cluster
+    * shards are fixed-size, cc_corpus/index.py shard layout), not by how
+    * popular the host is: a mega-host spreads across shards. The cum
+    * table is one narrow row per distinct (host, file) — ≤ input rows,
+    * ~40 bytes each, map-side combined — and its per-host running sum
+    * windows over ≤ files-per-dump rows. The final join's big side needs
+    * NO re-exchange: the window already hash-partitioned it on exactly
+    * the join keys (host, file) and sorted by a (host, file) prefix, so
+    * only the narrow cum side shuffles.
+    *
+    * Versus politenessRankUnbounded this eliminates, per batch: the
+    * range-sort boundary-sampling pass, the full-width sorted
+    * localCheckpoint (write + 2 reads through the block manager), and
+    * the aux/firsts join chain — the wave column is a deterministic
+    * function of the data (no monotonically_increasing_id), so repeated
+    * consumers recompute consistently without pinning. Output wave is
+    * LongType (mega-host ranks can exceed Int).
+    *
+    * Requires: lineCol unique within (hostCol, fileCol) — true for
+    * index lines by construction. For arbitrary priority columns use
+    * politenessRank/politenessRankEx.
+    */
+  def politenessRankByFile(candidates: DataFrame,
+                           hostCol: String,
+                           fileCol: String = "file_ord",
+                           lineCol: String = "line_ord"): DataFrame = {
+    val wGrp = Window.partitionBy(col(hostCol), col(fileCol))
+      .orderBy(asc(lineCol))
+    val cum = candidates
+      .groupBy(col(hostCol), col(fileCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        coalesce(
+          sum(col("__c")).over(
+            Window.partitionBy(col(hostCol)).orderBy(asc(fileCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(hostCol), col(fileCol), col("__cum"))
+    candidates
+      .withColumn("__rn", row_number().over(wGrp))
+      .join(cum, Seq(hostCol, fileCol))
+      .withColumn("wave", col("__cum") + col("__rn"))
+      .drop("__rn", "__cum")
   }
 
   /** Politeness schedule: earliest-fetch epoch second per candidate —

@@ -123,12 +123,43 @@ object FrontierJob {
 
     // 5. politeness waves (per-host quota), then O3 crawl order + batches.
     // crawlOrder checkpoints its sorted input internally (its two
-    // consumers need identical partitioning), so no persist here
-    val (ranked, rankCache) = phase("politeness rank")(Frontier.politenessRankEx(
-      gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
-      politenessQuota))
-    val (ordered, sortedCache) =
-      phase("order (df-native)")(UrlDedup.crawlOrderEx(ranked))
+    // consumers need identical partitioning), so no persist here.
+    //
+    // The frontier's priority IS (file_ord, line_ord), so the rank
+    // decomposes per index file (politenessRankByFile): one hash
+    // shuffle, no range sort, no full-width sorted checkpoint — r6 cut
+    // of the batch's block-manager traffic. The input is pinned once
+    // (the cum-count aggregate and the rank window are two consumers of
+    // the parse→anti-join→winner chain); a small quota still routes to
+    // the salted window path, which prunes losers before they shuffle.
+    val useByFile = politenessQuota >= Int.MaxValue / 16 &&
+      !sys.env.contains("GRAFT_POLITE_WINDOW")
+    val (ranked, rankCache, warcCountSrc) = phase("politeness rank") {
+      if (useByFile) {
+        val pinned = gated.localCheckpoint()
+        val r = Frontier.politenessRankByFile(pinned, "host_key")
+        val limited =
+          if (politenessQuota < Int.MaxValue)
+            r.filter(col("wave") <= politenessQuota)
+          else r
+        // the wave join preserves the row multiset only when the quota
+        // cannot drop rows — only then may the crawl-order count branch
+        // read the pin instead of the ranked chain
+        val cntSrc = if (politenessQuota < Int.MaxValue) None else Some(pinned)
+        (limited, Seq(pinned), cntSrc)
+      } else {
+        val (r, caches) = Frontier.politenessRankEx(
+          gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
+          politenessQuota)
+        (r, caches, None)
+      }
+    }
+    // O3 without a range sort or checkpoint: ord decomposes per warc
+    // (crawlOrderByWarc) and every downstream consumer reads the written
+    // parquet, so nothing needs pinning — the whole rank→order→batch
+    // chain materializes exactly once, in the batches write.
+    val ordered =
+      phase("order (df-native)")(UrlDedup.crawlOrderByWarc(ranked, warcCountSrc))
     val obsBatch = Observation("frontier_batches")
     val batches0 = UrlDedup.fetchBatches(ordered, fetchBatchSize)
       .observe(obsBatch, count(lit(1)).as("n_scheduled"),
@@ -139,19 +170,26 @@ object FrontierJob {
     // returned frame re-read the written parquet instead of re-running
     // the sort chain.
     val (snapId, dataDir, stateDir) = Snapshots.stage(tableDir)
-    // winnerSrc has exactly one row per URL — the delta IS the winner URL
-    // set, hash-distributed by url from the winner window, so files come
-    // out evenly spread at any scale.
-    val winnerSrc = if (keptIsOrdered) sortedCache else kept
-    phase("write seen delta") {
-      winnerSrc.select("url").write.mode("overwrite").parquet(dataDir.toString)
-    }
-
     val batchesPath = dataDir.resolveSibling(s"snap-$snapId-batches").toString
     phase("write batches") {
       batches0.write.mode("overwrite").parquet(batchesPath)
     }
     val batches = spark.read.parquet(batchesPath)
+
+    // Seen delta: exactly one row per winner URL. When nothing below the
+    // winner window dropped rows, the just-written batches parquet holds
+    // exactly the winner set — the delta is a single-COLUMN re-read of it
+    // (parquet prunes to `url`), not another full-width pass over the
+    // sort checkpoint. Only the robots/quota path still pays a pass over
+    // `kept` (which also collects its Observation metrics).
+    val winnerSrc = if (keptIsOrdered) batches else kept
+    phase("write seen delta") {
+      winnerSrc.select("url").write.mode("overwrite").parquet(dataDir.toString)
+    }
+    // downstream state updates read the narrow seen-delta parquet, never
+    // the full-width intermediates again
+    val deltaHashes = spark.read.parquet(dataDir.toString)
+      .select(xxhash64(col("url")).as("h"))
 
     // cuckoo partitions: distributed update (shuffle by state partition,
     // one task per blob, untouched blobs carried forward)
@@ -159,7 +197,7 @@ object FrontierJob {
       .map(m => Paths.get(tableDir, m.statePath))
       .filter(java.nio.file.Files.isDirectory(_))
     val perPartInserts = phase("cuckoo update")(UrlSeenState.updateDistributed(
-      spark, winnerSrc.select(xxhash64(col("url")).as("h")),
+      spark, deltaHashes,
       prevStateDir, stateDir, partitions = 16,
       capacityPerPartition = 1 << 16))
     // FP-rate bound: a chain that has grown past 2 segments gets rebuilt
@@ -168,7 +206,7 @@ object FrontierJob {
     // inserts, so this full pass amortizes to ~O(1) per batch.
     if (perPartInserts.values.exists(_.segments > 2)) phase("cuckoo compact") {
       val allSeen = seenUrls.select(xxhash64(col("url")).as("h"))
-        .union(winnerSrc.select(xxhash64(col("url")).as("h")))
+        .union(deltaHashes)
       UrlSeenState.compactDistributed(spark, allSeen, stateDir,
         partitions = 16, capacityPerPartition = 1 << 16)
     }
@@ -178,7 +216,6 @@ object FrontierJob {
     val nWinners =
       if (keptIsOrdered) nKept
       else obsWin.get("n_winners").asInstanceOf[Long]
-    UrlDedup.releaseOrderCache(sortedCache)
     rankCache.foreach(UrlDedup.releaseOrderCache)
     if (cacheIntermediates && !keptIsOrdered) kept.unpersist()
     val metrics = Map(

@@ -65,8 +65,11 @@ object IndexPipeline {
                   allowedMimes: Set[String] = Mimes.DefaultAllowed,
                   badIndexPatterns: Seq[String] = Seq.empty,
                   resort: Boolean = true): DataFrame = {
+    // the reference's robots pattern has no metacharacters beyond the
+    // escaped dot — a literal substring test (codegen'd contains, no
+    // regex engine) is exactly re.search('/robots\\.txt', url)
     val basic = parsed.filter(
-      !col("url").rlike("/robots\\.txt") && col("status") === 200)
+      !col("url").contains("/robots.txt") && col("status") === 200)
 
     val mimed = basic
       .withColumn("mime", Mimes.normalizeCol(col("mime")))

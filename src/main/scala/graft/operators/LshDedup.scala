@@ -254,15 +254,24 @@ object LshDedup {
 
   /** A2 cross-dedup: drop any new doc with a band collision against the
     * seen set (query-only, order-insensitive). `seenMh` needs (doc_id,
-    * bands); returns surviving rows of `newMh`.
+    * bands); returns surviving rows of `newMh`. For a long-lived seen
+    * table prefer state.LshSeen + crossDedupBands — the packed-bands
+    * form re-explodes and re-distincts the whole seen set on every dump.
     */
-  def crossDedup(newMh: DataFrame, seenMh: DataFrame): DataFrame = {
+  def crossDedup(newMh: DataFrame, seenMh: DataFrame): DataFrame =
+    crossDedupBands(newMh,
+      seenMh.select(posexplode(col("bands")).as(Seq("band", "bhash")))
+        .distinct())
+
+  /** A2 against an already-exploded DISTINCT (band, bhash) table — the
+    * exact shape state.LshSeen stores, so a compacted seen table joins
+    * with no distinct pass. Caller guarantees distinctness (a duplicate
+    * seen row cannot change the semi-join result, only its cost).
+    */
+  def crossDedupBands(newMh: DataFrame, seenBands: DataFrame): DataFrame = {
     val newBands = bandTable(newMh.select(col("doc_id"), col("ord"), col("bands")))
-    val seenBands = seenMh
-      .select(posexplode(col("bands")).as(Seq("band", "bhash")))
-      .distinct()
     val hitOrds = newBands
-      .join(seenBands, Seq("band", "bhash"), "left_semi")
+      .join(seenBands.select("band", "bhash"), Seq("band", "bhash"), "left_semi")
       .select("ord").distinct()
     newMh.join(hitOrds, Seq("ord"), "left_anti")
   }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Library-level text retrieval + quality scoring operators — the
+  * parameterized forms of the q_bm25_search / q_quality_gopher query
+  * plans, promoted so users drive them through an API instead of
+  * copying query code.
+  *
+  * Scale shape (unchanged from the oracled queries): corpus stats are
+  * two scalars (N, avgdl) computed once; tf/df are partial-aggregated
+  * groupBys (map-side combine — a term's postings never sit in one
+  * task until the final per-(doc,term) count, which is bounded by the
+  * doc itself); scores are pure column arithmetic. Gopher signals are
+  * per-row columns except the top-word fraction, whose groupBy is
+  * keyed by doc_id — skew-free since one doc's words form one group.
+  */
+object Retrieval {
+
+  /** BM25 parameters (Robertson/Sparck-Jones). The defaults match the
+    * q_bm25_search oracle bit-for-bit: k1+1.0 == 2.2 and 1.0-b == 0.25
+    * are exact in IEEE doubles for (1.2, 0.75), and the rounding knobs
+    * mirror the oracle's float discipline (idf rounded right after ln,
+    * final score rounded at the end — on BOTH engines).
+    */
+  final case class Bm25Params(
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idfRoundDigits: Int = 6,
+      scoreRoundDigits: Int = 4)
+
+  /** BM25 scores of `docs` for a fixed term set; top `limit` rows by
+    * (score desc, id asc). Input needs (idCol, textCol); tokenization
+    * is whitespace, like the reference corpus format's token-per-space
+    * text spans.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           params: Bm25Params = Bm25Params(),
+           limit: Int = 20,
+           idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      // consumed by the scalar stats AND the tf table
+      .localCheckpoint()
+    // model-scale scalars: N docs, average doc length. dl sums are
+    // integer-valued doubles, so the sum is order-insensitive.
+    val n = toks.count().toDouble
+    val avgdl = toks.agg(sum("dl")).head().getDouble(0) / n
+    val tf = toks.select(col(idCol), col("dl"), explode(col("toks")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(idCol, "dl", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("w").agg(countDistinct(idCol).as("df"))
+    val scored = tf.join(dft, "w")
+      .withColumn("idf", round(
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))), params.idfRoundDigits))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(params.k1 + 1.0) /
+          (col("tf") + lit(params.k1) * (lit(1.0 - params.b)
+            + lit(params.b) * col("dl") / lit(avgdl))))
+      .groupBy(idCol)
+      .agg(round(sum("contrib"), params.scoreRoundDigits).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    toks.unpersist()
+    scored.limit(limit)
+  }
+
+  /** Gopher-style quality thresholds (Rae et al. 2021 §A1.1 shape).
+    * Defaults match the q_quality_gopher oracle; the pass verdict
+    * always compares the UNROUNDED ratios (rounding is display only).
+    */
+  final case class GopherParams(
+      minWords: Long = 10L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      minTypeTokenRatio: Double = 0.3,
+      maxTopWordFrac: Double = 0.2,
+      displayRoundDigits: Int = 4)
+
+  /** Per-doc Gopher signals + pass verdict: word count, mean word
+    * length, type-token ratio, top-word fraction. Output columns:
+    * (idCol, n_words, mean_word_len, ttr, top_word_frac, pass).
+    */
+  def gopherQuality(docs: DataFrame,
+                    params: GopherParams = GopherParams(),
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks  = split(trim(col(textCol)), "\\s+")
+    val n     = size(toks).cast(LongType)
+    val meanW = aggregate(transform(toks, w => length(w)), lit(0L), _ + _)
+      .cast("double") / n
+    val ttr   = size(array_distinct(toks)) * lit(1.0) / n
+    val base  = docs.select(
+      col(idCol), n.as("n_words"), meanW.as("mw_raw"),
+      ttr.as("ttr_raw"), toks.as("toks"))
+    val top = base.select(col(idCol), explode(col("toks")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("topc"))
+    val d = params.displayRoundDigits
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        round(col("mw_raw"), d).as("mean_word_len"),
+        round(col("ttr_raw"), d).as("ttr"),
+        round(col("topc") * lit(1.0) / col("n_words"), d)
+          .as("top_word_frac"),
+        (col("n_words") >= params.minWords &&
+         col("mw_raw") >= params.minMeanWordLen &&
+         col("mw_raw") <= params.maxMeanWordLen &&
+         col("ttr_raw") >= params.minTypeTokenRatio &&
+         col("topc") * lit(1.0) / col("n_words") <= params.maxTopWordFrac)
+          .as("pass"))
+  }
+}

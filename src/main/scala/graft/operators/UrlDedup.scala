@@ -120,6 +120,70 @@ object UrlDedup {
       Seq(asc("warc"), asc("offset"), asc("url"),
           asc("file_ord"), asc("line_ord")), "ord")
 
+  /** O3 crawl order with NO range sort and NO checkpoint — the r6
+    * production path. The global rank by (warc, offset, url, file_ord,
+    * line_ord) decomposes per WARC file, because warc is the leading
+    * sort key:
+    *
+    *   ord = Σ_{w' < warc} count(w')                (cum table)
+    *       + row_number within warc by (offset, url, file_ord, line_ord)
+    *       - 1
+    *
+    * This replaces the range exchange (plus its boundary-sampling pass
+    * over the child) with one hash exchange, and — since every column
+    * is a deterministic function of the data, no
+    * monotonically_increasing_id — the full-width localCheckpoint that
+    * pinned the sorted frame for its consumers disappears entirely:
+    * repeated consumers recompute identical rows.
+    *
+    * Skew: the window task unit is ONE warc's records — bounded by WARC
+    * file size (~1 GB / ~10^5 records, a format constant), never by
+    * host or URL skew. The cum table is one narrow row per warc
+    * (~10^5/dump at CC scale); its running sum is a single-partition
+    * window over that tiny frame — the same shape as the partition-
+    * offsets idiom below. The join back needs no exchange on the big
+    * side (the rank window already hash-partitioned it by warc).
+    *
+    * Identical tie semantics to the range-sort form: exact duplicate
+    * rows receive distinct-but-arbitrary adjacent ords; the (ord, row)
+    * multiset is deterministic.
+    */
+  def crawlOrderByWarc(kept: DataFrame,
+                       countFrom: Option[DataFrame] = None): DataFrame =
+    ordByGroupCounts(kept, "warc",
+      Seq(asc("offset"), asc("url"), asc("file_ord"), asc("line_ord")),
+      "ord", countFrom)
+
+  /** The group-count global-rank idiom behind crawlOrderByWarc,
+    * parameterized: groups ordered by `groupCol` asc, rows within a
+    * group by `innerSort`; contiguous 0-based `ordCol`. Use when group
+    * cardinality is large (the per-group window is the parallel unit)
+    * and per-group size is bounded by construction.
+    *
+    * `countFrom`: an alternative frame to count groups over — pass a
+    * pinned upstream frame with the same row multiset (e.g. the input
+    * before a multiset-preserving join) so the count branch reads the
+    * cheap pin instead of re-executing `df`'s chain.
+    */
+  def ordByGroupCounts(df: DataFrame, groupCol: String,
+                       innerSort: Seq[Column], ordCol: String,
+                       countFrom: Option[DataFrame] = None): DataFrame = {
+    val wIn = Window.partitionBy(col(groupCol)).orderBy(innerSort: _*)
+    val cum = countFrom.getOrElse(df)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__goff",
+        coalesce(
+          sum(col("__c")).over(
+            Window.orderBy(asc(groupCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(groupCol), col("__goff"))
+    df.withColumn("__grn", row_number().over(wIn))
+      .join(cum, Seq(groupCol))
+      .withColumn(ordCol, col("__goff") + col("__grn") - 1L)
+      .drop("__grn", "__goff")
+  }
+
   /** The partition-offset global-rank idiom behind crawlOrder,
     * parameterized: range sort on `sortCols`, contiguous 0-based
     * `ordCol`, all codegen column work. Returns (ranked, sortCache);

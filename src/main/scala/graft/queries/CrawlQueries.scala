@@ -121,7 +121,10 @@ object CrawlQueries {
     "q_crawl_order" -> { (s, dir) =>
       val idx  = indexFrame(s, dir)
       val kept = UrlDedup.winnersKept(idx)
-      UrlDedup.crawlOrder(kept).select("ord", "url", "warc", "offset")
+      // the r6 production path: per-warc group counts, no range sort,
+      // no checkpoint (crawlOrderByWarc) — oracled here so the frontier
+      // job's ordering stays driver-verified
+      UrlDedup.crawlOrderByWarc(kept).select("ord", "url", "warc", "offset")
     },
 
     // J8: robots gating — longest-prefix rules, allow-by-default — via

@@ -180,6 +180,33 @@ object PipelineQueries {
                 col("score"), col("count"))
     },
 
+    // A4 OLD-frequents path, two epochs (frequent_paragraphs.py:632–748
+    // main_filter with --old-frequents): epoch 1's collected frequents
+    // become old_frequents for filtering epoch 2 — EVERY occurrence of
+    // an old frequent is dropped (no min_freq grace), and old hits are
+    // excluded before new-frequent matching. Oracle: two replay
+    // machines + the drop-all/min-freq SQL composed.
+    "q_frequent_filter_epoch2" -> { (s, dir) =>
+      graft.expressions.MinHashExpressions.register(s)
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      val docs = DocPipeline.spanize(htmlFrame(s, dir))
+        .select(col("source").as("domain"),
+                col("doc_id").cast(LongType).as("ord"),
+                col("doc_id"), col("spans"))
+        .withColumn("pbands", FrequentParagraphs.paragraphBandsCol(
+          FrequentParagraphs.textSpans(col("spans")), b))
+        .localCheckpoint()
+      val epoch1 = docs.filter(col("ord") % 2 === 0)
+      val epoch2 = docs.filter(col("ord") % 2 === 1)
+      val oldFreq = FrequentParagraphs.collect(epoch1)
+      val newFreq = FrequentParagraphs.collect(epoch2)
+      FrequentParagraphs.filterFrequent(epoch2, newFreq,
+          oldFrequents = Some(oldFreq))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(col("spans"))).as("n_spans"))
+    },
+
     // JusText-core boilerplate classification: HTML with a link-heavy nav
     // block, content paragraphs and a © footer; the Spark side runs the
     // production parser + column/window classifier (Boilerplate.classify),
@@ -700,6 +727,65 @@ object PipelineQueries {
                  unnest(entries).score AS score,
                  unnest(entries).cnt AS count
           FROM nkept"""
+    },
+    "q_frequent_filter_epoch2" -> {
+      val b = graft.functions.MinHashF.optimalBands(0.95)
+      s"""WITH RECURSIVE ${frequentBaseCte(b)},
+          ${frequentMachineCte(b, "a", "pp.ord % 2 = 0", None)},
+          ${frequentMachineCte(b, "n", "pp.ord % 2 = 1", None)},
+          ofb AS (
+            SELECT k2.domain,
+                   CAST(generate_subscripts(k2.bands, 1) - 1 AS BIGINT) AS band,
+                   unnest(k2.bands) AS bhash
+            FROM (SELECT domain, unnest(entries).bands AS bands
+                  FROM akept) k2),
+          fb AS (
+            SELECT k2.domain, k2.pdata_id,
+                   CAST(generate_subscripts(k2.bands, 1) - 1 AS BIGINT) AS band,
+                   unnest(k2.bands) AS bhash
+            FROM (SELECT domain, generate_subscripts(entries, 1) AS pdata_id,
+                         unnest(entries).bands AS bands
+                  FROM nkept) k2),
+          pband AS (
+            SELECT pp.domain, pp.ord, pp.p_id, b.band, b.bhash
+            FROM pp JOIN bands b ON b.k = pp.ord * 10000 + pp.p_id
+            WHERE pp.ord % 2 = 1),
+          oldhit AS (
+            SELECT DISTINCT p.domain, p.ord, p.p_id
+            FROM pband p JOIN ofb o
+              ON o.domain = p.domain AND o.band = p.band AND o.bhash = p.bhash),
+          nh AS (
+            SELECT p.domain, p.ord, p.p_id, min(f.pdata_id) AS freq_id
+            FROM pband p JOIN fb f
+              ON f.domain = p.domain AND f.band = p.band AND f.bhash = p.bhash
+            WHERE NOT EXISTS (SELECT 1 FROM oldhit h
+                              WHERE h.domain = p.domain AND h.ord = p.ord
+                                AND h.p_id = p.p_id)
+            GROUP BY 1, 2, 3),
+          rk AS (
+            SELECT domain, ord, freq_id,
+                   row_number() OVER (PARTITION BY domain, freq_id
+                                      ORDER BY ord ASC) AS rnk
+            FROM (SELECT DISTINCT domain, ord, freq_id FROM nh)),
+          dropp AS (
+            SELECT domain, ord, p_id FROM (
+              SELECT DISTINCT nh.domain, nh.ord, nh.p_id
+              FROM nh JOIN rk ON rk.domain = nh.domain AND rk.ord = nh.ord
+                             AND rk.freq_id = nh.freq_id
+              WHERE rk.rnk >= 2
+              UNION
+              SELECT domain, ord, p_id FROM oldhit)),
+          dcount AS (
+            SELECT domain, ord, count(*) AS ndrop FROM dropp GROUP BY 1, 2),
+          surv AS (
+            SELECT d.domain, d.ord,
+                   len(d.paras) - coalesce(c.ndrop, 0) AS np_left
+            FROM pdocs d LEFT JOIN dcount c
+              ON c.domain = d.domain AND c.ord = d.ord
+            WHERE d.ord % 2 = 1)
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(np_left + 1) AS BIGINT) AS n_spans
+          FROM surv WHERE np_left > 0 GROUP BY domain"""
     },
     "q_frequent_filter" -> {
       val b = graft.functions.MinHashF.optimalBands(0.95)

@@ -74,6 +74,10 @@ object Fetch {
         case NotFound =>
           return ranges.map(_ => None)
         case Full(_) | HttpError(_) =>
+          // deliberately sleeps on the LAST attempt too before raising:
+          // download.py:92/101 `time.sleep(...)` + `continue` runs even
+          // when retry_left just hit 0 (the while-else then raises), and
+          // this loop is byte-faithful to that backoff sequence
           sleeper(attempt * delayMs)
         case null => ()
       }
@@ -90,32 +94,64 @@ object Fetch {
   /** Distributed fetch of coalesced range batches (the O2 output:
     * file_name, range_start, range_end). One Transport per PARTITION —
     * the Spark analogue of the reference's per-thread sessions — built
-    * inside the task from the serializable factory. Politeness is
-    * upstream data layout (wave scheduling), not sleeps here. Failed
-    * files (404) yield null bytes; exhausted retries fail the task so
-    * Spark's task retry applies on top, exactly once per level.
+    * inside the task from the serializable factory. Failed files (404)
+    * yield null bytes; exhausted retries fail the task so Spark's task
+    * retry applies on top, exactly once per level.
+    *
+    * Politeness is upstream data layout (wave scheduling), and with
+    * `notBeforeCol` set it is ENFORCED here, not advisory: rows carry
+    * the `not_before_epoch` that Frontier.scheduleWaves computed, the
+    * partition processes its work in not_before order, and each fetch
+    * call waits (injectable `sleeper`, like the retry loop's) until the
+    * injectable `clock` (epoch seconds) reaches the group's barrier.
+    * Work units become (file, not_before) groups — ranges of one file
+    * in one wave still go out as a single multi-range request; ranges
+    * of a later wave wait for their wave even when the file matches.
+    * With the default wall clock this is exactly the per-host delay
+    * budget: wave w of a host fetches no earlier than t0 + (w-1)·delay.
     */
   def fetchBatches(batches: DataFrame, transportFactory: () => Transport,
-                   retries: Int = 3, delayMs: Long = 1000L): DataFrame = {
+                   retries: Int = 3, delayMs: Long = 1000L,
+                   notBeforeCol: Option[String] = None,
+                   clock: () => Long = () => System.currentTimeMillis() / 1000L,
+                   sleeper: Long => Unit = Thread.sleep): DataFrame = {
     val spark = batches.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    batches
-      .select("file_name", "range_start", "range_end")
+    val selected = notBeforeCol match {
+      case Some(nb) => batches
+        .select(col("file_name"), col("range_start"), col("range_end"),
+                col(nb).cast("long").as("__nb"))
+      case None => batches
+        .select(col("file_name"), col("range_start"), col("range_end"),
+                lit(Long.MinValue).as("__nb"))
+    }
+    val enforce = notBeforeCol.isDefined
+    selected
       .repartition(col("file_name"))
       .mapPartitions { it =>
         val transport = transportFactory()
-        // group consecutive same-file rows: ranges of one file fetched
-        // in one call, like the reference's multi-range requests
+        // group rows into (file, not_before) work units: ranges of one
+        // file in one wave fetched in one call, like the reference's
+        // multi-range requests
         val rows = it.toArray
-        val byFile = mutable.LinkedHashMap
-          .empty[String, mutable.ArrayBuffer[(Long, Long)]]
+        val byUnit = mutable.LinkedHashMap
+          .empty[(String, Long), mutable.ArrayBuffer[(Long, Long)]]
         rows.foreach { r =>
           val f = r.getString(0)
-          byFile.getOrElseUpdate(f, mutable.ArrayBuffer.empty) +=
+          val nb = if (enforce) r.getLong(3) else Long.MinValue
+          byUnit.getOrElseUpdate((f, nb), mutable.ArrayBuffer.empty) +=
             ((r.getLong(1), r.getLong(2)))
         }
-        byFile.iterator.flatMap { case (f, rs) =>
+        // earliest wave first; insertion order breaks not_before ties
+        val units =
+          if (enforce) byUnit.toSeq.sortBy { case ((f, nb), _) => nb }
+          else byUnit.toSeq
+        units.iterator.flatMap { case ((f, nb), rs) =>
+          if (enforce) {
+            val now = clock()
+            if (now < nb) sleeper((nb - now) * 1000L)
+          }
           val ranges = rs.map { case (s, e) => (s, e - s) }.toSeq
           val parts = fetchRanges(f, ranges, retries, delayMs, transport)
           rs.iterator.zip(parts.iterator).map { case ((s, e), body) =>

@@ -104,7 +104,7 @@ class PropertySpec extends AnyFunSuite {
       val df = rows.toDF("host_key", "pri").repartition(1 + rnd.nextInt(12))
       val got = graft.operators.Frontier.politenessRank(
           df, "host_key", Seq(asc("pri")), quota = Int.MaxValue)
-        .select("host_key", "pri", "wave")
+        .select(col("host_key"), col("pri"), col("wave").cast("int"))
         .as[(String, Long, Int)].collect().toSet
       val want = {
         val w = org.apache.spark.sql.expressions.Window

@@ -54,7 +54,9 @@ class FrontierSpec extends AnyFunSuite {
     val want = cand.withColumn("wave", row_number().over(w))
       .select("host_key", "url", "wave")
       .as[(String, String, Int)].collect().toSet
-    val gotSet = got.select("host_key", "url", "wave")
+    // unbounded-path wave is LongType (mega-host counts can exceed Int)
+    val gotSet = got.select(col("host_key"), col("url"),
+        col("wave").cast("int"))
       .as[(String, String, Int)].collect().toSet
     assert(gotSet == want)
     // the mega-host got 1000 distinct waves 1..1000
@@ -70,6 +72,55 @@ class FrontierSpec extends AnyFunSuite {
            s"per-host row_number in plan:\n$plan")
   }
 
+  test("politenessRankByFile == per-host window rank; skew unit is (host, file)") {
+    // mega-host skew shape again, but rows now carry (file_ord, line_ord)
+    // like real index lines: line_ord unique within each file
+    val rows = (0 until 3000).map { i =>
+      val h = if (i % 2 == 0) "mega.example.com" else s"h${i % 41}.example.com"
+      (h, s"u$i", (i % 7).toLong, i.toLong) // 7 files, global line_ord
+    }
+    val cand = rows.toDF("host_key", "url", "file_ord", "line_ord")
+      .repartition(8)
+    val got = Frontier.politenessRankByFile(cand, "host_key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host_key").orderBy(asc("file_ord"), asc("line_ord"))
+    val want = cand.withColumn("wave", row_number().over(w).cast("long"))
+      .select("host_key", "url", "wave")
+      .as[(String, String, Long)].collect().toSet
+    val gotSet = got.select("host_key", "url", "wave")
+      .as[(String, String, Long)].collect().toSet
+    assert(gotSet == want)
+    assert(gotSet.filter(_._1 == "mega.example.com").map(_._3) ==
+      (1L to 1500L).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    // every window over host_key must also partition by file_ord — the
+    // task unit is capped by lines-per-index-shard, never by host size
+    assert(!plan.contains("windowspecdefinition(host_key#") ||
+           plan.split("windowspecdefinition\\(host_key#").drop(1)
+             .forall(s => s.take(60).contains("file_ord")),
+           s"host-only window in plan:\n$plan")
+    // no range sort / checkpoint machinery on this path
+    assert(!plan.contains("rangepartitioning"),
+           s"unexpected range exchange:\n$plan")
+  }
+
+  test("politenessRankByFile: big side of the cum join does not re-exchange") {
+    val cand = (0 until 400).map(i =>
+      (s"h${i % 5}", s"u$i", (i % 4).toLong, i.toLong))
+      .toDF("host_key", "url", "file_ord", "line_ord").repartition(4)
+    val got = Frontier.politenessRankByFile(cand, "host_key")
+    got.count()
+    val plan = got.queryExecution.executedPlan.toString
+    // the rank window hash-partitions on exactly the join keys
+    // (host_key, file_ord); a correct plan re-exchanges only the narrow
+    // cum side — so at most 3 exchanges total: window, cum's groupBy,
+    // cum's per-host running sum (+0 for the join's big side)
+    val nEx = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 3,
+           s"big side re-exchanged before the cum join ($nEx exchanges):\n$plan")
+  }
+
   test("finite quota routed to the unbounded path is still enforced") {
     // salts high enough that quota=3 crosses the Int.MaxValue/salts
     // routing threshold -> exercises the skew-free path, which before r5
@@ -78,7 +129,7 @@ class FrontierSpec extends AnyFunSuite {
       (s"h${i % 4}", s"u$i", i.toLong)).toDF("host_key", "url", "pri")
     val got = Frontier.politenessRank(cand, "host_key",
       Seq(asc("pri")), quota = 3, salts = Int.MaxValue)
-      .select("host_key", "url", "wave")
+      .select(col("host_key"), col("url"), col("wave").cast("int"))
       .as[(String, String, Int)].collect()
     assert(got.length == 12, s"quota unenforced: ${got.length} rows")
     assert(got.groupBy(_._1).forall(_._2.length == 3))

@@ -5,6 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable
 
+/** Shared-JVM state for the wave-barrier spec: object members are
+  * resolved by module reference after closure deserialization (local
+  * mode = one JVM), so the executor-side fake clock and call log are
+  * the same instances the assertions read.
+  */
+object WaveClockLog {
+  val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, List[Long])]()
+  def reset(): Unit = { clock.set(0L); calls.clear() }
+}
+
 /** The download.py:23–139 retry loop, case by case, with an injected
   * sleeper so the backoff SEQUENCE is asserted, not wall-clocked.
   */
@@ -108,6 +119,44 @@ class FetchSpec extends AnyFunSuite {
       ("warc-a", 20L, Some((20 until 25).map(_.toByte).toSeq)),
       ("warc-b", 5L, Some((5 until 8).map(i => (i * 2).toByte).toSeq)),
       ("warc-missing", 0L, None)))
+  }
+
+  test("fetchBatches enforces not_before_epoch as a wave barrier " +
+       "(fake clock, emission order)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    WaveClockLog.reset()
+    val store = Map("w" -> (0 until 100).map(_.toByte).toArray)
+    // one file, three waves, deliberately OUT of wave order in the input
+    val batches = Seq(
+      ("w", 0L, 2L, 200L),  // wave 2
+      ("w", 10L, 12L, 100L), // wave 1
+      ("w", 20L, 22L, 100L), // wave 1 (same unit as above)
+      ("w", 30L, 32L, 300L)  // wave 3
+    ).toDF("file_name", "range_start", "range_end", "not_before_epoch")
+    val rows = Fetch.fetchBatches(batches,
+        () => (f, rs) => {
+          WaveClockLog.calls.add((WaveClockLog.clock.get(),
+            rs.map(_._1).toList))
+          Fetch.Partial(rs.map { case (o, l) =>
+            Array.fill(l.toInt)(o.toByte) })
+        },
+        retries = 1, delayMs = 0,
+        notBeforeCol = Some("not_before_epoch"),
+        clock = () => WaveClockLog.clock.get(),
+        sleeper = ms => WaveClockLog.clock.addAndGet(ms / 1000L))
+      .collect()
+    assert(rows.length == 4)
+    val calls = {
+      val it = WaveClockLog.calls.iterator()
+      val b = mutable.ArrayBuffer.empty[(Long, List[Long])]
+      while (it.hasNext) b += it.next()
+      b.toList
+    }
+    // one call per (file, wave), earliest wave first; every call happens
+    // exactly when the fake clock reaches the wave's not_before
+    assert(calls == List(
+      (100L, List(10L, 20L)), (200L, List(0L)), (300L, List(30L))))
   }
 
   test("fetched bytes feed the existing WARC decode chain (S2 seam)") {
