@@ -32,8 +32,8 @@ object TextAnalysis {
     * counts, fixed priority on ties (seq order), 'unk' when all scores
     * are zero. Deterministic heuristic per the builder brief (the
     * reference uses cld2 over ~100 languages, filter_corpus.py:95–147);
-    * breadth covers 79 space-delimited-script
-    * languages (22 original + the r5 extension below) of the reference's corpora. Markers are chosen to be
+    * breadth covers 103 space-delimited-script
+    * languages (22 original + three breadth waves below) of the reference's corpora. Markers are chosen to be
     * high-frequency function words that are near-unique to the language
     * (priority order resolves the genuine collisions, e.g. no/da 'og').
     * CJK scripts are out of scope for this heuristic: space-padded word
@@ -128,7 +128,41 @@ object TextAnalysis {
     "su" -> Seq("jeung", "anu"),
     "tg" -> Seq("ва", "аст"),
     "ps" -> Seq("او", "دی"),
-    "ku" -> Seq("û", "heye")
+    "ku" -> Seq("û", "heye"),
+    // third breadth wave (r6) to cld2 parity (~100+ languages,
+    // filter_corpus.py:95–147): Turkic (Arabic/Cyrillic/Latin scripts),
+    // Celtic, creoles/constructed, Bantu/Niger-Congo, Indic literary
+    // registers, and diaspora scripts. Same mechanics: appended AFTER
+    // the earlier waves so existing tie priority is unchanged; markers
+    // are chosen to be disjoint from every earlier language's markers
+    // (near-identical pairs pick spellings that differ: ms 'kerana' vs
+    // id 'karena', tk 'üçin' vs az 'üçün', tt 'белән' vs ky 'менен').
+    // CJK/Thai/Khmer/Lao/Burmese/Tibetan remain out of scope
+    // (unsegmented or non-space-delimited scripts).
+    "ms"  -> Seq("kerana", "boleh"),
+    "la"  -> Seq("est", "quod"),
+    "eo"  -> Seq("kaj", "estas"),
+    "ht"  -> Seq("nan", "yon"),
+    "lb"  -> Seq("ass", "vun"),
+    "fy"  -> Seq("fan", "wurde"),
+    "gd"  -> Seq("tha", "anns"),
+    "br"  -> Seq("hag", "eo"),
+    "oc"  -> Seq("dins", "aquò"),
+    "mi"  -> Seq("ngā", "kei"),
+    "ny"  -> Seq("ndipo", "chifukwa"),
+    "sn"  -> Seq("uye", "zvino"),
+    "st"  -> Seq("hore", "empa"),
+    "tn"  -> Seq("gore", "mme"),
+    "ig"  -> Seq("nke", "bụ"),
+    "om"  -> Seq("keessa", "kana"),
+    "ti"  -> Seq("እዩ", "ናይ"),
+    "sd"  -> Seq("جي", "آهي"),
+    "ug"  -> Seq("ۋە", "بىلەن"),
+    "tt"  -> Seq("һәм", "белән"),
+    "tk"  -> Seq("bilen", "üçin"),
+    "yi"  -> Seq("און", "איז"),
+    "sa"  -> Seq("अस्ति", "एव"),
+    "as"  -> Seq("আৰু", "হয়")
   )
 
   def langScoreCol(text: Column, lang: String): Column =

@@ -565,7 +565,7 @@ object TextQueries {
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
              AS n_tokens
          FROM documents""",
-    // GENERATED from TextAnalysis.LangMarkers (79 languages) — the
+    // GENERATED from TextAnalysis.LangMarkers (103 languages) — the
     // oracle SQL and the Column scorer read the same marker table, so
     // the two engines cannot drift as breadth grows.
     "q_lang_id" -> {

@@ -36,19 +36,24 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("langid markers count literally (non-overlapping replace)") {
     // column form parity is covered in CrawlParitySpec; here the
-    // marker-table shape: 79 languages (22 original + two r5 breadth
+    // marker-table shape: 103 languages (22 original + three breadth
     // waves), priority order starts with the original four, every
     // language has >= 2 markers, and no marker embeds a quote that
-    // would break the generated oracle SQL literal
+    // would break the generated oracle SQL literal. Markers must also
+    // be BMP-only: the oracle divides by the Scala String length
+    // (UTF-16 units) while DuckDB counts code points — equal only
+    // without surrogate pairs.
     val langs = TextAnalysis.LangMarkers.map(_._1)
     assert(langs.take(4) == Seq("en", "de", "fr", "es"))
-    assert(langs.length == 79 && langs.distinct.length == 79)
+    assert(langs.length == 103 && langs.distinct.length == 103)
     assert(TextAnalysis.LangMarkers.forall(_._2.length >= 2))
     assert(TextAnalysis.LangMarkers.forall(_._2.forall(w =>
       !w.contains("'") && !w.contains(" "))))
+    assert(TextAnalysis.LangMarkers.forall(_._2.forall(w =>
+      w.length == w.codePointCount(0, w.length))))
   }
 
-  test("langIdCol classifies sample sentences across all 79 languages") {
+  test("langIdCol classifies sample sentences across all 103 languages") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -131,7 +136,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       "su" -> "imah jeung anu anjing jeung anu",
       "tg" -> "хона аст ва саг аст ва",
       "ps" -> "کور دی او سپی دی او",
-      "ku" -> "mal heye û kûçik heye û")
+      "ku" -> "mal heye û kûçik heye û",
+      "ms" -> "rumah itu cantik kerana anda boleh datang kerana boleh",
+      "la" -> "hoc est quod est quod erat",
+      "eo" -> "la domo estas granda kaj la hundo estas eta kaj",
+      "ht" -> "li gen yon kay nan lavil la yon chen nan lakou",
+      "lb" -> "dat ass e schéint haus vun him ass vun mir",
+      "fy" -> "it hûs fan de man sil wurde boud fan hout wurde",
+      "gd" -> "tha an taigh anns a bhaile tha an cù anns",
+      "br" -> "an ti hag ar chi eo bras hag eo bihan",
+      "oc" -> "aquò es una casa dins la vila aquò dins",
+      "mi" -> "kei te whare ngā tāngata kei te kura ngā tamariki",
+      "ny" -> "nyumba ndipo galu chifukwa ndipo chifukwa",
+      "sn" -> "imba uye imbwa zvino uye zvino",
+      "st" -> "ntlo e ntle hore empa ntja e kgolo hore empa",
+      "tn" -> "ntlo e ntle gore mme ntsa gore mme",
+      "ig" -> "ụlọ nke m bụ ukwu nke a bụ",
+      "om" -> "mana keessa jira kana sareen keessa kana",
+      "ti" -> "እቲ ገዛ እዩ ናይ ሰብኣይ እዩ ናይ",
+      "sd" -> "گهر جي ڀرسان ڪتو آهي اهو جي آهي",
+      "ug" -> "ئۆي ۋە ئىت بىلەن مۈشۈك ۋە بىلەن",
+      "tt" -> "йорт һәм эт белән мәче һәм белән",
+      "tk" -> "öý bilen it üçin pişik bilen üçin",
+      "yi" -> "דאָס הויז איז גרויס און דער הונט איז קליין און",
+      "sa" -> "गृहम् अस्ति एव श्वानः अस्ति एव",
+      "as" -> "ঘৰ আৰু কুকুৰ হয় আৰু হয়")
     val got = samples.map(_._2).toDF("text")
       .select(TextAnalysis.langIdCol(col("text")).as("lang"))
       .as[String].collect().toSeq
