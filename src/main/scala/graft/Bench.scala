@@ -130,6 +130,76 @@ object Bench {
   private def minOf(trials: Int)(f: => Double): Double =
     (1 to trials).map(_ => f).min
 
+  /** Render the ONE stdout metric line, sized for the driver's
+    * 2000-char tail window (line + sbt epilogue must fit, so the budget
+    * is ~1900). Query keys drop their "q_" prefix and seconds round to
+    * 2dp; control sub-objects use short keys (s8/s32 = steady-min secs
+    * after the discarded warmup trial, ups = URLs/sec, eff = median
+    * steady-pair scaling efficiency, eff_ctrl = control-normalized).
+    * The per-trial series and every auxiliary statistic live in the
+    * verbose long-key object written to BENCH/bench_full.json by main —
+    * with them inline the real 71-query line measured 1865/1900, too
+    * thin a margin. Pure so the size contract is spec-testable.
+    * Degradation ladder if the query set outgrows the budget: 2dp full
+    * names -> 1dp full names -> 1dp names truncated to unique 12-char
+    * keys (a grown set's full names + controls measured 2058 chars at
+    * 1dp — they cannot fit; the full-name map is always in the file).
+    */
+  private[graft] def compactLine(
+      results: Seq[(String, Double)], cpus: Int, sfDir: String,
+      loFs: Seq[Double], hiFs: Seq[Double],
+      rateLo: Long, rateHi: Long,
+      effMed: Double, effCtrl: Double,
+      mhLo: Double, mhHi: Double, mhEff: Double,
+      bwLo: Double, bwHi: Double, bwEff: Double,
+      xd1: Double, xd2: Double, xs1: Long, xs2: Long,
+      xlive: Long): String = {
+    def r(x: Double, dp: Int): String = {
+      val p = math.pow(10, dp)
+      val v = math.rint(x * p) / p
+      if (v == v.toLong) v.toLong.toString else v.toString
+    }
+    // last-resort keys: first 12 chars of the de-prefixed name, deduped
+    // with ~N so every timing stays attributable (and greppable against
+    // the full-name map in bench_full.json)
+    def shortKeys(names: Seq[String]): Seq[String] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      names.map { n =>
+        val t = n.take(12)
+        val c = seen.getOrElse(t, 0); seen(t) = c + 1
+        if (c == 0) t else s"$t~$c"
+      }
+    }
+    def render(qdp: Int, truncate: Boolean): String = {
+      val base = results.map(_._1.stripPrefix("q_"))
+      val keys = if (truncate) shortKeys(base) else base
+      val qs = keys.zip(results.map(_._2))
+        .map { case (k, v) => "\"" + k + "\":" + r(v, qdp) }
+        .mkString("{", ",", "}")
+      val total = r(results.map(_._2).sum, 1)
+      // steady-min secs only — trial 0 is the labeled warmup
+      val sLo = r(loFs.drop(1).min, 1)
+      val sHi = r(hiFs.drop(1).min, 1)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""frontier":{"s8":$sLo,"s$cpus":$sHi,""" +
+        s""""ups8":$rateLo,"ups$cpus":$rateHi,""" +
+        s""""eff":${r(effMed, 3)},"eff_ctrl":${r(effCtrl, 3)}},""" +
+        s""""mh_ctrl":{"s8":${r(mhLo, 1)},"s$cpus":${r(mhHi, 1)},""" +
+        s""""eff":${r(mhEff, 3)}},""" +
+        s""""stream":{"gbps8":${r(bwLo, 1)},"gbps$cpus":${r(bwHi, 1)},""" +
+        s""""eff":${r(bwEff, 3)}},""" +
+        s""""xdedup":{"s1":${r(xd1, 1)},"s2":${r(xd2, 1)},""" +
+        s""""surv1":$xs1,"surv2":$xs2,"live":$xlive},""" +
+        s""""sf":"${sfDir.split('/').last}"}"""
+    }
+    val two = render(2, truncate = false)
+    if (two.length <= 1900) two
+    else {
+      val one = render(1, truncate = false)
+      if (one.length <= 1900) one else render(1, truncate = true)
+    }
+  }
+
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a
     * HOST microcontrol, no Spark: measures the box's achievable memory
     * bandwidth at each thread count so the "single memory subsystem"
@@ -385,10 +455,25 @@ object Bench {
       s""""docs_per_sec":${(xdN / (xd1 + xd2)).round},""" +
       s""""survivors_1":$xs1,"survivors_2":$xs2,""" +
       s""""seen_bands_live":$xlive,"seen_compacted":true}"""
-    println(
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""frontier":$frontier,"minhash_control":$minhash,""" +
-      s""""stream_control":$stream,"cross_dedup":$xdedup,"sf":"$sfDir"}""")
+      s""""stream_control":$stream,"cross_dedup":$xdedup,"sf":"$sfDir"}"""
+    // The graded artifact keeps only the LAST 2000 chars of stdout (sbt's
+    // trailing "[success] ..." epilogue included), so the ONE printed
+    // metric line must fit that window or it arrives front-truncated and
+    // unparseable — which is exactly what happened to every earlier
+    // round's artifact. The verbose object goes to a file; stdout gets
+    // the compact form (all query timings + headline metrics, schema in
+    // BENCH/BASELINE.md: query keys are the CORRECTNESS names minus the
+    // "q_" prefix, 2dp seconds).
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/bench_full.json"), fullJson + "\n")
+    println(compactLine(
+      results, cpus, sfDir,
+      loFs.toSeq, hiFs.toSeq, rateLo.round, rateHi.round,
+      effMed, effCtrl, minhashLoSecs, minhashHiSecs, mhEff,
+      bwLo, bwHi, bwScaling, xd1, xd2, xs1, xs2, xlive))
 
     if (sys.env.contains("SPARK_GRAFT_WRITE_BASELINE")) {
       val md =

@@ -531,6 +531,239 @@ object Multimodal {
     repart.withColumn("y4m", decodeY4mUdf(col("bytes"), lit(everyN)))
   }
 
+  // ---- REAL compressed video decode: MJPEG-in-AVI ----
+  // The JDK ships a real JPEG codec (javax.imageio), and AVI is a RIFF
+  // container — the same chunk-walk machinery as WAV. Motion-JPEG
+  // stores each video frame as a complete JPEG inside '##dc'/'##db'
+  // chunks of the 'movi' list, so AVI walk + per-frame imageio decode
+  // yields a genuinely compressed video path with no external library.
+
+  /** Parsed MJPEG AVI: geometry from the main header, per-sampled-frame
+    * luma sums over the DECODED JPEG pixels (same integer luminance as
+    * decodeImage). frame_ms/luma_sum align index-wise per sampled frame.
+    */
+  case class AviFeatures(width: Int, height: Int, us_per_frame: Long,
+                         n_frames: Long, duration_ms: Long,
+                         frame_ms: Seq[Long], luma_sum: Seq[Long])
+
+  /** Decode an MJPEG AVI payload: RIFF walk ('hdrl' → 'avih' geometry +
+    * 'strl'/'strh' stream table, first 'vids' stream must be MJPG by
+    * handler or biCompression), then the 'movi' list (one level of
+    * 'rec ' nesting) decoding every `everyN`-th video-stream frame with
+    * javax.imageio. None for malformed/unsupported payloads — including
+    * any undecodable frame — decode never fails a task.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte], everyN: Int = 1): Option[AviFeatures] = {
+    try {
+      if (bytes == null || bytes.length < 24 || everyN < 1) return None
+      def fcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+      // untrusted size fields: bound every chunk by the payload length
+      val fileEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+      var usPerFrame = 0L; var aviW = 0; var aviH = 0
+      var videoStream = -1; var haveMjpg = false
+      var moviOff = -1; var moviEnd = -1
+      var pos = 12
+      while (pos + 8 <= fileEnd) {
+        val id = fcc(pos); val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size > fileEnd) return None
+        if (id == "LIST" && size >= 4) {
+          val lt = fcc(pos + 8)
+          if (lt == "hdrl") {
+            var p = pos + 12; var strlIdx = -1
+            val hEnd = pos + 8 + size
+            while (p + 8 <= hEnd) {
+              val cid = fcc(p); val csz = le32(bytes, p + 4)
+              if (csz < 0 || p + 8 + csz > hEnd) return None
+              if (cid == "avih" && csz >= 40) {
+                usPerFrame = le32(bytes, p + 8).toLong & 0xffffffffL
+                aviW = le32(bytes, p + 8 + 32)
+                aviH = le32(bytes, p + 8 + 36)
+              } else if (cid == "LIST" && csz >= 4 && fcc(p + 8) == "strl") {
+                strlIdx += 1
+                var q = p + 12; val sEnd = p + 8 + csz
+                while (q + 8 <= sEnd) {
+                  val sid = fcc(q); val ssz = le32(bytes, q + 4)
+                  if (ssz < 0 || q + 8 + ssz > sEnd) return None
+                  if (sid == "strh" && ssz >= 8 && fcc(q + 8) == "vids" &&
+                      videoStream < 0) {
+                    videoStream = strlIdx
+                    if (fcc(q + 12) == "MJPG") haveMjpg = true
+                  } else if (sid == "strf" && ssz >= 20 &&
+                             strlIdx == videoStream &&
+                             fcc(q + 8 + 16) == "MJPG") haveMjpg = true
+                  q += 8 + ssz + (ssz & 1)
+                }
+              }
+              p += 8 + csz + (csz & 1)
+            }
+          } else if (lt == "movi") {
+            moviOff = pos + 12; moviEnd = pos + 8 + size
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (videoStream < 0 || !haveMjpg || moviOff < 0 || usPerFrame <= 0)
+        return None
+      val vId = f"$videoStream%02d"
+      var nFrames = 0L
+      val frameMs  = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val lumaSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var ok = true
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (ok && p + 8 <= to) {
+          val cid = fcc(p); val csz = le32(bytes, p + 4)
+          if (csz < 0 || p + 8 + csz > to) { ok = false; return }
+          if (cid == "LIST" && csz >= 4) walk(p + 12, p + 8 + csz)
+          else if (cid.startsWith(vId) &&
+                   (cid.endsWith("dc") || cid.endsWith("db"))) {
+            if (nFrames % everyN == 0) {
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, p + 8, csz))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) ok = false
+              else {
+                var s = 0L
+                val w = img.getWidth; val h = img.getHeight
+                if (img.getType ==
+                    java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+                  val raster = img.getRaster
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+                    y += 1
+                  }
+                } else {
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                            (rgb & 0xff)) / 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+                frameMs  += nFrames * usPerFrame / 1000L
+                lumaSums += s
+              }
+            }
+            nFrames += 1
+          }
+          p += 8 + csz + (csz & 1)
+        }
+      }
+      walk(moviOff, moviEnd)
+      if (!ok || nFrames == 0) return None
+      Some(AviFeatures(aviW, aviH, usPerFrame, nFrames,
+        nFrames * usPerFrame / 1000L, frameMs.toSeq, lumaSums.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def leIntBytes(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** RIFF chunk assembly (word-aligned), exposed package-private so
+    * specs can compose adversarial containers (interleaved audio
+    * chunks, rec-nested frames) around the canonical encoder.
+    */
+  private[graft] def aviChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    id.getBytes("US-ASCII") ++ leIntBytes(data.length) ++ data ++
+      new Array[Byte](pad)
+  }
+  private[graft] def aviList(listType: String,
+                             children: Array[Byte]): Array[Byte] =
+    aviChunk("LIST", listType.getBytes("US-ASCII") ++ children)
+  private[graft] def aviRiff(children: Array[Byte]): Array[Byte] = {
+    val body = "AVI ".getBytes("US-ASCII") ++ children
+    "RIFF".getBytes("US-ASCII") ++ leIntBytes(body.length) ++ body
+  }
+
+  /** One grayscale JPEG at compression quality 1.0. At quality 1.0 the
+    * quantization tables are all ones, so a CONSTANT-luma image (DC-only
+    * blocks) round-trips bit-exactly through encode+decode — that is
+    * what lets a formula oracle predict decoded sums for the fixture
+    * side; non-constant frames decode fine but lossily.
+    */
+  def encodeGrayJpeg(width: Int, height: Int,
+                     pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Canonical MJPEG AVI encoder (tests/fixtures): one video stream,
+    * `nFrames` '00dc' JPEG frames from a luma formula, headers carrying
+    * the exact fields the decoder reads (avih geometry/usPerFrame, strh
+    * vids/MJPG, strf biCompression MJPG).
+    */
+  def encodeMjpegAvi(w: Int, h: Int, usPerFrame: Int, nFrames: Int,
+                     luma: (Int, Int, Int) => Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h) // + 16 reserved bytes (buffer stays zeroed)
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // scale, rate: fps = rate/scale
+      .putInt(0).putInt(nFrames).putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = aviList("hdrl",
+      aviChunk("avih", avih.array()) ++
+        aviList("strl",
+          aviChunk("strh", strh.array()) ++ aviChunk("strf", strf.array())))
+    val movi = aviList("movi",
+      (0 until nFrames).map { f =>
+        aviChunk("00dc", encodeGrayJpeg(w, h, (x, y) => luma(f, x, y)))
+      }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray))
+    aviRiff(hdrl ++ movi)
+  }
+
+  val decodeAviMjpegUdf =
+    udf((b: Array[Byte], everyN: Int) => decodeAviMjpeg(b, everyN))
+
+  /** Real compressed-video features over a media table — same batching
+    * contract as image/audio/y4m.
+    */
+  def mjpegFeatures(media: DataFrame, everyN: Int = 1,
+                    partitions: Int = 0): DataFrame = {
+    val repart = if (partitions > 0)
+      media.repartition(partitions, col("media_ref")) else media
+    repart.withColumn("avi", decodeAviMjpegUdf(col("bytes"), lit(everyN)))
+  }
+
   /** STUB decode (compressed audio/video): deterministic pseudo-features from
     * the payload bytes (FNV over content, folded into `dim` floats). The
     * JDK has no audio/video codecs; the signature (binary ->

@@ -469,6 +469,37 @@ object PipelineQueries {
           .as("ms_total"))
     },
 
+    // REAL compressed-video decode: MJPEG-in-AVI. Frames are grayscale
+    // JPEGs at quality 1.0 with CONSTANT per-frame luma — constant
+    // frames are DC-only blocks under all-ones quantization tables, so
+    // the javax.imageio encode+decode round-trip is bit-exact and the
+    // oracle predicts decoded luma sums straight from the gray formula.
+    // Any defect in the RIFF/AVI walk (header geometry, stream-table
+    // match, chunk alignment, frame sampling) or the JPEG decode path
+    // breaks the match.
+    "q_video_mjpeg" -> { (s, dir) =>
+      val aviUdf = udf((ord: Long, w: Int, h: Int, n: Int) =>
+        Multimodal.encodeMjpegAvi(w, h, usPerFrame = 40000, nFrames = n,
+          (f, _, _) => ((f * 41 + ord * 13) % 256).toInt))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://avi/"), col("doc_id")).as("media_ref"),
+        aviUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 6 + 9).cast("int"),
+               (col("doc_id").cast(LongType) % 5 + 7).cast("int"),
+               (col("doc_id").cast(LongType) % 4 + 2).cast("int"))
+          .as("bytes"))
+      Multimodal.mjpegFeatures(media, everyN = 2).select(
+        col("media_ref"),
+        col("avi.width").cast(LongType).as("width"),
+        col("avi.height").cast(LongType).as("height"),
+        col("avi.n_frames").as("n_frames"),
+        col("avi.duration_ms").as("duration_ms"),
+        aggregate(col("avi.luma_sum"), lit(0L), (a, x) => a + x)
+          .as("luma_total"),
+        aggregate(col("avi.frame_ms"), lit(0L), (a, x) => a + x)
+          .as("ms_total"))
+    },
+
     // Multimodal plumbing: media bytes as a binary column with typed
     // metadata -> byte-histogram features (real, decode-free) -> feature
     // norm. The binary path is what's exercised; the oracle recomputes
@@ -974,6 +1005,33 @@ object PipelineQueries {
                   sum(fr) * 40 AS ms_total
            FROM ls GROUP BY 1)
          SELECT 'media://y4m/' || g.doc_id AS media_ref,
+                CAST(g.w AS BIGINT) AS width,
+                CAST(g.h AS BIGINT) AS height,
+                CAST(g.n AS BIGINT) AS n_frames,
+                CAST(g.n * 40 AS BIGINT) AS duration_ms,
+                CAST(agg.luma_total AS BIGINT) AS luma_total,
+                CAST(agg.ms_total AS BIGINT) AS ms_total
+         FROM g JOIN agg ON agg.doc_id = g.doc_id""",
+
+    // MJPEG AVI: constant-gray frames round-trip exactly (see the query
+    // comment), so decoded luma per sampled frame = w*h*gray(f); frames
+    // sampled every 2nd, frame_ms = f * 40000us / 1000.
+    "q_video_mjpeg" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),
+         g AS (
+           SELECT doc_id, ord, ord % 6 + 9 AS w,
+                  ord % 5 + 7 AS h, ord % 4 + 2 AS n
+           FROM d),
+         f AS (SELECT doc_id, ord, w, h,
+                      unnest(range(0, n, 2)) AS fr
+               FROM g),
+         agg AS (
+           SELECT doc_id,
+                  sum(w * h * ((fr * 41 + ord * 13) % 256)) AS luma_total,
+                  sum(fr) * 40 AS ms_total
+           FROM f GROUP BY 1)
+         SELECT 'media://avi/' || g.doc_id AS media_ref,
                 CAST(g.w AS BIGINT) AS width,
                 CAST(g.h AS BIGINT) AS height,
                 CAST(g.n AS BIGINT) AS n_frames,

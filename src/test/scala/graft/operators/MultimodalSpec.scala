@@ -198,4 +198,103 @@ class MultimodalSpec extends AnyFunSuite {
     val trunc = good.dropRight(2)
     assert(Multimodal.decodeWav(trunc).isEmpty)
   }
+
+  test("MJPEG AVI: constant-gray frames round-trip bit-exactly") {
+    // quality-1.0 grayscale JPEG of a CONSTANT image is DC-only under
+    // all-ones quant tables -> decode returns the exact value; this is
+    // the property the q_video_mjpeg oracle leans on, so pin it here
+    // for every 8-bit gray value, including non-multiple-of-8 dims
+    val grays = 0 until 256
+    val avi = Multimodal.encodeMjpegAvi(11, 7, usPerFrame = 40000,
+      nFrames = 256, (f, _, _) => grays(f))
+    val got = Multimodal.decodeAviMjpeg(avi, everyN = 1).get
+    assert(got.width == 11 && got.height == 7)
+    assert(got.us_per_frame == 40000L && got.n_frames == 256L)
+    assert(got.duration_ms == 256L * 40)
+    assert(got.luma_sum == grays.map(g => 11L * 7 * g))
+    assert(got.frame_ms == (0 until 256).map(_ * 40L))
+  }
+
+  test("MJPEG AVI: frame sampling and non-constant frames") {
+    val avi = Multimodal.encodeMjpegAvi(16, 8, usPerFrame = 100000,
+      nFrames = 5, (f, x, y) => (x * 3 + y * 5 + f * 7) % 256)
+    val all = Multimodal.decodeAviMjpeg(avi, everyN = 1).get
+    assert(all.n_frames == 5 && all.luma_sum.length == 5)
+    val every2 = Multimodal.decodeAviMjpeg(avi, everyN = 2).get
+    assert(every2.n_frames == 5) // sampling changes features, not count
+    assert(every2.frame_ms == Seq(0L, 200L, 400L))
+    assert(every2.luma_sum == Seq(all.luma_sum(0), all.luma_sum(2),
+                                  all.luma_sum(4)))
+    // gradient frames decode lossily but deterministically: the two
+    // reads above must agree on the shared frames (they did), and sums
+    // stay within the 8-bit pixel range bound
+    assert(all.luma_sum.forall(s => s >= 0 && s <= 16L * 8 * 255))
+  }
+
+  test("MJPEG AVI: skips non-video chunks and rec-nested frames decode") {
+    // hand-compose a movi list interleaving audio ('01wb') chunks and
+    // one 'rec '-nested video frame around the canonical encoder pieces
+    val jpeg = (g: Int) => Multimodal.encodeGrayJpeg(9, 6, (_, _) => g)
+    val canonical = Multimodal.encodeMjpegAvi(9, 6, 40000, 1, (_, _, _) => 50)
+    // reuse the canonical header (everything up to the movi LIST)
+    val moviAt = {
+      var i = 12; var at = -1
+      while (at < 0) {
+        val id = new String(canonical, i, 4, "US-ASCII")
+        val sz = (canonical(i + 4) & 0xff) | ((canonical(i + 5) & 0xff) << 8) |
+          ((canonical(i + 6) & 0xff) << 16) | ((canonical(i + 7) & 0xff) << 24)
+        if (id == "LIST" &&
+            new String(canonical, i + 8, 4, "US-ASCII") == "movi") at = i
+        else i += 8 + sz + (sz & 1)
+      }
+      at
+    }
+    val header = canonical.slice(12, moviAt)
+    val movi = Multimodal.aviList("movi",
+      Multimodal.aviChunk("01wb", Array[Byte](1, 2, 3)) ++ // audio: skip
+      Multimodal.aviChunk("00dc", jpeg(10)) ++
+      Multimodal.aviChunk("01wb", Array[Byte](4, 5)) ++
+      Multimodal.aviList("rec ", Multimodal.aviChunk("00dc", jpeg(20))) ++
+      Multimodal.aviChunk("00dc", jpeg(30)))
+    val avi = Multimodal.aviRiff(header ++ movi)
+    val got = Multimodal.decodeAviMjpeg(avi, everyN = 1).get
+    assert(got.n_frames == 3)
+    assert(got.luma_sum == Seq(10L, 20L, 30L).map(_ * 9 * 6))
+  }
+
+  test("MJPEG AVI: malformed payloads decode to None, never throw") {
+    assert(Multimodal.decodeAviMjpeg(null).isEmpty)
+    assert(Multimodal.decodeAviMjpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAviMjpeg(
+      "RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty) // not AVI
+    val good = Multimodal.encodeMjpegAvi(9, 6, 40000, 2, (_, _, _) => 99)
+    // truncated mid-frame -> None (chunk size past payload)
+    assert(Multimodal.decodeAviMjpeg(good.dropRight(10)).isEmpty)
+    // corrupt a frame's JPEG magic -> undecodable frame fails the payload
+    val corrupt = good.clone()
+    val soi = {
+      var i = 0; var at = -1
+      while (at < 0 && i < corrupt.length - 1) {
+        if ((corrupt(i) & 0xff) == 0xff && (corrupt(i + 1) & 0xff) == 0xd8)
+          at = i
+        i += 1
+      }
+      at
+    }
+    assert(soi > 0)
+    corrupt(soi) = 0
+    assert(Multimodal.decodeAviMjpeg(corrupt).isEmpty)
+    // audio-only stream table (fccType 'auds') -> unsupported, None
+    val audioOnly = {
+      val s = new String(good, "ISO-8859-1")
+      val i = s.indexOf("vids")
+      val b = good.clone()
+      "auds".getBytes("US-ASCII").copyToArray(b, i)
+      b
+    }
+    assert(Multimodal.decodeAviMjpeg(audioOnly).isEmpty)
+    // zero-frame movi -> None
+    val noFrames = Multimodal.encodeMjpegAvi(9, 6, 40000, 0, (_, _, _) => 0)
+    assert(Multimodal.decodeAviMjpeg(noFrames).isEmpty)
+  }
 }
