@@ -17,7 +17,8 @@ object SparkEntry {
     (CrawlQueries.defs, CrawlQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
     (PipelineQueries.defs, PipelineQueries.oracles),
-    (MiscQueries.defs, MiscQueries.oracles)
+    (MiscQueries.defs, MiscQueries.oracles),
+    (CurationQueries.defs, CurationQueries.oracles)
   )
 
   /** Flagship: the end-to-end frontier slice — raw index lines through

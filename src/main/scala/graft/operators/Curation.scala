@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data curation operators a 100 TB pipeline needs beyond the
+  * reference's surface: PII scrubbing, benchmark decontamination
+  * (n-gram overlap against an eval suite) and greedy sequence packing
+  * into fixed token budgets. All three are pure DataFrame plans —
+  * scrubbing is codegen'd regex columns, decontamination broadcasts the
+  * (small, fixed) benchmark n-gram set so the corpus never shuffles,
+  * and packing decomposes per shard so each task streams one bounded
+  * slice in order (no global sequential state).
+  */
+object Curation {
+
+  /** One redaction rule: Java-regex pattern (kept inside the RE2-safe
+    * subset — no backrefs/lookaround — so DuckDB oracles can run the
+    * SAME pattern) and its replacement tag.
+    */
+  final case class PiiRule(name: String, pattern: String, tag: String)
+
+  /** Default rules, applied in order. Order matters and is part of the
+    * contract: emails go first so their digit runs can never be
+    * re-matched as IPs/phones by later rules.
+    */
+  val DefaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+            "<EMAIL>"),
+    PiiRule("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    PiiRule("phone", "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}", "<PHONE>")
+  )
+
+  /** Scrub PII from `textCol`: appends one `n_<rule>` match-count column
+    * per rule (counted on the ORIGINAL text) and a `clean_text` column
+    * with all rules applied in order. Pure regexp columns — stays inside
+    * whole-stage codegen, no UDF, embarrassingly parallel at any scale.
+    */
+  def scrubPii(df: DataFrame, textCol: String,
+               rules: Seq[PiiRule] = DefaultPiiRules): DataFrame = {
+    val withCounts = rules.foldLeft(df) { (d, r) =>
+      d.withColumn(s"n_${r.name}",
+        size(regexp_extract_all(col(textCol), lit(r.pattern), lit(0)))
+          .cast(LongType))
+    }
+    val cleaned = rules.foldLeft(col(textCol)) { (c, r) =>
+      regexp_replace(c, r.pattern, r.tag)
+    }
+    withCounts.withColumn("clean_text", cleaned)
+  }
+
+  /** Token array for the shared whitespace tokenization (same semantics
+    * as TextAnalysis.tokenCountCol and every oracle: split on runs of
+    * whitespace after trim).
+    */
+  private def toksCol(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-grams of `textCol` per id row: (idCol, gram).
+    * Strings are built INSIDE the array lambda and only the exploded
+    * gram string leaves the row — carrying the token array through an
+    * explode is O(n^2) bytes (r5 lesson). Docs shorter than n emit
+    * nothing.
+    */
+  def ngrams(df: DataFrame, idCol: String, textCol: String,
+             n: Int): DataFrame = {
+    val toks = toksCol(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+      .dropDuplicates(idCol, "gram")
+  }
+
+  /** Benchmark decontamination: for each corpus doc, how many of its
+    * distinct word `n`-grams appear anywhere in `benchmark`'s text —
+    * the standard train/eval overlap check (e.g. GPT-3 appendix C /
+    * Gopher §A.3 shape; exact-match variant). Returns the full corpus
+    * with (is_benchmark-agnostic) `n_shared` and `contaminated`.
+    *
+    * Scale design: the benchmark side is a FIXED eval suite — thousands
+    * of docs, not corpus-scale — so its distinct gram set is broadcast
+    * and the 100 TB side is a map-only scan + explode + broadcast semi
+    * count; the corpus never shuffles by gram. The per-doc count rides
+    * a partial agg keyed by the corpus doc id (skew-free: one doc's
+    * grams land in one group).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val benchGrams = ngrams(
+      benchmark.select(lit(0L).as("__b"), col(benchTextCol)),
+      "__b", benchTextCol, n).select("gram").distinct()
+    val shared = ngrams(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Greedy sequence packing for training-window assembly: shard docs
+    * by `shardExpr`, then within each shard, in `orderCol` order, fill
+    * windows of `budget` tokens — a doc joins the current window iff it
+    * fits, else opens the next one (a doc longer than the budget gets a
+    * window alone). Deterministic given (shard, order): the semantics
+    * are per-shard sequential BY DEFINITION, so the scalable form is
+    * exactly this decomposition — shards are the parallelism unit
+    * (hash-partitioned; at corpus scale use enough shards that one
+    * shard's docs fit a task's stream), and each task streams its
+    * shards' rows once via the partition-local sort, no global state.
+    *
+    * Input must carry `idCol` (long), the shard and order columns, and
+    * `nTokensCol` (long). Output: (id, shard, window_id, n_tokens,
+    * token_offset) with window_id/token_offset per shard.
+    */
+  def packSequences(docs: DataFrame, idCol: String, shardCol: String,
+                    orderCol: String, nTokensCol: String,
+                    budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val prepared = docs.select(
+      col(idCol).cast(LongType).as("id"),
+      col(shardCol).cast(LongType).as("shard"),
+      col(orderCol).cast(LongType).as("ord"),
+      col(nTokensCol).cast(LongType).as("n_tokens"))
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val packed = prepared
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "ord")
+      .mapPartitions { rows: Iterator[Row] =>
+        // a partition holds whole shards (hash partitioning), sorted so
+        // each shard's rows are contiguous and in order; state resets at
+        // every shard boundary
+        var curShard = Long.MinValue
+        var window = 0L
+        var fill = 0L
+        rows.map { r =>
+          val id = r.getLong(0); val shard = r.getLong(1)
+          val nt = r.getLong(3)
+          if (shard != curShard) { curShard = shard; window = 0L; fill = 0L }
+          else if (fill + nt > budget) { window += 1; fill = 0L }
+          val off = fill
+          fill += nt
+          (id, shard, window, nt, off)
+        }
+      }(enc)
+    packed.toDF("id", "shard", "window_id", "n_tokens", "token_offset")
+      .withColumnRenamed("id", idCol)
+  }
+}

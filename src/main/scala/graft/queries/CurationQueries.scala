@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Sessions.table
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Curation-stage operators under the driver gate: PII scrubbing,
+  * benchmark decontamination and greedy sequence packing. The PII rows
+  * synthesize their sensitive spans deterministically from doc_id (the
+  * fixture text is clean word soup), the same formula on both engines;
+  * decontamination and packing run over the documents table as-is.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared whitespace tokenization, DuckDB side (matches
+    * split(trim(text), "\\s+") — the repo-wide token semantics).
+    */
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  private val PackBudget = 200L
+  private val NgramN = 8
+
+  val defs: Map[String, Q] = Map(
+    // PII scrubbing as codegen'd regex columns. The fixture text carries
+    // no PII, so each row gets a deterministic email/IP/phone suffix
+    // appended from doc_id — the oracle builds the identical string and
+    // replays the same RE2-safe patterns, so any divergence in pattern
+    // semantics, rule order (emails first, by contract) or counting
+    // breaks the hash.
+    "q_pii_scrub" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val withPii = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact u"), id, lit("@ex"), pmod(id, lit(7L)), lit(".com"),
+          lit(" or u"), id, lit("@mail.example.org"),
+          lit(" host 10."), pmod(id, lit(256L)), lit("."),
+          pmod(id * 7, lit(256L)), lit(".4"),
+          lit(" tel +1-555-"), pmod(id, lit(900L)) + 100,
+          lit("-"), lpad(pmod(id * 3, lit(10000L)).cast("string"), 4, "0")
+        ).as("text"))
+      Curation.scrubPii(withPii, "text").select(
+        col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("clean_text"))
+    },
+
+    // Benchmark decontamination: docs sharing any 8-token gram with the
+    // "eval suite" (every 37th doc stands in for it). The corpus side
+    // never shuffles by gram — the benchmark gram set is broadcast.
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      Curation.decontaminate(docs, "doc_id", "text", bench, "text",
+          n = NgramN)
+        .select(col("doc_id"), col("n_shared"), col("contaminated"))
+    },
+
+    // Greedy sequence packing: shard = doc_id % 8, order = doc_id,
+    // 200-token windows. Per-shard sequential semantics, distributed by
+    // decomposition; the oracle replays the fold as a recursive CTE.
+    "q_seq_pack" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id").cast(LongType), lit(8L)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("nt"))
+      Curation.packSequences(docs, "doc_id", "shard", "doc_id", "nt",
+          budget = PackBudget)
+        .select(col("doc_id"), col("shard"), col("window_id"),
+          col("n_tokens"), col("token_offset"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+                    || '.com' || ' or u' || doc_id || '@mail.example.org'
+                    || ' host 10.' || (doc_id % 256) || '.'
+                    || (doc_id * 7 % 256) || '.4'
+                    || ' tel +1-555-' || (doc_id % 900 + 100) || '-'
+                    || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+                    AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                  AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(text,
+                  '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')
+                  AS clean_text
+         FROM w""",
+
+    "q_decontaminate" ->
+      s"""WITH d AS (
+           SELECT doc_id, $toksSql AS toks FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(toks[i + 1 : i + $NgramN], ' ') AS gram
+           FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - ${NgramN - 1})) AS i
+                 FROM d WHERE len(toks) >= $NgramN)),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+         c AS (SELECT g.doc_id, count(*) AS n_shared
+               FROM g JOIN b USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+                coalesce(c.n_shared, 0) > 0 AS contaminated
+         FROM d LEFT JOIN c ON c.doc_id = d.doc_id""",
+
+    "q_seq_pack" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len($toksSql) AS BIGINT) AS nt,
+                  row_number() OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id) AS rn
+           FROM documents),
+         p(shard, rn, doc_id, nt, window_id, fill) AS (
+           SELECT shard, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.shard, d.rn, d.doc_id, d.nt,
+                  CASE WHEN p.fill + d.nt <= $PackBudget THEN p.window_id
+                       ELSE p.window_id + 1 END,
+                  CASE WHEN p.fill + d.nt <= $PackBudget THEN p.fill + d.nt
+                       ELSE d.nt END
+           FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                window_id, nt AS n_tokens,
+                CAST(fill - nt AS BIGINT) AS token_offset
+         FROM p"""
+  )
+}

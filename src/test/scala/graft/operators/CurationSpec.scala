@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("scrubPii: counts and redacts emails, IPs, phones in rule order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "write a@b.co or x.y_z%q+1@sub.domain.org thanks"),
+      (2L, "servers 10.0.0.1 and 255.255.255.255, version 1.2 no"),
+      (3L, "call +1-555-123-4567 or +44-201-555-0100 now"),
+      (4L, "mixed bob@ex.com at 192.168.1.9 tel +1-555-000-1111"),
+      (5L, "clean text with no sensitive spans at all")
+    ).toDF("id", "text")
+    val out = Curation.scrubPii(df, "text")
+      .select("id", "n_email", "n_ip", "n_phone", "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((2L, 0L, 0L)))
+    assert(out(1L)._2 == "write <EMAIL> or <EMAIL> thanks")
+    assert(out(2L)._1 == ((0L, 2L, 0L)))
+    assert(out(2L)._2 == "servers <IP> and <IP>, version 1.2 no")
+    assert(out(3L)._1 == ((0L, 0L, 2L)))
+    assert(out(4L)._1 == ((1L, 1L, 1L)))
+    assert(out(4L)._2 == "mixed <EMAIL> at <IP> tel <PHONE>")
+    assert(out(5L)._1 == ((0L, 0L, 0L)))
+    assert(out(5L)._2 == "clean text with no sensitive spans at all")
+  }
+
+  test("scrubPii: email redaction shields its digits from the IP rule") {
+    val s = spark
+    import s.implicits._
+    // local/domain digit runs that would LOOK like an IP if the email
+    // rule didn't run first — the rule-order contract
+    val df = Seq((1L, "u1.2.3.4@h5.6.7.8.example.com stays one email"))
+      .toDF("id", "text")
+    val r = Curation.scrubPii(df, "text")
+      .select("n_email", "n_ip", "clean_text").head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getString(2) == "<EMAIL> stays one email")
+  }
+
+  test("decontaminate: planted overlap found, clean docs zero, no corpus shuffle by gram") {
+    val s = spark
+    import s.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = Seq(
+      // full 9-token copy -> two shared 8-grams
+      (0L, benchText),
+      // 8-token window copied mid-doc -> exactly one shared gram
+      (1L, "xx yy alpha beta gamma delta epsilon zeta eta theta zz"),
+      // 7-token overlap only -> no shared 8-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta SOMETHING else here"),
+      (3L, "totally unrelated words nine of them right here now ok"),
+      (4L, "short doc") // < 8 tokens
+    ).toDF("doc_id", "text")
+    val bench = Seq(benchText).toDF("text")
+    val out = Curation.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(0L) == ((2L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+    // scale contract: the benchmark side broadcasts; the corpus side
+    // must not exchange by gram
+    val plan = Curation.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark gram join should broadcast:\n$plan")
+  }
+
+  test("packSequences: greedy fill, per-shard reset, oversize doc alone") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // shard 0, ordered: 80+90 fit in 200; 60 opens w1; 300 oversize w2;
+      // 10 after oversize opens w3
+      (0L, 0L, 80L), (1L, 0L, 90L), (2L, 0L, 60L), (3L, 0L, 300L),
+      (4L, 0L, 10L),
+      // shard 1 resets numbering
+      (10L, 1L, 200L), (11L, 1L, 1L)
+    ).toDF("doc_id", "shard", "nt")
+    val out = Curation
+      .packSequences(docs, "doc_id", "shard", "doc_id", "nt", budget = 200L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(1L) == ((0L, 80L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((2L, 0L)))   // oversize gets its own window
+    assert(out(4L) == ((3L, 0L)))   // and never shares it
+    assert(out(10L) == ((0L, 0L)))  // shard boundary resets window/fill
+    assert(out(11L) == ((1L, 0L)))  // window 0 is exactly full -> next
+  }
+
+  test("packSequences: windows never exceed budget unless single-doc") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 400L).map(i =>
+      (i, i % 5, (rnd.nextInt(120) + 1).toLong)).toDF("doc_id", "shard", "nt")
+    val out = Curation
+      .packSequences(docs, "doc_id", "shard", "doc_id", "nt", budget = 256L)
+    val byWindow = out.groupBy("shard", "window_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    byWindow.foreach { r =>
+      val tot = r.getLong(2); val n = r.getLong(3)
+      assert(tot <= 256L || n == 1L,
+        s"window ${r.getLong(0)}/${r.getLong(1)} holds $tot tokens in $n docs")
+    }
+    // every doc packed exactly once, offsets are prefix sums in order
+    assert(out.count() == 400L)
+    val offs = out.orderBy("shard", "window_id", "doc_id")
+      .collect().groupBy(r => (r.getLong(1), r.getLong(2)))
+    offs.values.foreach { rows =>
+      var expect = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == expect,
+          s"doc ${r.getLong(0)} offset ${r.getLong(4)} != $expect")
+        expect += r.getLong(3)
+      }
+    }
+  }
+}
