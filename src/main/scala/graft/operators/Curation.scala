@@ -102,6 +102,63 @@ object Curation {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Deterministic source mixing: downsample each source to a target
+    * corpus mix. Given per-source weights (numerators over `weightDen`)
+    * and a target total of `targetTotal` docs, a source-s doc is kept
+    * when its deterministic uniform draw u(id) falls under s's keep
+    * rate `weight_s/weightDen * targetTotal / n_s` — i.e. expected kept
+    * ≈ the target mix, exact-replayable anywhere. The comparison is
+    * pure int64 arithmetic (u * weightDen * n_s < w * targetTotal *
+    * 10^6), never a float, so engines can't diverge at rate boundaries.
+    *
+    * Scale: per-source counts and weights are a model-scale table
+    * (thousands of sources, not docs) — broadcast; the corpus side is a
+    * map-only scan. An over-weighted source (rate >= 1) keeps all its
+    * docs, which falls out of the inequality naturally.
+    *
+    * `weights` must carry (`sourceCol`, `w_num` long). At extreme doc
+    * counts rearrange toward DECIMAL: u*weightDen*n_s can reach 10^8 *
+    * n_s, overflowing int64 past ~10^10 docs per source.
+    */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: DataFrame, weightDen: Long,
+                 targetTotal: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n_docs"))
+      .join(weights, Seq(sourceCol))
+    val u = pmod(col(idCol).cast(LongType) * lit(2654435761L), lit(1000000L))
+    docs.join(broadcast(counts), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol),
+        (u * lit(weightDen) * col("__n_docs") <
+          col("w_num") * lit(targetTotal) * lit(1000000L)).as("kept"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: duplicate
+    * n-gram / duplicate paragraph fractions): per doc, the fraction of
+    * word `n`-grams and of fixed-size paragraphs that are repeats of an
+    * earlier occurrence. Pure array columns — the gram list never
+    * explodes, so this is a map-only scan at any scale.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, n: Int = 5,
+                        parWords: Int = 12): DataFrame = {
+    val toks = toksCol(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val pars = graft.functions.TextAnalysis.paragraphsCol(col(textCol),
+      parWords)
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        round((size(arr) - size(array_distinct(arr))) * lit(1.0) / size(arr),
+          4))
+        .otherwise(lit(0.0))
+    df.withColumn("n_grams", size(grams).cast(LongType))
+      .withColumn("dup_gram_frac", dupFrac(grams))
+      .withColumn("n_pars", size(pars).cast(LongType))
+      .withColumn("dup_par_frac", dupFrac(pars))
+  }
+
   /** Greedy sequence packing for training-window assembly: shard docs
     * by `shardExpr`, then within each shard, in `orderCol` order, fill
     * windows of `budget` tokens — a doc joins the current window iff it

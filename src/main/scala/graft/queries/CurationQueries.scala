@@ -60,6 +60,38 @@ object CurationQueries {
         .select(col("doc_id"), col("n_shared"), col("contaminated"))
     },
 
+    // Deterministic source mixing: 20 fixture sources get formula
+    // weights (srcK -> (K%5+1)*2 over denominator 120), target 300
+    // docs. The keep decision is pure int64 arithmetic on both engines,
+    // so the boolean column hash-matches exactly.
+    "q_source_mix" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("w_num",
+          (pmod(col("source").substr(lit(4), lit(10)).cast(LongType),
+            lit(5L)) + 1) * 2)
+      Curation.mixSources(docs, "doc_id", "source", weights,
+          weightDen = 120L, targetTotal = 300L)
+        .select(col("doc_id"), col("source"), col("kept"))
+    },
+
+    // Gopher repetition signals: duplicate 5-gram and duplicate
+    // 12-token-paragraph fractions as pure array columns (no explode).
+    // The fixture soup never repeats a 5-gram, so doc_id % 4 copies of
+    // a spam phrase are appended (same formula in the oracle) to give
+    // the dup fractions a real distribution to match.
+    "q_quality_repetition" -> { (s, dir) =>
+      val p = " spam alert buy now click here"
+      val spam = element_at(
+        array(lit(""), lit(p), lit(p * 2), lit(p * 3)),
+        (pmod(col("doc_id").cast(LongType), lit(4L)) + 1).cast("int"))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), spam).as("text"))
+      Curation.repetitionSignals(docs, "text")
+        .select(col("doc_id"), col("n_grams"), col("dup_gram_frac"),
+          col("n_pars"), col("dup_par_frac"))
+    },
+
     // Greedy sequence packing: shard = doc_id % 8, order = doc_id,
     // 200-token windows. Per-shard sequential semantics, distributed by
     // decomposition; the oracle replays the fold as a recursive CTE.
@@ -122,6 +154,51 @@ object CurationQueries {
                 CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
                 coalesce(c.n_shared, 0) > 0 AS contaminated
          FROM d LEFT JOIN c ON c.doc_id = d.doc_id""",
+
+    "q_source_mix" ->
+      """WITH n AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (
+           SELECT source,
+                  (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 2 AS w_num
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT d.doc_id, d.source,
+                (d.doc_id * 2654435761 % 1000000) * 120 * n.n_docs
+                  < w.w_num * 300 * 1000000 AS kept
+         FROM documents d
+         JOIN n ON n.source = d.source
+         JOIN w ON w.source = d.source""",
+
+    "q_quality_repetition" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text ||
+                    repeat(' spam alert buy now click here',
+                           CAST(doc_id % 4 AS INTEGER))), '\\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(0, len(toks) - 4),
+                         i -> array_to_string(toks[i + 1 : i + 5], ' '))
+                       ELSE [] END AS grams,
+                  list_transform(
+                    range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+                    p -> array_to_string(
+                      toks[p * 12 + 1 : p * 12 + 12], ' ')) AS pars
+           FROM t)
+         SELECT doc_id,
+                CAST(len(grams) AS BIGINT) AS n_grams,
+                CASE WHEN len(grams) > 0
+                     THEN round((len(grams) - len(list_distinct(grams)))
+                                * 1.0 / len(grams), 4)
+                     ELSE 0.0 END AS dup_gram_frac,
+                CAST(len(pars) AS BIGINT) AS n_pars,
+                CASE WHEN len(pars) > 0
+                     THEN round((len(pars) - len(list_distinct(pars)))
+                                * 1.0 / len(pars), 4)
+                     ELSE 0.0 END AS dup_par_frac
+         FROM g""",
 
     "q_seq_pack" ->
       s"""WITH RECURSIVE d AS (

@@ -79,6 +79,53 @@ class CurationSpec extends AnyFunSuite {
       s"benchmark gram join should broadcast:\n$plan")
   }
 
+  test("mixSources: hits target mix in expectation, exact int64 decisions") {
+    val s = spark
+    import s.implicits._
+    // two sources, 100 docs each; weights 3:1 over den 4, target 80
+    // -> expected kept 60 of a, 20 of b
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val weights = Seq(("a", 3L), ("b", 1L)).toDF("source", "w_num")
+    val out = Curation.mixSources(docs, "doc_id", "source", weights,
+      weightDen = 4L, targetTotal = 80L)
+    val kept = out.filter(col("kept")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u is uniform-ish: allow slack around 60/20 but enforce the ratio
+    assert(kept("a") > kept("b") * 2, s"mix off: $kept")
+    assert(math.abs(kept("a") - 60L) <= 15, s"a kept ${kept("a")}")
+    assert(math.abs(kept("b") - 20L) <= 10, s"b kept ${kept("b")}")
+    // decisions are deterministic: same input -> identical frame
+    val again = Curation.mixSources(docs, "doc_id", "source", weights, 4L, 80L)
+      .collect().toSet
+    assert(out.collect().toSet == again)
+    // over-weighted source keeps everything
+    val all = Curation.mixSources(docs, "doc_id", "source",
+      Seq(("a", 4L), ("b", 4L)).toDF("source", "w_num"), 4L, 1000L)
+    assert(all.filter(col("kept")).count() == 200L)
+  }
+
+  test("repetitionSignals: planted dup grams and paragraphs measured") {
+    val s = spark
+    import s.implicits._
+    val par = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      // 24 tokens = the same 12-token paragraph twice: dup_par 1/2;
+      // 5-grams: 20 total, starts 12..19 repeat starts 0..7 (the
+      // boundary-crossing starts 8..11 are unique) -> dup 8/20
+      (1L, s"$par $par"),
+      (2L, "all unique words here so nothing repeats at all ok"),
+      (3L, "tiny doc") // < 5 tokens -> 0 grams, frac 0
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, "text")
+      .select("doc_id", "n_grams", "dup_gram_frac", "n_pars", "dup_par_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((20L, 0.4, 2L, 0.5)))
+    assert(out(2L)._2 == 0.0 && out(2L)._4 == 0.0)
+    assert(out(3L) == ((0L, 0.0, 1L, 0.0)))
+  }
+
   test("packSequences: greedy fill, per-shard reset, oversize doc alone") {
     val s = spark
     import s.implicits._
