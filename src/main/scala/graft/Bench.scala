@@ -68,8 +68,8 @@ object Bench {
     * table on tmpfs, input pre-written as parquet (generation is harness,
     * not workload). Returns wall seconds of the pipeline only.
     */
-  private def frontierRun(spark: SparkSession, nRecords: Long,
-                          warm: Boolean): Double = {
+  private[graft] def frontierRun(spark: SparkSession, nRecords: Long,
+                                 warm: Boolean): Double = {
     val p = CrawlFixtures.Params(
       nRecords = nRecords,
       nUrls = math.max(nRecords / 3, 100),
@@ -131,19 +131,22 @@ object Bench {
     (1 to trials).map(_ => f).min
 
   /** Render the ONE stdout metric line, sized for the driver's
-    * 2000-char tail window (line + sbt epilogue must fit, so the budget
-    * is ~1900). Query keys drop their "q_" prefix and seconds round to
-    * 2dp; control sub-objects use short keys (s8/s32 = steady-min secs
-    * after the discarded warmup trial, ups = URLs/sec, eff = median
-    * steady-pair scaling efficiency, eff_ctrl = control-normalized).
-    * The per-trial series and every auxiliary statistic live in the
-    * verbose long-key object written to BENCH/bench_full.json by main —
-    * with them inline the real 71-query line measured 1865/1900, too
-    * thin a margin. Pure so the size contract is spec-testable.
-    * Degradation ladder if the query set outgrows the budget: 2dp full
-    * names -> 1dp full names -> 1dp names truncated to unique 12-char
-    * keys (a grown set's full names + controls measured 2058 chars at
-    * 1dp — they cannot fit; the full-name map is always in the file).
+    * 2000-char tail window (line + sbt "[info] " prefix + epilogue must
+    * fit, so the budget is ~1900). Query keys drop their "q_" prefix;
+    * control sub-objects use short keys (s8/s32 = steady-min secs after
+    * the discarded warmup trial, ups = URLs/sec, eff = median
+    * steady-pair scaling efficiency, eff_ctrl = control-normalized,
+    * ctrl.mh/ctrl.bw = the minhash-compute and STREAM-bandwidth control
+    * efficiencies, xd = incremental cross-dedup scenario). The per-trial
+    * series, control secs/GBps, and every auxiliary statistic live in
+    * the verbose long-key object written to BENCH/bench_full.json by
+    * main (preserved per-run as BENCH/r*_run*.json) — with them inline
+    * the real 71-query line measured 1865/1900, and at 76 queries even
+    * the slim form needs the ladder. Pure so the size contract is
+    * spec-testable. Degradation ladder as the query set grows: 2dp full
+    * names -> 1dp full names -> 1dp unique 12-char keys -> 1dp unique
+    * 8-char keys (keys stay prefix-attributable to the full-name map in
+    * the file; nothing is ever dropped).
     */
   private[graft] def compactLine(
       results: Seq[(String, Double)], cpus: Int, sfDir: String,
@@ -159,20 +162,20 @@ object Bench {
       val v = math.rint(x * p) / p
       if (v == v.toLong) v.toLong.toString else v.toString
     }
-    // last-resort keys: first 12 chars of the de-prefixed name, deduped
+    // last-resort keys: first `w` chars of the de-prefixed name, deduped
     // with ~N so every timing stays attributable (and greppable against
     // the full-name map in bench_full.json)
-    def shortKeys(names: Seq[String]): Seq[String] = {
+    def shortKeys(names: Seq[String], w: Int): Seq[String] = {
       val seen = scala.collection.mutable.Map.empty[String, Int]
       names.map { n =>
-        val t = n.take(12)
+        val t = n.take(w)
         val c = seen.getOrElse(t, 0); seen(t) = c + 1
         if (c == 0) t else s"$t~$c"
       }
     }
-    def render(qdp: Int, truncate: Boolean): String = {
+    def render(qdp: Int, keyWidth: Int): String = {
       val base = results.map(_._1.stripPrefix("q_"))
-      val keys = if (truncate) shortKeys(base) else base
+      val keys = if (keyWidth > 0) shortKeys(base, keyWidth) else base
       val qs = keys.zip(results.map(_._2))
         .map { case (k, v) => "\"" + k + "\":" + r(v, qdp) }
         .mkString("{", ",", "}")
@@ -184,20 +187,15 @@ object Bench {
         s""""frontier":{"s8":$sLo,"s$cpus":$sHi,""" +
         s""""ups8":$rateLo,"ups$cpus":$rateHi,""" +
         s""""eff":${r(effMed, 3)},"eff_ctrl":${r(effCtrl, 3)}},""" +
-        s""""mh_ctrl":{"s8":${r(mhLo, 1)},"s$cpus":${r(mhHi, 1)},""" +
-        s""""eff":${r(mhEff, 3)}},""" +
-        s""""stream":{"gbps8":${r(bwLo, 1)},"gbps$cpus":${r(bwHi, 1)},""" +
-        s""""eff":${r(bwEff, 3)}},""" +
-        s""""xdedup":{"s1":${r(xd1, 1)},"s2":${r(xd2, 1)},""" +
-        s""""surv1":$xs1,"surv2":$xs2,"live":$xlive},""" +
+        s""""ctrl":{"mh":${r(mhEff, 3)},"bw":${r(bwEff, 3)}},""" +
+        s""""xd":{"s1":${r(xd1, 1)},"s2":${r(xd2, 1)},""" +
+        s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    val two = render(2, truncate = false)
-    if (two.length <= 1900) two
-    else {
-      val one = render(1, truncate = false)
-      if (one.length <= 1900) one else render(1, truncate = true)
-    }
+    val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8))
+    ladder.iterator.map { case (dp, w) => render(dp, w) }
+      .find(_.length <= 1900)
+      .getOrElse(render(1, 8))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

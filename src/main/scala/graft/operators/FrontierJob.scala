@@ -134,9 +134,17 @@ object FrontierJob {
     // the salted window path, which prunes losers before they shuffle.
     val useByFile = politenessQuota >= Int.MaxValue / 16 &&
       !sys.env.contains("GRAFT_POLITE_WINDOW")
+    // GRAFT_NO_PIN (measured experiment, kept as a knob): skip the
+    // checkpoint and let Catalyst's ReuseExchange share the winner-window
+    // shuffle files between the cum/rank/count consumers instead. On this
+    // box (4M URLs, local[32], min of 3 trials) no-pin is 24.3 s vs the
+    // pin's 14.9 s — the upstream parse→anti-join chain re-executes per
+    // consumer beyond what ReuseExchange covers, so the checkpoint's one
+    // block-manager pass is the cheaper trade. Default stays pinned.
+    val noPin = sys.env.contains("GRAFT_NO_PIN")
     val (ranked, rankCache, warcCountSrc) = phase("politeness rank") {
       if (useByFile) {
-        val pinned = gated.localCheckpoint()
+        val pinned = if (noPin) gated else gated.localCheckpoint()
         val r = Frontier.politenessRankByFile(pinned, "host_key")
         val limited =
           if (politenessQuota < Int.MaxValue)
@@ -146,7 +154,7 @@ object FrontierJob {
         // cannot drop rows — only then may the crawl-order count branch
         // read the pin instead of the ranked chain
         val cntSrc = if (politenessQuota < Int.MaxValue) None else Some(pinned)
-        (limited, Seq(pinned), cntSrc)
+        (limited, if (noPin) Seq.empty else Seq(pinned), cntSrc)
       } else {
         val (r, caches) = Frontier.politenessRankEx(
           gated, "host_key", Seq(asc("file_ord"), asc("line_ord")),
