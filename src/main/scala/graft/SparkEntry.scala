@@ -18,7 +18,8 @@ object SparkEntry {
     (TextQueries.defs, TextQueries.oracles),
     (PipelineQueries.defs, PipelineQueries.oracles),
     (MiscQueries.defs, MiscQueries.oracles),
-    (CurationQueries.defs, CurationQueries.oracles)
+    (CurationQueries.defs, CurationQueries.oracles),
+    (LmQueries.defs, LmQueries.oracles)
   )
 
   /** Flagship: the end-to-end frontier slice — raw index lines through
