@@ -121,6 +121,91 @@ object NgramLM {
         (-(col("__ms") / micro) / col("n_tokens")).as("__nll_raw"))
   }
 
+  /** Trigram model on top of the bigram one: trigram counts
+    * (p2, p1, w, c3) pruned to minCount and their context marginals
+    * (p2, p1, cc3) over the unpruned table. Document-initial positions
+    * use a double sentinel ((<s>,<s>) for position 0, (<s>, w0) for
+    * position 1), so every position scores through the same CASE.
+    */
+  final case class Model3(base: Model, trigrams: DataFrame,
+                          contexts3: DataFrame)
+
+  /** (idCol, p2, p1, w) trigram stream, built like `pairs` — shifted
+    * arrays zipped and exploded once, no window/self-join.
+    */
+  def triples(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = toksCol(col(textCol))
+    // prepend sentinels, slice back to exactly n: p_k[i] = t[i-k] or <s>.
+    // (The arithmetic stays valid for single-token docs, where building
+    // the shifted arrays by slice-length subtraction would go negative.)
+    val p1 = slice(concat(array(lit(Sentinel)), t), lit(1), size(t))
+    val p2 = slice(concat(array(lit(Sentinel), lit(Sentinel)), t),
+      lit(1), size(t))
+    docs
+      .select(col(idCol),
+        explode(zip_with(
+          zip_with(p2, p1, (a, b) => struct(a.as("p2"), b.as("p1"))), t,
+          (pp, w) => struct(pp.getField("p2").as("p2"),
+            pp.getField("p1").as("p1"), w.as("w")))).as("g"))
+      .select(col(idCol), col("g.p2").as("p2"), col("g.p1").as("p1"),
+        col("g.w").as("w"))
+  }
+
+  def train3(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", minCount: Long = 2L): Model3 = {
+    val tr  = triples(docs, idCol, textCol)
+    val tri = tr.groupBy("p2", "p1", "w").agg(count(lit(1)).as("c3"))
+    Model3(
+      base      = train(docs, idCol, textCol, minCount),
+      trigrams  = tri.where(col("c3") >= minCount),
+      contexts3 = tri.groupBy("p2", "p1").agg(sum("c3").as("cc3")))
+  }
+
+  /** Stupid backoff over the trigram chain: S(w|p2,p1) = c3/cc3 if the
+    * trigram survives pruning, else alpha * c2/cc2, else alpha^2 *
+    * u(w)/N, else the alpha^2/N OOV floor — one alpha per backoff step
+    * (Brants et al. 2007 §3). Same micro-unit reduction and rounding
+    * discipline as `score`.
+    */
+  def score3(docs: DataFrame, model: Model3,
+             params: Params = Params(),
+             idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val a  = params.alpha
+    val lp = when(col("c3").isNotNull,
+        round(log10(col("c3").cast("double") / col("cc3").cast("double")),
+          params.logRoundDigits))
+      .when(col("c").isNotNull,
+        round(log10(lit(a) * col("c").cast("double")
+          / col("cc").cast("double")), params.logRoundDigits))
+      // alpha^2 as two chained multiplications, never a folded a*a
+      // constant: the oracle's DECIMAL literals fold differently, and
+      // the per-step form is also what the backoff recursion means
+      .when(col("u").isNotNull,
+        round(log10(lit(a) * (lit(a) * col("u").cast("double")
+          / col("n"))), params.logRoundDigits))
+      .otherwise(round(log10(lit(a) * (lit(a) / col("n"))),
+        params.logRoundDigits))
+    val micro = math.pow(10, params.logRoundDigits)
+    triples(docs, idCol, textCol)
+      .join(model.trigrams, Seq("p2", "p1", "w"), "left")
+      .join(model.contexts3, Seq("p2", "p1"), "left")
+      .join(model.base.bigrams.withColumnRenamed("prev", "p1"),
+        Seq("p1", "w"), "left")
+      .join(model.base.contexts.withColumnRenamed("prev", "p1"),
+        Seq("p1"), "left")
+      .join(model.base.unigrams, Seq("w"), "left")
+      .crossJoin(broadcast(model.base.totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+           sum(round(lp * micro).cast(LongType)).as("__ms"))
+      .select(col(idCol), col("n_tokens"),
+        round(-(col("__ms") / micro) / col("n_tokens"),
+          params.scoreRoundDigits).as("nll"),
+        (-(col("__ms") / micro) / col("n_tokens")).as("__nll_raw"))
+  }
+
   /** CCNet head/middle/tail buckets on fixed nll thresholds (the
     * production shape: thresholds come from a reference-corpus quantile
     * computed once per model, then applied as constants — a data-scale

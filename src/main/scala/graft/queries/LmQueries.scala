@@ -33,6 +33,18 @@ object LmQueries {
         .select(col("doc_id"), col("n_tokens"), col("nll"), col("bucket"))
     },
 
+    // Trigram stupid backoff (the KenLM-shape chain: trigram ->
+    // alpha*bigram -> alpha^2*unigram -> alpha^2 OOV floor), thresholds
+    // at the fixture's quartiles so all buckets populate.
+    "q_lm_score3" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val model = NgramLM.train3(docs, minCount = MinCount)
+      val p3 = NgramLM.Params(minCount = MinCount,
+        headMax = 1.35, midMax = 1.43)
+      NgramLM.bucketed(NgramLM.score3(docs, model, p3), p3)
+        .select(col("doc_id"), col("n_tokens"), col("nll"), col("bucket"))
+    },
+
     // The trained model's head: top bigrams by count (full tiebreak
     // order, so the limit is deterministic).
     "q_lm_model" -> { (s, dir) =>
@@ -85,6 +97,53 @@ object LmQueries {
                 round(-(ms / 1000000.0) / n_tokens, 4) AS nll,
                 CASE WHEN -(ms / 1000000.0) / n_tokens < 1.46 THEN 'head'
                      WHEN -(ms / 1000000.0) / n_tokens < 1.48 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM agg""",
+
+    "q_lm_score3" ->
+      s"""WITH $trainSql,
+         ctx AS (SELECT prev, sum(c) AS cc FROM big GROUP BY 1),
+         uni AS (SELECT w, count(*) AS u FROM pr GROUP BY 1),
+         unip AS (SELECT * FROM uni WHERE u >= $MinCount),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr),
+         tr AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(0, len(t)),
+                    i -> CASE WHEN i < 2 THEN '<s>' ELSE t[i - 1] END)) AS p2,
+                  unnest(list_transform(range(0, len(t)),
+                    i -> CASE WHEN i < 1 THEN '<s>' ELSE t[i] END)) AS p1,
+                  unnest(t) AS w
+           FROM tk),
+         tri AS (SELECT p2, p1, w, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+         trip AS (SELECT * FROM tri WHERE c3 >= $MinCount),
+         ctx3 AS (SELECT p2, p1, sum(c3) AS cc3 FROM tri GROUP BY 1, 2),
+         sc AS (
+           SELECT g.doc_id,
+                  CASE WHEN t3.c3 IS NOT NULL
+                       THEN round(log10(CAST(t3.c3 AS DOUBLE)
+                                        / CAST(x3.cc3 AS DOUBLE)), 6)
+                       WHEN b.c IS NOT NULL
+                       THEN round(log10(0.4 * CAST(b.c AS DOUBLE)
+                                        / CAST(x.cc AS DOUBLE)), 6)
+                       WHEN un.u IS NOT NULL
+                       THEN round(log10(0.4 * (0.4 * CAST(un.u AS DOUBLE)
+                                               / t.n)), 6)
+                       ELSE round(log10(0.4 * (0.4 / t.n)), 6) END AS lp
+           FROM tr g
+           LEFT JOIN trip t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.w = g.w
+           LEFT JOIN ctx3 x3 ON x3.p2 = g.p2 AND x3.p1 = g.p1
+           LEFT JOIN bigp b ON b.prev = g.p1 AND b.w = g.w
+           LEFT JOIN ctx x ON x.prev = g.p1
+           LEFT JOIN unip un ON un.w = g.w
+           CROSS JOIN tot t),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  sum(CAST(round(lp * 1000000) AS BIGINT)) AS ms
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                round(-(ms / 1000000.0) / n_tokens, 4) AS nll,
+                CASE WHEN -(ms / 1000000.0) / n_tokens < 1.35 THEN 'head'
+                     WHEN -(ms / 1000000.0) / n_tokens < 1.43 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM agg""",
 

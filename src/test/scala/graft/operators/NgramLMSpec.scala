@@ -77,6 +77,62 @@ class NgramLMSpec extends AnyFunSuite {
     assert(b(12L) == "tail") // all-OOV: nll = -log10(0.4/6) ~ 1.176
   }
 
+  // trigram corpus: "a b c" x2, "a b d" x1
+  // triples: (<s>,<s>,a)x3, (<s>,a,b)x3, (a,b,c)x2, (a,b,d)x1
+  // pairs:   (<s>,a)x3, (a,b)x3, (b,c)x2, (b,d)x1; N=9
+  // unigrams: a=3, b=3, c=2, d=1
+  private def corpus3 = {
+    import spark.implicits._
+    Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+  }
+
+  test("train3: trigram counts, pruning and marginals") {
+    val m = NgramLM.train3(corpus3, minCount = 2L)
+    val tri = m.trigrams.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(tri == Set(("<s>", "<s>", "a", 3L), ("<s>", "a", "b", 3L),
+      ("a", "b", "c", 2L))) // (a,b,d) count 1 pruned
+    val ctx3 = m.contexts3.collect().map(r =>
+      ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // unpruned marginals: (a,b) context covers the pruned (a,b,d)
+    assert(ctx3 == Map(("<s>", "<s>") -> 3L, ("<s>", "a") -> 3L,
+      ("a", "b") -> 3L))
+  }
+
+  test("score3: every backoff level, by hand") {
+    import spark.implicits._
+    val m = NgramLM.train3(corpus3, minCount = 2L)
+    val p = NgramLM.Params(minCount = 2L)
+    def lp6(x: Double) = math.rint(math.log10(x) * 1e6) / 1e6
+    def nll(lps: Seq[Double]) =
+      math.rint(-lps.map(x => math.rint(x * 1e6)).sum / 1e6 / lps.size
+        * 1e4) / 1e4
+    val scored = NgramLM.score3(
+      Seq((20L, "a b c"), (21L, "a b d"), (22L, "b c z"))
+        .toDF("doc_id", "text"), m, p)
+      .select($"doc_id", $"nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 20: (<s>,<s>,a)=3/3; (<s>,a,b)=3/3; (a,b,c)=2/3
+    assert(scored(20L) == nll(Seq(lp6(1.0), lp6(1.0), lp6(2.0 / 3))))
+    // doc 21: ..., (a,b,d) pruned -> bigram (b,d) pruned -> unigram d
+    //   pruned -> OOV floor alpha*(alpha/9)
+    assert(scored(21L) == nll(Seq(lp6(1.0), lp6(1.0),
+      lp6(0.4 * (0.4 / 9)))))
+    // doc 22: (<s>,<s>,b) unseen -> bigram (<s>,b) unseen -> unigram
+    //   b=3: alpha*(alpha*3/9); (<s>,b,c) unseen -> bigram (b,c)=2 of
+    //   cc(b)=3: alpha*2/3; (b,c,z) unseen -> (c,z) unseen -> z OOV
+    assert(scored(22L) == nll(Seq(lp6(0.4 * (0.4 * 3 / 9)),
+      lp6(0.4 * 2 / 3), lp6(0.4 * (0.4 / 9)))))
+  }
+
+  test("triples: single-token doc gets one double-sentinel row") {
+    import spark.implicits._
+    val rows = NgramLM.triples(Seq((7L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(("<s>", "<s>", "x")))
+  }
+
   test("single-token and empty-ish docs score through the sentinel") {
     import spark.implicits._
     val m = NgramLM.train(corpus, minCount = 2L)
