@@ -45,12 +45,18 @@ object Retrieval {
     val toks = docs.select(col(idCol),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-      // consumed by the scalar stats AND the tf table
-      .localCheckpoint()
-    // model-scale scalars: N docs, average doc length. dl sums are
-    // integer-valued doubles, so the sum is order-insensitive.
-    val n = toks.count().toDouble
-    val avgdl = toks.agg(sum("dl")).head().getDouble(0) / n
+    // Model-scale scalars: N docs, average doc length — ONE fully
+    // map-side-combining agg action. dl sums are integer-valued
+    // doubles, so the sum is order-insensitive. Deliberately a second
+    // scan of the source rather than a localCheckpoint of the tokenized
+    // corpus: at 100 TB the checkpoint would spool the whole corpus
+    // into executor-local storage (and its blocks would have to outlive
+    // this call for the returned lazy plan to run), while the rescan is
+    // a pruned two-column parquet read.
+    val stats = toks.agg(count(lit(1)).cast("double").as("n"),
+      sum("dl").as("sdl")).head()
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1) / n
     val tf = toks.select(col(idCol), col("dl"), explode(col("toks")).as("w"))
       .where(col("w").isin(terms: _*))
       .groupBy(idCol, "dl", "w")
@@ -67,7 +73,6 @@ object Retrieval {
       .groupBy(idCol)
       .agg(round(sum("contrib"), params.scoreRoundDigits).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol).asc)
-    toks.unpersist()
     scored.limit(limit)
   }
 

@@ -92,6 +92,19 @@ object CurationQueries {
           col("n_pars"), col("dup_par_frac"))
     },
 
+    // Model-based quality filter: multinomial NB trained on a
+    // deterministic doc_id-parity labeling, classifying the same table.
+    // The all-integer micro-unit decision (prior + token sums as longs)
+    // means pred/llr hash-check exactly — the oracle replays training
+    // counts, add-1 smoothing, 6dp-log10 rounding and the comparison.
+    "q_quality_classify" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").withColumn("__pos",
+        pmod(col("doc_id").cast(LongType), lit(2L)) === 0)
+      val m = graft.operators.QualityClassifier.train(docs, "__pos")
+      graft.operators.QualityClassifier.classify(docs, m)
+        .select(col("doc_id"), col("n_tokens"), col("llr"), col("pred"))
+    },
+
     // Greedy sequence packing: shard = doc_id % 8, order = doc_id,
     // 200-token windows. Per-shard sequential semantics, distributed by
     // decomposition; the oracle replays the fold as a recursive CTE.
@@ -199,6 +212,47 @@ object CurationQueries {
                                 * 1.0 / len(pars), 4)
                      ELSE 0.0 END AS dup_par_frac
          FROM g""",
+
+    // NB replay: same tokenization (lower + ws split), same count
+    // tables, add-1 smoothing, log10 rounded to 6dp immediately, scaled
+    // to exact integer micro-units before summing — so the per-doc
+    // scores are order-insensitive LONG sums on both engines.
+    "q_quality_classify" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 2 = 0 AS pos,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, pos, unnest(toks) AS w FROM d),
+         words AS (
+           SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+           FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+                        count(*) AS v FROM words),
+         dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+                FROM d),
+         pr AS (
+           SELECT CAST(round(round(log10(n_pos * 1.0 / (n_pos + n_neg)),
+                    6) * 1000000) AS BIGINT) AS p_pos,
+                  CAST(round(round(log10(n_neg * 1.0 / (n_pos + n_neg)),
+                    6) * 1000000) AS BIGINT) AS p_neg
+           FROM dc),
+         s AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+                  sum(CAST(round(round(log10(
+                    (coalesce(words.c_pos, 0) + 1.0) / (tot.t_pos + tot.v)),
+                    6) * 1000000) AS BIGINT)) AS sp,
+                  sum(CAST(round(round(log10(
+                    (coalesce(words.c_neg, 0) + 1.0) / (tot.t_neg + tot.v)),
+                    6) * 1000000) AS BIGINT)) AS sn
+           FROM tok t LEFT JOIN words USING (w), tot
+           GROUP BY 1)
+         SELECT s.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round((sp + pr.p_pos - sn - pr.p_neg) / 1000000.0, 4)
+                  AS llr,
+                sp + pr.p_pos > sn + pr.p_neg AS pred
+         FROM s, pr""",
 
     "q_seq_pack" ->
       s"""WITH RECURSIVE d AS (

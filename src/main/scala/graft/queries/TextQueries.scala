@@ -85,30 +85,13 @@ object TextQueries {
     // shape, thresholds tuned to the fixture): word stats as pure
     // columns, the top-word fraction via explode + partial-agg groupBy
     // keyed by doc_id (skew-free — a doc's words land in one group).
+    // Driven through the library operator (operators/Retrieval.scala);
+    // the defaults there ARE this oracle's thresholds and rounding. The
+    // pass thresholds compare the UNROUNDED ratios — the oracle does
+    // too; mixing rounded display values into the verdict would make
+    // pass diverge between the engines at the rounding boundary.
     "q_quality_gopher" -> { (s, dir) =>
-      val toks  = split(trim(col("text")), "\\s+")
-      val n     = size(toks).cast(LongType)
-      // pass thresholds compare the UNROUNDED ratios — the oracle does
-      // too; mixing rounded display values into the verdict would make
-      // pass diverge between the engines at the rounding boundary
-      val meanW = aggregate(transform(toks, w => length(w)), lit(0L), _ + _)
-        .cast("double") / n
-      val ttr   = size(array_distinct(toks)) * lit(1.0) / n
-      val base  = table(s, dir, "documents").select(
-        col("doc_id"), n.as("n_words"), meanW.as("mw_raw"),
-        ttr.as("ttr_raw"), toks.as("toks"))
-      val top = base.select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("topc"))
-      base.join(top, Seq("doc_id"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("mw_raw"), 4).as("mean_word_len"),
-          round(col("ttr_raw"), 4).as("ttr"),
-          round(col("topc") * lit(1.0) / col("n_words"), 4)
-            .as("top_word_frac"),
-          (col("n_words") >= 10 && col("mw_raw") >= 2.0 &&
-           col("mw_raw") <= 12.0 && col("ttr_raw") >= 0.3 &&
-           col("topc") * lit(1.0) / col("n_words") <= 0.2).as("pass"))
+      graft.operators.Retrieval.gopherQuality(table(s, dir, "documents"))
     },
 
     // BM25 retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) for a fixed
@@ -118,30 +101,12 @@ object TextQueries {
     // as the same literals (2.2, 1.2, 0.25, 0.75 — never derived), the
     // final score rounded to 4. dl sums are integer-valued doubles, so
     // sum order cannot change avgdl.
+    // Driven through the library operator (operators/Retrieval.scala):
+    // default Bm25Params match the oracle's literals exactly (k1+1.0
+    // == 2.2 and 1.0-b == 0.25 are exact IEEE doubles for 1.2/0.75).
     "q_bm25_search" -> { (s, dir) =>
-      val terms = Seq("join", "scan", "window")
-      val docs = table(s, dir, "documents").select(col("doc_id"),
-          split(trim(col("text")), "\\s+").as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-        .localCheckpoint()
-      val n = docs.count().toDouble
-      val avgdl = docs.agg(sum("dl")).head().getDouble(0) / n
-      val tf = docs.select(col("doc_id"), col("dl"),
-          explode(col("toks")).as("w"))
-        .where(col("w").isin(terms: _*))
-        .groupBy("doc_id", "dl", "w")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dft = tf.groupBy("w").agg(countDistinct("doc_id").as("df"))
-      tf.join(dft, "w")
-        .withColumn("idf", round(
-          log(lit(1.0) + (lit(n) - col("df") + lit(0.5))
-            / (col("df") + lit(0.5))), 6))
-        .withColumn("contrib",
-          col("idf") * col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25)
-              + lit(0.75) * col("dl") / lit(avgdl))))
-        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      graft.operators.Retrieval.bm25(table(s, dir, "documents"),
+        Seq("join", "scan", "window"))
     },
 
     // Exact dedup: hash-groupBy on full text, keep lexicographically

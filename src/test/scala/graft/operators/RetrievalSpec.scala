@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library retrieval/quality API (the promoted, parameterized forms
+  * of q_bm25_search / q_quality_gopher) — exercised with NON-default
+  * parameters against independently hand-computed expectations, so the
+  * operator's knobs are verified, not just the oracle defaults.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private val corpus = Seq(
+    (1L, "join scan join filter"),          // dl=4
+    (2L, "scan scan scan scan scan scan"),  // dl=6
+    (3L, "window filter order group"),      // dl=4
+    (4L, "filter filter filter filter filter filter") // dl=6
+  )
+
+  /** Scalar BM25 reference, written from the formula (not the plan). */
+  private def bm25Ref(tfs: Map[Long, Map[String, Int]], dls: Map[Long, Int],
+                      terms: Seq[String], k1: Double, b: Double)
+      : Map[Long, Double] = {
+    val n = dls.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    val df = terms.map(t => t -> tfs.count(_._2.contains(t))).toMap
+    tfs.map { case (id, tf) =>
+      val s = terms.map { t =>
+        val f = tf.getOrElse(t, 0).toDouble
+        if (f == 0) 0.0
+        else {
+          val idf = BigDecimal(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          idf * f * (k1 + 1.0) /
+            (f + k1 * (1.0 - b + b * dls(id) / avgdl))
+        }
+      }.sum
+      id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+  }
+
+  test("bm25 with non-default k1/b matches the formula") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("join", "scan", "window")
+    val params = Retrieval.Bm25Params(k1 = 2.0, b = 0.5)
+    val got = Retrieval
+      .bm25(corpus.toDF("doc_id", "text"), terms, params, limit = 10,
+        idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tfs = Map(
+      1L -> Map("join" -> 2, "scan" -> 1),
+      2L -> Map("scan" -> 6),
+      3L -> Map("window" -> 1))
+    val want = bm25Ref(tfs, Map(1L -> 4, 2L -> 6, 3L -> 4, 4L -> 6),
+      terms, k1 = 2.0, b = 0.5)
+    assert(got.keySet == tfs.keySet) // doc 4 matches no term -> absent
+    for ((id, w) <- want if tfs.contains(id))
+      assert(math.abs(got(id) - w) < 1e-9, s"doc $id: ${got(id)} vs $w")
+  }
+
+  test("bm25 ranking: higher tf wins under equal dl; limit applies") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "term term term pad pad pad"),
+      (2L, "term pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.bm25(df, Seq("term"), limit = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L))
+  }
+
+  test("gopherQuality with tightened thresholds flips the verdict") {
+    val s = spark
+    import s.implicits._
+    // 12 distinct words, mean word length 4.0, top-word frac 1/12
+    val text = ("alfa brav chrl delt echo foxt golf hotl "
+      + "indi juln kilo lima")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val default = Retrieval.gopherQuality(df).collect().head
+    assert(default.getAs[Boolean]("pass"))
+    assert(default.getAs[Long]("n_words") == 12L)
+    assert(default.getAs[Double]("mean_word_len") == 4.0)
+    // same doc fails once minWords demands more than it has…
+    val tight = Retrieval.gopherQuality(df,
+      Retrieval.GopherParams(minWords = 13L)).collect().head
+    assert(!tight.getAs[Boolean]("pass"))
+    // …or once the mean-word-length band excludes 4.0
+    val band = Retrieval.gopherQuality(df,
+      Retrieval.GopherParams(minMeanWordLen = 4.5)).collect().head
+    assert(!band.getAs[Boolean]("pass"))
+  }
+
+  test("gopherQuality verdict uses unrounded ratios at the boundary") {
+    val s = spark
+    import s.implicits._
+    // ttr = 2/7 = 0.285714… rounds to 0.2857 for display; a threshold
+    // of 0.2857 must still FAIL the doc because the raw ratio is below
+    // the displayed rounding.
+    val df = Seq((1L, "a a a a a b b")).toDF("doc_id", "text")
+    val r = Retrieval.gopherQuality(df,
+      Retrieval.GopherParams(minWords = 1L, minTypeTokenRatio = 0.2857,
+        maxTopWordFrac = 1.0)).collect().head
+    assert(r.getAs[Double]("ttr") == 0.2857)
+    assert(!r.getAs[Boolean]("pass"))
+  }
+}
