@@ -359,4 +359,57 @@ object Similarity {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clustering — k-means the corpus, then within each cluster drop
+    * every doc that has a cosine-≥-threshold neighbour closer to the
+    * cluster centroid (tie: lower id wins). The cluster bound is what
+    * makes the quadratic comparison tractable: pairs are confined to a
+    * cluster, so kClusters is the cost knob (cluster size ≈ n/k; at
+    * corpus scale pick k so clusters fit a task, exactly like the
+    * reference SemDeDup runs k-means at ~0.1% of corpus size). Reuses
+    * the deterministic IVF trainer, so the whole operator — init,
+    * fixed iterations, rounded means, assignment tie-breaks — replays
+    * in SQL; "closest to centroid survives" replaces the paper's
+    * keep-a-random-one so the output is engine-reproducible.
+    *
+    * Output: (idCol, cid, cent_sim, kept). Centroids are model state
+    * (k×dim doubles); the pair join's equi-key is the cluster id, the
+    * cosine is a codegen'd native expression in the join filter.
+    */
+  def semDedup(embeddings: DataFrame, simThreshold: Double,
+               kClusters: Int = 8, iters: Int = 3,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    import graft.expressions.VectorExpressions.dotCol
+    val cents = ivfCentroids(embeddings, kClusters, iters, idCol, embCol)
+    val centOf = element_at(
+      array(cents.map(c => array(c.map(lit).toIndexedSeq: _*))
+        .toIndexedSeq: _*),
+      col("cid") + 1)
+    val e = embeddings
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .withColumn("cid", assignListCol(col("v"), cents))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .withColumn("cent_sim", round(
+        dotCol(col("v"), centOf) /
+          (col("nrm") * sqrt(dotCol(centOf, centOf))), 6))
+    // a dominator of row a: same cluster, sim >= threshold, strictly
+    // more central (or equally central with a smaller id). Rounding
+    // disciplines match the oracle: pair sim 4dp, cent_sim 6dp.
+    val dominated = e.alias("a")
+      .join(e.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id") &&
+          round(dotCol(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 4) >= simThreshold &&
+          (col("b.cent_sim") > col("a.cent_sim") ||
+            (col("b.cent_sim") === col("a.cent_sim") &&
+              col("b.id") < col("a.id"))))
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("__dom", lit(true))
+    e.join(dominated, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("cent_sim"),
+        coalesce(col("__dom"), lit(false)).unary_!.as("kept"))
+  }
 }

@@ -247,6 +247,15 @@ object TextQueries {
         queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
     },
 
+    // SemDeDup: deterministic k-means (same trainer/replay as IVF) +
+    // within-cluster cosine dedup keeping the most-central doc. The
+    // oracle replays clustering, per-doc centroid cosine and the
+    // dominator rule.
+    "q_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(table(s, dir, "embeddings"),
+        simThreshold = 0.35, kClusters = 8, iters = 3)
+    },
+
     // Same search against a MATERIALIZED IVF index (build once, probe
     // reads only the nProbe list partitions — partition pruning at file
     // listing). Oracle: identical to q_ann_ivf.
@@ -810,6 +819,62 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    // SemDeDup replay: identical k-means prefix to q_ann_ivf, then
+    // centroid cosine (6dp) per doc and the dominator EXISTS (pair
+    // cosine 4dp vs threshold; more-central wins, id tie-break).
+    "q_semdedup" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT r.cid, e.idx, e.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT 8) r
+            JOIN e ON e.vec_id = r.vec_id),
+          ${kmeansIterCte("c0", "c1")},
+          ${kmeansIterCte("c1", "c2")},
+          ${kmeansIterCte("c2", "c3")},
+          d_f AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            GROUP BY 1, 2),
+          a_f AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM d_f) WHERE rw = 1),
+          cs AS MATERIALIZED (
+            SELECT e.vec_id, a.cid,
+                   round(sum(e.v * c.w) /
+                         (sqrt(sum(e.v * e.v)) * sqrt(sum(c.w * c.w))), 6)
+                     AS cent_sim
+            FROM e JOIN a_f a ON a.vec_id = e.vec_id
+            JOIN c3 c ON c.cid = a.cid AND c.idx = e.idx
+            GROUP BY 1, 2),
+          pr AS MATERIALIZED (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(sum(ea.v * eb.v) /
+                         (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v))),
+                         4) AS sim
+            FROM a_f a JOIN a_f b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id AND eb.idx = ea.idx
+            GROUP BY 1, 2)
+          SELECT cs.vec_id, cs.cid, cs.cent_sim,
+                 NOT EXISTS (
+                   SELECT 1 FROM pr JOIN cs p ON p.vec_id = pr.b_id
+                   WHERE pr.a_id = cs.vec_id AND pr.sim >= 0.35
+                     AND (p.cent_sim > cs.cent_sim
+                          OR (p.cent_sim = cs.cent_sim
+                              AND p.vec_id < cs.vec_id))) AS kept
+          FROM cs""",
+
     "q_ann_pq" ->
       (pqOracleWith + """
           SELECT c0.vec_id,

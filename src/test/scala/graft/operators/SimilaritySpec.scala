@@ -84,4 +84,30 @@ class SimilaritySpec extends AnyFunSuite {
     // quantization distance, strictly below any other code combination
     // chosen by argmin. q_ann_pq's oracle pins the arithmetic exactly.
   }
+
+  test("semDedup: planted exact copy is dropped, original kept by id tie") {
+    import org.apache.spark.sql.functions._
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val out = Similarity
+      .semDedup(emb.select("vec_id", "embedding").unionByName(planted),
+        simThreshold = 0.99, kClusters = 4, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // exact copy: same cluster, same cent_sim, cosine 1.0 — the pair is
+    // above any threshold, so the id tie-break decides: 0 survives
+    assert(out(0L)._1 == out(100000L)._1)
+    assert(out(0L)._2 == out(100000L)._2)
+    assert(out(0L)._3 && !out(100000L)._3)
+    // nothing else in this fixture is within 0.99 cosine of anything
+    assert(out.count(!_._2._3) == 1)
+  }
+
+  test("semDedup: impossible threshold keeps everything; rows are total") {
+    val n = emb.count()
+    val out = Similarity.semDedup(emb, simThreshold = 1.01,
+      kClusters = 4, iters = 2)
+    assert(out.count() == n)
+    assert(out.filter("NOT kept").count() == 0)
+  }
 }
