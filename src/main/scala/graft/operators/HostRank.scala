@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph PageRank for frontier prioritization — the classic
+  * crawl-ordering signal (a Cho/Garcia-Molina-style importance metric;
+  * production crawlers feed host or page rank into the frontier's
+  * priority, which is exactly where `Frontier.politenessRank` consumes
+  * a per-URL priority in this engine).
+  *
+  * Determinism contract: FIXED iteration count and ALL-INTEGER
+  * arithmetic — ranks live in micro-units (`scale`), each edge
+  * contribution is `((r * dampNum) div dampDen) div outdeg` in Long
+  * division, the teleport term is the same expression on both engines —
+  * so every iteration is a bit-exact Long sum and the DuckDB oracle
+  * replays the unrolled iterations with `//`. (Truncating division on
+  * non-negative values is identical in Spark `DIV` and DuckDB `//`.)
+  *
+  * Scale shape: one hash-join + partial-agg shuffle per iteration,
+  * keyed by host — the web's host graph (~10^8 hosts) partitions
+  * cleanly; outdegrees are computed once; each iteration's result is
+  * localCheckpoint'd (narrow two-column table) so lineage stays O(1)
+  * across iterations instead of O(iters), with the previous iteration's
+  * blocks released as soon as the next is materialized. Dangling-host
+  * mass is dropped (ranks no longer sum to `scale`), which preserves
+  * the ORDER of ranks — the only thing the frontier consumes — and
+  * keeps the replay free of a global dangling-sum term.
+  */
+object HostRank {
+
+  /** PageRank over `edges` (srcCol, dstCol — one row per distinct
+    * link) restricted to the node universe `nodes` (idCol). Output:
+    * (idCol, rank_mu: Long micro-unit rank, rank: Double = rank_mu /
+    * scale rounded to 6dp for display).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame,
+               iters: Int = 5,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               srcCol: String = "src", dstCol: String = "dst",
+               idCol: String = "host"): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    val n = nodes.select(col(idCol)).distinct().count()
+    require(n > 0, "pageRank needs a non-empty node universe")
+    val teleport = (scale * (dampDen - dampNum) / dampDen) / n
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = nodes.select(col(idCol).cast("long").as("host")).distinct()
+      .localCheckpoint()
+    var ranks = base.withColumn("r", lit(scale / n))
+    var prevCheckpointed: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val contrib = ed.join(ranks, ed("src") === ranks("host"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          expr(s"((r * $dampNum) DIV $dampDen) DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = base.join(contrib, base("host") === contrib("dst"), "left")
+        .select(col("host"),
+          (lit(teleport) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint() // materializes `next`; prev blocks now safe to drop
+      prevCheckpointed.foreach(UrlDedup.releaseOrderCache)
+      prevCheckpointed = Some(next)
+      ranks = next
+    }
+    ranks.select(col("host").as(idCol), col("r").as("rank_mu"),
+      round(col("r").cast("double") / scale, 6).as("rank"))
+  }
+
+  /** The deterministic host-link fixture shared with the oracle: hosts
+    * 0..nHosts-1, out-degree capped at 5 per src (dst depends only on
+    * src and event_id mod 5) so the graph is sparse and the rank
+    * distribution has real variance — pure int64 formulas on both
+    * engines.
+    */
+  def fixtureEdges(events: DataFrame, nHosts: Int): DataFrame = {
+    val src = pmod(col("user_id"), lit(nHosts.toLong))
+    val dst = pmod(src * 17 + pmod(col("event_id"), lit(5L)) * 31 + 7,
+      lit(nHosts.toLong))
+    events.select(src.as("src"), dst.as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+  }
+}

@@ -54,6 +54,18 @@ object CrawlQueries {
        FROM events"""
 
   val defs: Map[String, Q] = Map(
+    // Host-graph PageRank frontier priority: deterministic sparse link
+    // graph from events (out-degree <= 5), 5 fixed iterations of
+    // all-integer micro-unit arithmetic — the oracle unrolls the
+    // iterations with the identical DIV chain.
+    "q_pagerank_hosts" -> { (s, dir) =>
+      graft.operators.HostRank.pageRank(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200),
+        s.range(200).toDF("host"),
+        iters = 5)
+    },
+
     // S2 ranged fetch through the PRODUCTION retry loop: the documents
     // table doubles as the remote store (file = doc_id, bytes = ASCII
     // text — the sandbox's network stand-in, NOT a data-path collect:
@@ -205,7 +217,48 @@ object CrawlQueries {
     }
   )
 
+  /** One unrolled PageRank iteration: rank table `in` -> `out`.
+    * Teleport/damping constants are interpolated from the same Long
+    * arithmetic the operator uses; `//` == Spark `DIV` on non-negative
+    * Longs.
+    */
+  private def prIterCte(in: String, out: String, teleport: Long): String =
+    s"""$out AS (
+         SELECT n.host,
+                $teleport + coalesce(sum(((c.r * 85) // 100) // c.deg), 0)
+                  AS r
+         FROM n LEFT JOIN (
+           SELECT ed.dst, p.r, od.deg
+           FROM ed JOIN $in p ON p.host = ed.src
+           JOIN od ON od.src = ed.src) c ON c.dst = n.host
+         GROUP BY 1)"""
+
+  private val prOracle: String = {
+    val h = 200L
+    val scale = 1000000000000L
+    val tel = (scale * 15L / 100L) / h
+    val init = scale / h
+    s"""WITH ed AS MATERIALIZED (
+         SELECT DISTINCT user_id % $h AS src,
+                ((user_id % $h) * 17 + (event_id % 5) * 31 + 7) % $h AS dst
+         FROM events
+         WHERE user_id % $h
+               <> ((user_id % $h) * 17 + (event_id % 5) * 31 + 7) % $h),
+       od AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       n AS (SELECT unnest(range($h)) AS host),
+       r0 AS (SELECT host, $init AS r FROM n),
+       ${prIterCte("r0", "r1", tel)},
+       ${prIterCte("r1", "r2", tel)},
+       ${prIterCte("r2", "r3", tel)},
+       ${prIterCte("r3", "r4", tel)},
+       ${prIterCte("r4", "r5", tel)}
+       SELECT host, CAST(r AS BIGINT) AS rank_mu,
+              round(CAST(r AS DOUBLE) / $scale, 6) AS rank
+       FROM r5"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_hosts" -> prOracle,
     // every documents.text is ASCII (driver fixture), so byte ranges ==
     // character substrings; min text length is 44 (measured) >= the
     // largest range end (40) — shrink the ranges before the fixture

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HostRank against a hand-computed 3-node graph: 1→2, 2→1, 3→2.
+  * scale=1e6, damping 85/100, so every Long division is checkable on
+  * paper: init = 333333, teleport = (1e6*15/100)/3 = 50000, each edge
+  * contribution after one iteration = ((333333*85)//100)//1 = 283333.
+  */
+class HostRankSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def graph = {
+    val s = spark
+    import s.implicits._
+    (Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst"),
+      Seq(1L, 2L, 3L).toDF("host"))
+  }
+
+  test("one iteration matches the hand computation") {
+    val (ed, nodes) = graph
+    val out = HostRank.pageRank(ed, nodes, iters = 1, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 50000L + 283333L)      // from 2
+    assert(out(2L)._1 == 50000L + 2 * 283333L)  // from 1 and 3
+    assert(out(3L)._1 == 50000L)                // unlinked: teleport only
+    assert(out(2L)._2 == 0.616666)              // display = mu/scale @6dp
+  }
+
+  test("second iteration redistributes through the cycle") {
+    val (ed, nodes) = graph
+    val r1 = Map(1L -> 333333L, 2L -> 616666L, 3L -> 50000L)
+    def c(r: Long) = (r * 85L / 100L) / 1L
+    val out = HostRank.pageRank(ed, nodes, iters = 2, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 50000L + c(r1(2L)))
+    assert(out(2L) == 50000L + c(r1(1L)) + c(r1(3L)))
+    assert(out(3L) == 50000L)
+  }
+
+  test("duplicate and self edges are ignored; iters=0 is uniform") {
+    val s = spark
+    import s.implicits._
+    val ed = Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("host")
+    val two = HostRank.pageRank(ed, nodes, iters = 1, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cleanEd, _) = graph
+    val clean = HostRank.pageRank(cleanEd, nodes, iters = 1,
+      scale = 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == clean)
+    val zero = HostRank.pageRank(cleanEd, nodes, iters = 0,
+      scale = 1000000L).collect().map(_.getLong(1)).toSet
+    assert(zero == Set(333333L))
+  }
+}
