@@ -105,6 +105,19 @@ object CurationQueries {
         .select(col("doc_id"), col("n_tokens"), col("llr"), col("pred"))
     },
 
+    // DSIR importance weights: target = every 37th doc (the eval-suite
+    // stand-in, same convention as q_decontaminate), features = hashed
+    // uni+bigrams (md5 hex-prefix arithmetic), weight = micro-exact
+    // log10 ratio sum. The oracle replays hashing, counts, smoothing
+    // and the micro-unit sum.
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").withColumn("__t",
+        pmod(col("doc_id").cast(LongType), lit(37L)) === 0)
+      val m = graft.operators.Dsir.train(docs, "__t", buckets = 1024)
+      graft.operators.Dsir.weigh(docs, m)
+        .select(col("doc_id"), col("n_feats"), col("llw"))
+    },
+
     // Greedy sequence packing: shard = doc_id % 8, order = doc_id,
     // 200-token windows. Per-shard sequential semantics, distributed by
     // decomposition; the oracle replays the fold as a recursive CTE.
@@ -120,7 +133,53 @@ object CurationQueries {
     }
   )
 
+  /** Hex-digit value of char `i` of the md5 column `h` — the SQL twin
+    * of Dsir.bucketCol's character arithmetic.
+    */
+  private def hexDigit(i: Int): String =
+    s"(CASE WHEN unicode(substr(h, $i, 1)) >= 97" +
+      s" THEN unicode(substr(h, $i, 1)) - 87" +
+      s" ELSE unicode(substr(h, $i, 1)) - 48 END)"
+
+  private val bucketExpr: String =
+    "(" + (2 to 6).foldLeft(hexDigit(1))((acc, i) =>
+      s"($acc * 16 + ${hexDigit(i)})") + ") % 1024"
+
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH d AS (
+           SELECT doc_id, doc_id % 37 = 0 AS tgt,
+                  string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, tgt, unnest(toks) AS g FROM d
+           UNION ALL
+           SELECT doc_id, tgt,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+           FROM d),
+         f AS (
+           SELECT doc_id, tgt, $bucketExpr AS b
+           FROM (SELECT doc_id, tgt, md5(g) AS h FROM g)),
+         m AS (
+           SELECT b, count(*) AS c_raw,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+           FROM f GROUP BY 1),
+         tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM m),
+         s AS (
+           SELECT f.doc_id, count(*) AS n_feats,
+                  sum(CAST(round((
+                    round(log10((coalesce(m.c_tgt, 0) + 1.0)
+                                / (tot.t_tgt + 1024)), 6)
+                    - round(log10((coalesce(m.c_raw, 0) + 1.0)
+                                  / (tot.t_raw + 1024)), 6)) * 1000000)
+                    AS BIGINT)) AS w
+           FROM f LEFT JOIN m USING (b), tot
+           GROUP BY 1)
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                round(w / 1000000.0, 4) AS llw
+         FROM s""",
+
     "q_pii_scrub" ->
       """WITH w AS (
            SELECT doc_id,
