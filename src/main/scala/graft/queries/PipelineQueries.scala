@@ -500,6 +500,36 @@ object PipelineQueries {
           .as("ms_total"))
     },
 
+    // REAL compressed-animation decode: animated GIF89a. GIF's LZW is
+    // lossless, so the oracle predicts decoded luma straight from the
+    // palette formula; frame timing comes from each frame's GCE delay
+    // read out of the decoder's metadata, not assumed. Any defect in
+    // the encoder's LZW/bit-packing, the container fields, or the
+    // multi-frame imageio drive breaks the match.
+    "q_video_gif" -> { (s, dir) =>
+      val gifUdf = udf((ord: Long, w: Int, h: Int, n: Int, d: Int) =>
+        Multimodal.encodeGif(w, h, delayCs = d, nFrames = n,
+          f => ((f * 41 + ord * 13) % 256).toInt))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://gif/"), col("doc_id")).as("media_ref"),
+        gifUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 6 + 9).cast("int"),
+               (col("doc_id").cast(LongType) % 5 + 7).cast("int"),
+               (col("doc_id").cast(LongType) % 4 + 2).cast("int"),
+               (col("doc_id").cast(LongType) % 3 + 4).cast("int"))
+          .as("bytes"))
+      Multimodal.gifFeatures(media, everyN = 2).select(
+        col("media_ref"),
+        col("gif.width").cast(LongType).as("width"),
+        col("gif.height").cast(LongType).as("height"),
+        col("gif.n_frames").as("n_frames"),
+        col("gif.duration_ms").as("duration_ms"),
+        aggregate(col("gif.luma_sum"), lit(0L), (a, x) => a + x)
+          .as("luma_total"),
+        aggregate(col("gif.frame_ms"), lit(0L), (a, x) => a + x)
+          .as("ms_total"))
+    },
+
     // Multimodal plumbing: media bytes as a binary column with typed
     // metadata -> byte-histogram features (real, decode-free) -> feature
     // norm. The binary path is what's exercised; the oracle recomputes
@@ -1036,6 +1066,30 @@ object PipelineQueries {
                 CAST(g.h AS BIGINT) AS height,
                 CAST(g.n AS BIGINT) AS n_frames,
                 CAST(g.n * 40 AS BIGINT) AS duration_ms,
+                CAST(agg.luma_total AS BIGINT) AS luma_total,
+                CAST(agg.ms_total AS BIGINT) AS ms_total
+         FROM g JOIN agg ON agg.doc_id = g.doc_id""",
+
+    "q_video_gif" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),
+         g AS (
+           SELECT doc_id, ord, ord % 6 + 9 AS w, ord % 5 + 7 AS h,
+                  ord % 4 + 2 AS n, (ord % 3 + 4) * 10 AS delay_ms
+           FROM d),
+         f AS (SELECT doc_id, ord, w, h, delay_ms,
+                      unnest(range(0, n, 2)) AS fr
+               FROM g),
+         agg AS (
+           SELECT doc_id,
+                  sum(w * h * ((fr * 41 + ord * 13) % 256)) AS luma_total,
+                  sum(fr * delay_ms) AS ms_total
+           FROM f GROUP BY 1)
+         SELECT 'media://gif/' || g.doc_id AS media_ref,
+                CAST(g.w AS BIGINT) AS width,
+                CAST(g.h AS BIGINT) AS height,
+                CAST(g.n AS BIGINT) AS n_frames,
+                CAST(g.n * g.delay_ms AS BIGINT) AS duration_ms,
                 CAST(agg.luma_total AS BIGINT) AS luma_total,
                 CAST(agg.ms_total AS BIGINT) AS ms_total
          FROM g JOIN agg ON agg.doc_id = g.doc_id""",

@@ -297,4 +297,41 @@ class MultimodalSpec extends AnyFunSuite {
     val noFrames = Multimodal.encodeMjpegAvi(9, 6, 40000, 0, (_, _, _) => 0)
     assert(Multimodal.decodeAviMjpeg(noFrames).isEmpty)
   }
+
+  test("GIF: lossless round-trip for every palette value + timing") {
+    // LZW is lossless, so a constant-index frame decodes to exactly the
+    // palette gray — the q_video_gif oracle's whole premise; cover all
+    // 256 values (also crosses several CLEAR-reset boundaries at 13x9)
+    val gif = Multimodal.encodeGif(13, 9, delayCs = 7, nFrames = 256,
+      f => f)
+    val got = Multimodal.decodeGif(gif, everyN = 1).get
+    assert(got.width == 13 && got.height == 9)
+    assert(got.n_frames == 256L)
+    assert(got.duration_ms == 256L * 70)
+    assert(got.luma_sum == (0 until 256).map(g => 13L * 9 * g))
+    assert(got.frame_ms == (0 until 256).map(_ * 70L))
+  }
+
+  test("GIF: frame sampling skips decode but keeps count and duration") {
+    val gif = Multimodal.encodeGif(10, 6, delayCs = 4, nFrames = 5,
+      f => f * 50)
+    val every2 = Multimodal.decodeGif(gif, everyN = 2).get
+    assert(every2.n_frames == 5L)
+    assert(every2.duration_ms == 5L * 40)
+    assert(every2.frame_ms == Seq(0L, 80L, 160L))
+    assert(every2.luma_sum == Seq(0L, 10L * 6 * 100, 10L * 6 * 200))
+  }
+
+  test("GIF: malformed payloads decode to None, never throw") {
+    assert(Multimodal.decodeGif(null).isEmpty)
+    assert(Multimodal.decodeGif(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeGif("NOTAGIF".getBytes("US-ASCII")).isEmpty)
+    val good = Multimodal.encodeGif(8, 8, 4, 3, _ => 42)
+    // header-only truncation (inside the palette) -> None
+    assert(Multimodal.decodeGif(good.take(20)).isEmpty)
+    // truncation mid-frame: the reader may surface fewer frames or
+    // fail; either way no throw and no phantom full count with data cut
+    val cut = Multimodal.decodeGif(good.dropRight(good.length / 2))
+    assert(cut.forall(_.n_frames <= 3L))
+  }
 }
