@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl revisit policies: adaptive refresh scheduling (when to
+  * re-fetch a URL) and WARC revisit-record dedup (what to store when a
+  * re-fetch returns identical content). Companions to [[HostRank]] on
+  * the frontier's priority side — together they close the loop the
+  * reference leaves to its operator (cc_corpus re-downloads dumps
+  * wholesale; a continuous crawler schedules and dedups revisits).
+  */
+object CrawlPolicy {
+
+  /** Adaptive per-URL refresh schedule (the Cho/Garcia-Molina-style
+    * multiplicative policy): walk each URL's fetch history in time
+    * order; a content change halves the revisit interval (floor
+    * `minIntervalS`), an unchanged fetch doubles it (cap
+    * `maxIntervalS`), starting from `initIntervalS` after the first
+    * fetch. Intervals use shift/multiply on Longs only — the DuckDB
+    * replay's `//2` chain is bit-identical.
+    *
+    * Input: one row per fetch (urlCol, epochCol seconds, versionCol —
+    * any content fingerprint; equality means unchanged). Output per
+    * URL: (urlCol, n_fetches, n_changes, interval_s, next_due_epoch).
+    *
+    * Scale shape: one groupBy on the URL key; each URL's history is
+    * collected and folded inside its group (bounded by per-URL fetch
+    * count, never by corpus size — the same per-key sequential-fold
+    * decomposition as Curation.packSequences).
+    */
+  def refreshSchedule(fetches: DataFrame,
+                      initIntervalS: Long = 86400L,
+                      minIntervalS: Long = 3600L,
+                      maxIntervalS: Long = 1209600L,
+                      urlCol: String = "url",
+                      epochCol: String = "fetch_epoch",
+                      versionCol: String = "version"): DataFrame = {
+    require(minIntervalS <= initIntervalS && initIntervalS <= maxIntervalS)
+    val hist = fetches
+      .groupBy(urlCol)
+      .agg(array_sort(collect_list(
+        struct(col(epochCol).cast("long").as("e"),
+               col(versionCol).cast("long").as("v")))).as("h"))
+    // fold state: (interval, last epoch, prev version, changes); the
+    // first element seeds state, later elements apply the halve/double
+    // rule. All-Long arithmetic (shiftright == // on non-negatives).
+    val zero = struct(lit(-1L).as("i"), lit(0L).as("e"),
+      lit(0L).as("v"), lit(0L).as("c"))
+    val step = (acc: org.apache.spark.sql.Column,
+                x: org.apache.spark.sql.Column) => {
+      val first = acc.getField("i") === -1L
+      val changed = x.getField("v") =!= acc.getField("v")
+      val halved = greatest(lit(minIntervalS),
+        shiftright(acc.getField("i"), 1))
+      val doubled = least(lit(maxIntervalS), acc.getField("i") * 2)
+      struct(
+        when(first, lit(initIntervalS))
+          .otherwise(when(changed, halved).otherwise(doubled)).as("i"),
+        x.getField("e").as("e"),
+        x.getField("v").as("v"),
+        (acc.getField("c") +
+          when(!first && changed, 1L).otherwise(0L)).as("c"))
+    }
+    hist.select(col(urlCol),
+        size(col("h")).cast("long").as("n_fetches"),
+        aggregate(col("h"), zero, step).as("s"))
+      .select(col(urlCol), col("n_fetches"),
+        col("s.c").as("n_changes"),
+        col("s.i").as("interval_s"),
+        (col("s.e") + col("s.i")).as("next_due_epoch"))
+  }
+
+  /** WARC revisit-record dedup (the CDX `revisit` semantics Common
+    * Crawl applies at capture time): for each content digest, the
+    * earliest capture — (epoch, url) order — stays a full `response`
+    * record; every later capture becomes a `revisit` record pointing at
+    * the original's url/epoch, storing no payload. One window over the
+    * digest key; no self-join.
+    */
+  def revisitRecords(captures: DataFrame,
+                     urlCol: String = "url",
+                     epochCol: String = "fetch_epoch",
+                     digestCol: String = "digest"): DataFrame = {
+    val w = Window.partitionBy(col(digestCol))
+      .orderBy(col(epochCol).asc, col(urlCol).asc)
+    val isFirst = row_number().over(w) === 1
+    captures.select(col(urlCol), col(epochCol).cast("long").as(epochCol),
+        col(digestCol),
+        isFirst.as("__f"),
+        first(col(urlCol)).over(w).as("__ou"),
+        first(col(epochCol).cast("long")).over(w).as("__oe"))
+      .select(col(urlCol), col(epochCol), col(digestCol),
+        when(col("__f"), "response").otherwise("revisit")
+          .as("record_type"),
+        when(col("__f"), lit(null).cast("string")).otherwise(col("__ou"))
+          .as("refers_to_url"),
+        when(col("__f"), lit(null).cast("long")).otherwise(col("__oe"))
+          .as("refers_to_epoch"))
+  }
+}

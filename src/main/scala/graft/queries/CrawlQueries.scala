@@ -66,6 +66,32 @@ object CrawlQueries {
         iters = 5)
     },
 
+    // Adaptive recrawl schedule: 500 synthetic URLs, ~20 fetches each
+    // from events; change-halves / same-doubles interval fold per URL,
+    // all-Long arithmetic. The oracle replays the fold as a recursive
+    // CTE (like q_seq_pack).
+    "q_recrawl_schedule" -> { (s, dir) =>
+      val fetches = table(s, dir, "events").select(
+        concat(lit("u"), pmod(col("user_id"), lit(20L)), lit("/"),
+          pmod(col("event_id"), lit(25L))).as("url"),
+        unix_timestamp(col("ts")).as("fetch_epoch"),
+        pmod(col("event_id"), lit(4L)).as("version"))
+      graft.operators.CrawlPolicy.refreshSchedule(fetches,
+        initIntervalS = 86400L, minIntervalS = 3600L,
+        maxIntervalS = 1209600L)
+    },
+
+    // WARC revisit-record dedup: first capture per digest stays a
+    // response, later captures become revisit records pointing at it.
+    "q_warc_revisit" -> { (s, dir) =>
+      val captures = table(s, dir, "events").select(
+        concat(lit("u"), pmod(col("user_id"), lit(20L)), lit("/"),
+          pmod(col("event_id"), lit(25L))).as("url"),
+        unix_timestamp(col("ts")).as("fetch_epoch"),
+        md5(pmod(col("event_id"), lit(150L)).cast("string")).as("digest"))
+      graft.operators.CrawlPolicy.revisitRecords(captures)
+    },
+
     // S2 ranged fetch through the PRODUCTION retry loop: the documents
     // table doubles as the remote store (file = doc_id, bytes = ASCII
     // text — the sandbox's network stand-in, NOT a data-path collect:
@@ -259,6 +285,62 @@ object CrawlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank_hosts" -> prOracle,
+
+    "q_recrawl_schedule" ->
+      """WITH RECURSIVE src AS (
+           SELECT 'u' || (user_id % 20) || '/' || (event_id % 25) AS url,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                  event_id % 4 AS v
+           FROM events),
+         f AS (
+           SELECT url, e, v,
+                  row_number() OVER (PARTITION BY url ORDER BY e, v)
+                    AS rn
+           FROM src),
+         r(url, rn, e, v, i, c) AS (
+           SELECT url, rn, e, v, CAST(86400 AS BIGINT), CAST(0 AS BIGINT)
+           FROM f WHERE rn = 1
+           UNION ALL
+           SELECT f.url, f.rn, f.e, f.v,
+                  CASE WHEN f.v <> r.v
+                       THEN greatest(3600, r.i // 2)
+                       ELSE least(1209600, r.i * 2) END,
+                  r.c + CASE WHEN f.v <> r.v THEN 1 ELSE 0 END
+           FROM r JOIN f ON f.url = r.url AND f.rn = r.rn + 1),
+         last AS (
+           SELECT url, rn, e, i, c,
+                  row_number() OVER (PARTITION BY url ORDER BY rn DESC)
+                    AS rev
+           FROM r)
+         SELECT url, CAST(rn AS BIGINT) AS n_fetches,
+                c AS n_changes, i AS interval_s,
+                e + i AS next_due_epoch
+         FROM last WHERE rev = 1""",
+
+    "q_warc_revisit" ->
+      """WITH src AS (
+           SELECT 'u' || (user_id % 20) || '/' || (event_id % 25) AS url,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS fetch_epoch,
+                  md5(CAST(event_id % 150 AS VARCHAR)) AS digest
+           FROM events),
+         w AS (
+           SELECT url, fetch_epoch, digest,
+                  row_number() OVER (PARTITION BY digest
+                                     ORDER BY fetch_epoch, url) AS rn,
+                  first_value(url) OVER (PARTITION BY digest
+                                         ORDER BY fetch_epoch, url)
+                    AS ou,
+                  first_value(fetch_epoch) OVER (PARTITION BY digest
+                                                 ORDER BY fetch_epoch,
+                                                          url) AS oe
+           FROM src)
+         SELECT url, fetch_epoch, digest,
+                CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                  AS record_type,
+                CASE WHEN rn = 1 THEN NULL ELSE ou END AS refers_to_url,
+                CASE WHEN rn = 1 THEN NULL ELSE oe END
+                  AS refers_to_epoch
+         FROM w""",
     // every documents.text is ASCII (driver fixture), so byte ranges ==
     // character substrings; min text length is 44 (measured) >= the
     // largest range end (40) — shrink the ranges before the fixture

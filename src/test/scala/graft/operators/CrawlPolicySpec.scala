@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CrawlPolicySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("refreshSchedule: hand-walked halve/double fold with clamps") {
+    val s = spark
+    import s.implicits._
+    // url a: versions 1,1,2,2,2 at t=0..400 step 100
+    //   t0: init 1000; t100 same -> 2000; t200 changed -> 1000;
+    //   t300 same -> 2000; t400 same -> 4000 (cap) -> next due 4400...
+    //   cap at 4000 exercises maxInterval
+    val fetches = Seq(
+      ("a", 0L, 1L), ("a", 100L, 1L), ("a", 200L, 2L),
+      ("a", 300L, 2L), ("a", 400L, 2L),
+      // url b: every fetch changes -> floor clamp
+      ("b", 0L, 1L), ("b", 10L, 2L), ("b", 20L, 3L), ("b", 30L, 4L),
+      // url c: single fetch -> init interval, no changes
+      ("c", 5L, 9L)
+    ).toDF("url", "fetch_epoch", "version")
+    val out = CrawlPolicy.refreshSchedule(fetches,
+        initIntervalS = 1000L, minIntervalS = 300L, maxIntervalS = 4000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: 1000 ->(same) 2000 ->(chg) 1000 ->(same) 2000 ->(same) 4000
+    assert(out("a") == ((5L, 1L, 4000L, 4400L)))
+    // b: 1000 ->(chg) 500 ->(chg) 300(floor: 250<300) ->(chg) 300
+    assert(out("b") == ((4L, 3L, 300L, 330L)))
+    assert(out("c") == ((1L, 0L, 1000L, 1005L)))
+  }
+
+  test("refreshSchedule: out-of-order input is folded in time order") {
+    val s = spark
+    import s.implicits._
+    val shuffled = Seq(
+      ("a", 200L, 2L), ("a", 0L, 1L), ("a", 100L, 1L)
+    ).toDF("url", "fetch_epoch", "version")
+    val out = CrawlPolicy.refreshSchedule(shuffled,
+        initIntervalS = 1000L, minIntervalS = 300L, maxIntervalS = 4000L)
+      .collect().head
+    // time order 0,100,200: init -> same(2000) -> changed(1000)
+    assert(out.getLong(3) == 1000L && out.getLong(4) == 1200L)
+  }
+
+  test("revisitRecords: first capture per digest wins, epoch+url tie") {
+    val s = spark
+    import s.implicits._
+    val caps = Seq(
+      ("u1", 100L, "d1"), ("u2", 50L, "d1"), ("u3", 50L, "d1"),
+      ("u4", 10L, "d2")
+    ).toDF("url", "fetch_epoch", "digest")
+    val out = CrawlPolicy.revisitRecords(caps)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(3), Option(r.getString(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // d1's original is u2@50 (epoch tie with u3 broken by url)
+    assert(out("u2") == (("response", None, None)))
+    assert(out("u3") == (("revisit", Some("u2"), Some(50L))))
+    assert(out("u1") == (("revisit", Some("u2"), Some(50L))))
+    assert(out("u4") == (("response", None, None)))
+  }
+}
