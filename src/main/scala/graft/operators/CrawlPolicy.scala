@@ -38,16 +38,22 @@ object CrawlPolicy {
                       epochCol: String = "fetch_epoch",
                       versionCol: String = "version"): DataFrame = {
     require(minIntervalS <= initIntervalS && initIntervalS <= maxIntervalS)
+    // version keeps its OWN type (md5 strings are the natural
+    // fingerprint) — casting it would silently null out non-numeric
+    // versions and read as "never changed"
+    val vType = fetches.select(col(versionCol)).schema.head.dataType
     val hist = fetches
       .groupBy(urlCol)
       .agg(array_sort(collect_list(
         struct(col(epochCol).cast("long").as("e"),
-               col(versionCol).cast("long").as("v")))).as("h"))
+               col(versionCol).as("v")))).as("h"))
     // fold state: (interval, last epoch, prev version, changes); the
-    // first element seeds state, later elements apply the halve/double
-    // rule. All-Long arithmetic (shiftright == // on non-negatives).
+    // first element seeds state (null version — the `first` branch is
+    // decided before `changed` is read), later elements apply the
+    // halve/double rule. Interval arithmetic is all-Long (shiftright ==
+    // // on non-negatives).
     val zero = struct(lit(-1L).as("i"), lit(0L).as("e"),
-      lit(0L).as("v"), lit(0L).as("c"))
+      lit(null).cast(vType).as("v"), lit(0L).as("c"))
     val step = (acc: org.apache.spark.sql.Column,
                 x: org.apache.spark.sql.Column) => {
       val first = acc.getField("i") === -1L

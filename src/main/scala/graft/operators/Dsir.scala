@@ -46,18 +46,24 @@ object Dsir {
   /** Per-doc exploded feature buckets: unigrams + bigrams. Bigram
     * strings are built inside the array lambda (cheap concat); the md5
     * runs AFTER explode, outside any HOF, so it stays codegen'd.
+    * `carryCols` ride along through the explode (e.g. the training
+    * label) so no caller has to join the exploded table back to the
+    * corpus — that join would shuffle ~2 tokens-per-doc rows by doc id.
     */
   def features(docs: DataFrame, buckets: Int,
                idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               carryCols: Seq[String] = Nil): DataFrame = {
+    val carried = carryCols.map(col)
     val toks = toksCol(col(textCol))
     val bigrams = expr(
       "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
         "(t, i) -> concat(t, ' ', __toks[i + 1]))")
-    docs.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol),
-        explode(concat(col("__toks"), bigrams)).as("g"))
-      .select(col(idCol), bucketCol(col("g"), buckets).as("b"))
+    docs.select(col(idCol) +: toks.as("__toks") +: carried: _*)
+      .select(col(idCol) +: explode(concat(col("__toks"), bigrams))
+        .as("g") +: carried: _*)
+      .select(col(idCol) +: bucketCol(col("g"), buckets).as("b")
+        +: carried: _*)
   }
 
   /** The model: per-bucket counts under the raw corpus and the target
@@ -73,8 +79,7 @@ object Dsir {
             textCol: String = "text"): Model = {
     val f = features(
       docs.select(col(idCol), col(textCol), col(targetCol).as("__t")),
-      buckets, idCol, textCol)
-      .join(docs.select(col(idCol), col(targetCol).as("__t")), idCol)
+      buckets, idCol, textCol, carryCols = Seq("__t"))
     val t = f.groupBy("b").agg(
       count(lit(1)).as("c_raw"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("c_tgt"))

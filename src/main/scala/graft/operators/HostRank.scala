@@ -67,6 +67,13 @@ object HostRank {
       prevCheckpointed = Some(next)
       ranks = next
     }
+    // after the loop the returned plan reads only the LAST iteration's
+    // checkpoint — base/outdeg blocks can go (kept when iters == 0,
+    // where ranks still projects base)
+    if (iters > 0) {
+      UrlDedup.releaseOrderCache(base)
+      UrlDedup.releaseOrderCache(outdeg)
+    }
     ranks.select(col("host").as(idCol), col("r").as("rank_mu"),
       round(col("r").cast("double") / scale, 6).as("rank"))
   }

@@ -47,6 +47,23 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(out.getLong(3) == 1000L && out.getLong(4) == 1200L)
   }
 
+  test("refreshSchedule: string fingerprints drive change detection") {
+    val s = spark
+    import s.implicits._
+    // md5-like string versions must compare as strings — a numeric
+    // cast would null them out and read as "never changed"
+    val fetches = Seq(
+      ("a", 0L, "d41d8cd9"), ("a", 100L, "d41d8cd9"),
+      ("a", 200L, "900150983")
+    ).toDF("url", "fetch_epoch", "version")
+    val out = CrawlPolicy.refreshSchedule(fetches,
+        initIntervalS = 1000L, minIntervalS = 300L, maxIntervalS = 4000L)
+      .collect().head
+    // init -> same(2000) -> changed(1000); one change counted
+    assert(out.getLong(2) == 1L)
+    assert(out.getLong(3) == 1000L)
+  }
+
   test("revisitRecords: first capture per digest wins, epoch+url tie") {
     val s = spark
     import s.implicits._
