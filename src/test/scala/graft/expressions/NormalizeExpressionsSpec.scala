@@ -1,0 +1,45 @@
+package graft.expressions
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class NormalizeExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // explicit escapes — source-encoding-proof
+  private val Decomposed = "café" // e + combining acute
+  private val Composed   = "café"       // precomposed é
+
+  test("graft_nfc composes combining marks, is idempotent, keeps nulls") {
+    NormalizeExpressions.register(spark)
+    assert(Decomposed != Composed) // sanity: the fixture is decomposed
+    val texts = Seq(Decomposed, Composed, "plain ascii", "", null)
+    val rows = texts.toDF("t").selectExpr("t", "graft_nfc(t) AS n")
+      .collect()
+    val got = rows.map(r => Option(r.getString(0)) -> (
+      if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(Some(Decomposed)) == Composed)  // composed
+    assert(got(Some(Composed)) == Composed)    // already NFC: unchanged
+    assert(got(Some("plain ascii")) == "plain ascii")
+    assert(got(Some("")) == "")
+    assert(got(None) == null)
+    // matches the JDK normalizer on a mixed string (the oracle's
+    // nfc_normalize agrees with this by the Unicode spec)
+    val mixed = "å b ö ñ x"
+    val df2 = Seq(mixed).toDF("t").selectExpr("graft_nfc(t) AS n")
+    assert(df2.collect().head.getString(0) ==
+      java.text.Normalizer.normalize(mixed,
+        java.text.Normalizer.Form.NFC))
+  }
+
+  test("normalization changes hash identity — the reason the op exists") {
+    NormalizeExpressions.register(spark)
+    val r = Seq(("é", "é")).toDF("a", "b")
+      .selectExpr("md5(a) = md5(b) AS raw_eq",
+        "md5(graft_nfc(a)) = md5(graft_nfc(b)) AS norm_eq")
+      .collect().head
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+  }
+}
