@@ -66,6 +66,32 @@ object CrawlQueries {
         iters = 5)
     },
 
+    // Sitemap ingestion: every doc synthesizes a sitemap XML document
+    // (every 10th a <sitemapindex>, the rest <urlset> entries with
+    // escaped query strings and lastmod), parsed back by the operator's
+    // regex columns. The oracle builds the identical XML and parses it
+    // with DuckDB's regexp functions.
+    "q_sitemap_urls" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val host = pmod(id, lit(30L)).cast("string")
+      val m = (pmod(id, lit(9L)) + 1).cast("string")
+      val n = pmod(id, lit(3L)) + 1
+      val urlEntries = array_join(transform(sequence(lit(0L), n - 1),
+        k => concat(lit("<url><loc>https://h"), host, lit("/p"),
+          (id * 3 + k).cast("string"), lit("?a=1&amp;b="),
+          k.cast("string"), lit("</loc><lastmod>2024-0"), m, lit("-0"),
+          (k + 1).cast("string"), lit("</lastmod></url>"))), "")
+      val idxEntries = array_join(transform(sequence(lit(0L), n - 1),
+        k => concat(lit("<sitemap><loc>https://h"), host, lit("/sitemap"),
+          k.cast("string"), lit(".xml</loc></sitemap>"))), "")
+      val xml = when(pmod(id, lit(10L)) === 0,
+        concat(lit("<sitemapindex>"), idxEntries, lit("</sitemapindex>")))
+        .otherwise(concat(lit("<urlset>"), urlEntries, lit("</urlset>")))
+      graft.sources.Sitemaps.parse(
+        table(s, dir, "documents").select(col("doc_id").as("sitemap_id"),
+          xml.as("xml")))
+    },
+
     // Adaptive recrawl schedule: 500 synthetic URLs, ~20 fetches each
     // from events; change-halves / same-doubles interval fold per URL,
     // all-Long arithmetic. The oracle replays the fold as a recursive
@@ -285,6 +311,52 @@ object CrawlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank_hosts" -> prOracle,
+
+    "q_sitemap_urls" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 30 AS host, doc_id % 9 + 1 AS m,
+                  doc_id % 3 + 1 AS n
+           FROM documents),
+         x AS (
+           SELECT doc_id AS sitemap_id,
+                  CASE WHEN doc_id % 10 = 0 THEN
+                    '<sitemapindex>' || array_to_string(
+                      list_transform(range(0, n), k ->
+                        '<sitemap><loc>https://h' || host || '/sitemap'
+                        || k || '.xml</loc></sitemap>'), '')
+                    || '</sitemapindex>'
+                  ELSE
+                    '<urlset>' || array_to_string(
+                      list_transform(range(0, n), k ->
+                        '<url><loc>https://h' || host || '/p'
+                        || (doc_id * 3 + k) || '?a=1&amp;b=' || k
+                        || '</loc><lastmod>2024-0' || m || '-0'
+                        || (k + 1) || '</lastmod></url>'), '')
+                    || '</urlset>'
+                  END AS xml
+           FROM d),
+         u AS (
+           SELECT sitemap_id, 'url' AS kind,
+                  unnest(regexp_extract_all(
+                    regexp_extract(xml, '<urlset>(.*)</urlset>', 1),
+                    '<url>(.*?)</url>', 1)) AS e
+           FROM x
+           UNION ALL
+           SELECT sitemap_id, 'sitemap' AS kind,
+                  unnest(regexp_extract_all(
+                    regexp_extract(xml,
+                      '<sitemapindex>(.*)</sitemapindex>', 1),
+                    '<sitemap>(.*?)</sitemap>', 1)) AS e
+           FROM x)
+         SELECT sitemap_id, kind,
+                replace(replace(replace(replace(replace(
+                  regexp_extract(e, '<loc>(.*?)</loc>', 1),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&') AS url,
+                regexp_extract(e, '<lastmod>(.*?)</lastmod>', 1)
+                  AS lastmod
+         FROM u
+         WHERE regexp_extract(e, '<loc>(.*?)</loc>', 1) <> ''""",
 
     "q_recrawl_schedule" ->
       """WITH RECURSIVE src AS (

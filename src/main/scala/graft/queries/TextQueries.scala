@@ -109,6 +109,30 @@ object TextQueries {
         Seq("join", "scan", "window"))
     },
 
+    // Unicode NFC normalization (native codegen'd expression vs
+    // DuckDB's built-in nfc_normalize): the fixture text is ASCII, so
+    // each row gets a deterministic decomposed suffix (combining marks
+    // that NFC composes) appended from doc_id — both engines build the
+    // identical pre-normalization string.
+    "q_normalize_text" -> { (s, dir) =>
+      graft.expressions.NormalizeExpressions.register(s)
+      val suffix = element_at(array(
+          lit(""),
+          lit(" zéta"),
+          lit(" öko"),
+          lit(" åño")),
+        (pmod(col("doc_id").cast(LongType), lit(4L)) + 1).cast("int"))
+      val raw = concat(col("text"), suffix)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expressions.NormalizeExpressions.nfcCol(raw)
+          .as("norm_text"),
+        length(raw).cast(LongType).as("n_chars_raw"))
+        .withColumn("n_chars_norm",
+          length(col("norm_text")).cast(LongType))
+        .withColumn("changed", col("n_chars_norm") =!= col("n_chars_raw"))
+    },
+
     // Exact dedup: hash-groupBy on full text, keep lexicographically
     // smallest doc_id as the representative.
     "q_dedup_exact" -> { (s, dir) =>
@@ -819,6 +843,24 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    // NFC replay: identical decomposed suffixes built from codepoints,
+    // DuckDB's nfc_normalize against the native expression.
+    "q_normalize_text" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  text || CASE doc_id % 4
+                    WHEN 0 THEN ''
+                    WHEN 1 THEN ' ze' || chr(769) || 'ta'
+                    WHEN 2 THEN ' o' || chr(776) || 'ko'
+                    ELSE ' a' || chr(778) || 'n' || chr(771) || 'o'
+                  END AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS norm_text,
+                CAST(length(raw) AS BIGINT) AS n_chars_raw,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm,
+                length(nfc_normalize(raw)) <> length(raw) AS changed
+         FROM w""",
+
     // SemDeDup replay: identical k-means prefix to q_ann_ivf, then
     // centroid cosine (6dp) per doc and the dominator EXISTS (pair
     // cosine 4dp vs threshold; more-central wins, id tie-break).
