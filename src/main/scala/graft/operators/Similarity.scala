@@ -380,7 +380,8 @@ object Similarity {
   def semDedup(embeddings: DataFrame, simThreshold: Double,
                kClusters: Int = 8, iters: Int = 3,
                idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame = {
+               embCol: String = "embedding",
+               maxClusterSize: Long = 200000L): DataFrame = {
     graft.expressions.VectorExpressions.register(embeddings.sparkSession)
     import graft.expressions.VectorExpressions.dotCol
     val cents = ivfCentroids(embeddings, kClusters, iters, idCol, embCol)
@@ -395,6 +396,16 @@ object Similarity {
       .withColumn("cent_sim", round(
         dotCol(col("v"), centOf) /
           (col("nrm") * sqrt(dotCol(centOf, centOf))), 6))
+    // LOUD guard against silent quadratic blowup: the pair join is
+    // O(size²) within a cluster by design — a skewed quantizer (or a
+    // kClusters too small for the corpus) must fail with advice, not
+    // quietly melt a stage. One small agg over cluster ids.
+    val biggest = e.groupBy("cid").count()
+      .agg(max("count")).head().getLong(0)
+    require(biggest <= maxClusterSize,
+      s"semDedup: largest cluster has $biggest vectors " +
+        s"(> maxClusterSize=$maxClusterSize); raise kClusters " +
+        s"(~0.1% of corpus size) or maxClusterSize explicitly")
     // a dominator of row a: same cluster, sim >= threshold, strictly
     // more central (or equally central with a smaller id). Rounding
     // disciplines match the oracle: pair sim 4dp, cent_sim 6dp.

@@ -103,6 +103,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count(!_._2._3) == 1)
   }
 
+  test("semDedup: oversized clusters fail loudly with advice") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, simThreshold = 0.9, kClusters = 2,
+        iters = 1, maxClusterSize = 3L)
+    }
+    assert(ex.getMessage.contains("raise kClusters"))
+  }
+
   test("semDedup: impossible threshold keeps everything; rows are total") {
     val n = emb.count()
     val out = Similarity.semDedup(emb, simThreshold = 1.01,
