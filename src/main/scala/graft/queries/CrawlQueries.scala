@@ -66,6 +66,33 @@ object CrawlQueries {
         iters = 5)
     },
 
+    // Charset sniff + transcode over synthesized payload bytes: five
+    // modes per doc_id — plain UTF-8, BOM'd UTF-8, UTF-16LE BOM,
+    // declared iso-8859-1 with a true latin-1 byte, and undeclared
+    // windows-1252 (0x92 kills UTF-8 validity). The oracle predicts
+    // (charset, text) from the same generators via chr() codepoints.
+    "q_charset_decode" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val mode = pmod(id, lit(5L))
+      val bytes = when(mode === 0, encode(col("text"), "UTF-8"))
+        .when(mode === 1, concat(unhex(lit("EFBBBF")),
+          encode(concat(lit("café "), col("text")), "UTF-8")))
+        .when(mode === 2, concat(unhex(lit("FFFE")),
+          encode(concat(lit("w"), pmod(id, lit(10L)).cast("string")),
+            "UTF-16LE")))
+        .when(mode === 3, concat(
+          encode(lit("<meta charset=iso-8859-1>caf"), "US-ASCII"),
+          unhex(lit("E9"))))
+        .otherwise(concat(encode(lit("it"), "US-ASCII"),
+          unhex(lit("92")),
+          encode(concat(lit("s "), col("text")), "US-ASCII")))
+      graft.functions.Charsets.transcode(
+        table(s, dir, "documents").select(col("doc_id"),
+          bytes.as("bytes")))
+        .select(col("doc_id"), col("charset"), col("text"),
+          length(col("text")).cast(LongType).as("n_chars"))
+    },
+
     // Sitemap ingestion: every doc synthesizes a sitemap XML document
     // (every 10th a <sitemapindex>, the rest <urlset> entries with
     // escaped query strings and lastmod), parsed back by the operator's
@@ -311,6 +338,31 @@ object CrawlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank_hosts" -> prOracle,
+
+    "q_charset_decode" ->
+      """SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'utf-8'
+                  WHEN 1 THEN 'utf-8'
+                  WHEN 2 THEN 'utf-16le'
+                  WHEN 3 THEN 'iso-8859-1'
+                  ELSE 'windows-1252'
+                END AS charset,
+                CASE doc_id % 5
+                  WHEN 0 THEN text
+                  WHEN 1 THEN 'caf' || chr(233) || ' ' || text
+                  WHEN 2 THEN 'w' || (doc_id % 10)
+                  WHEN 3 THEN '<meta charset=iso-8859-1>caf' || chr(233)
+                  ELSE 'it' || chr(8217) || 's ' || text
+                END AS text,
+                CAST(length(CASE doc_id % 5
+                  WHEN 0 THEN text
+                  WHEN 1 THEN 'caf' || chr(233) || ' ' || text
+                  WHEN 2 THEN 'w' || (doc_id % 10)
+                  WHEN 3 THEN '<meta charset=iso-8859-1>caf' || chr(233)
+                  ELSE 'it' || chr(8217) || 's ' || text
+                END) AS BIGINT) AS n_chars
+         FROM documents""",
 
     "q_sitemap_urls" ->
       """WITH d AS (
