@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Charsets {
 
+  // Declarations are only honored INSIDE an actual <meta …> tag or the
+  // XML prolog (the WHATWG prescan contract) — a bare `encoding=` in
+  // body content (e.g. a link's query string) must NOT hijack the
+  // detected charset.
   private val DeclRe =
-    ("(?i)(?:charset|encoding)\\s*=\\s*[\"']?([A-Za-z0-9_][A-Za-z0-9._\\-]*)")
-      .r
+    ("(?is)(?:<meta\\s[^>]*?charset\\s*=\\s*[\"']?" +
+      "|<\\?xml\\s[^>]*?encoding\\s*=\\s*[\"']?)" +
+      "([A-Za-z0-9_][A-Za-z0-9._\\-]*)").r
 
   /** Detected charset name (canonical JVM name, lowercase) and BOM
     * length. Unknown/unsupported declared names fall through to the

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Canonical case-folded whitespace tokenization shared by the
+    * model-based operators (QualityClassifier, Dsir) and their DuckDB
+    * oracles (`string_split_regex(trim(lower(text)), '\s+')`). One
+    * definition so the operators cannot silently diverge.
+    */
+  def wsTokensLower(c: Column): Column = split(trim(lower(c)), "\\s+")
+
   /** Whitespace token count: size(split(trim(text), '\s+')). */
   def tokenCountCol(text: Column): Column =
     size(split(trim(text), "\\s+"))

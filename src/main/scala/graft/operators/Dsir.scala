@@ -41,7 +41,7 @@ object Dsir {
   }
 
   private def toksCol(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+    graft.functions.TextAnalysis.wsTokensLower(text)
 
   /** Per-doc exploded feature buckets: unigrams + bigrams. Bigram
     * strings are built inside the array lambda (cheap concat); the md5

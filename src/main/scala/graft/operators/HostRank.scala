@@ -41,15 +41,20 @@ object HostRank {
                srcCol: String = "src", dstCol: String = "dst",
                idCol: String = "host"): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
-    val n = nodes.select(col(idCol)).distinct().count()
+    // ids keep the CALLER's type (hostnames are strings in a real host
+    // graph — a long cast would null them all out silently); ranks are
+    // the only Long-typed state. The node universe materializes ONCE
+    // (checkpoint first, count from the materialized blocks), and the
+    // edge distinct is paid once up front, not once per iteration.
+    val base = nodes.select(col(idCol).as("host")).distinct()
+      .localCheckpoint()
+    val n = base.count()
     require(n > 0, "pageRank needs a non-empty node universe")
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
-    val ed = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val base = nodes.select(col(idCol).cast("long").as("host")).distinct()
+    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var ranks = base.withColumn("r", lit(scale / n))
     var prevCheckpointed: Option[DataFrame] = None
@@ -68,10 +73,11 @@ object HostRank {
       ranks = next
     }
     // after the loop the returned plan reads only the LAST iteration's
-    // checkpoint — base/outdeg blocks can go (kept when iters == 0,
+    // checkpoint — base/ed/outdeg blocks can go (kept when iters == 0,
     // where ranks still projects base)
     if (iters > 0) {
       UrlDedup.releaseOrderCache(base)
+      UrlDedup.releaseOrderCache(ed)
       UrlDedup.releaseOrderCache(outdeg)
     }
     ranks.select(col("host").as(idCol), col("r").as("rank_mu"),

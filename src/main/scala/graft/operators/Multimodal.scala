@@ -781,15 +781,26 @@ object Multimodal {
                          duration_ms: Long,
                          frame_ms: Seq[Long], luma_sum: Seq[Long])
 
-  /** Decode an animated GIF with the JDK codec: every `everyN`-th frame
-    * is fully decoded and luma-summed; delays come from each frame's
+  /** Decode an animated GIF with the JDK codec, COMPOSITING frames the
+    * way a viewer does: geometry from the logical screen descriptor,
+    * each frame drawn at its descriptor offsets with transparency
+    * honored, disposal (none / doNotDispose / restoreToBackground /
+    * restoreToPrevious) applied after display. Every frame is decoded
+    * (animation state is cumulative); `everyN` selects which composited
+    * states are luma-summed. Delays come from each frame's
     * GraphicControlExtension (centiseconds → ms). None for
     * malformed/unsupported payloads — decode never fails a task.
     */
   def decodeGif(bytes: Array[Byte], everyN: Int = 1): Option[GifFeatures] = {
-    if (bytes == null || bytes.length < 6 || everyN < 1) return None
+    if (bytes == null || bytes.length < 10 || everyN < 1) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF89a" && sig != "GIF87a") return None
+    // geometry from the LOGICAL SCREEN DESCRIPTOR — real optimized GIFs
+    // encode frames as partial rectangles, so frame 0's raster is not
+    // authoritative for the canvas
+    val width  = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val height = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    if (width <= 0 || height <= 0) return None
     val reader = {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       if (!it.hasNext) return None
@@ -804,35 +815,81 @@ object Multimodal {
       val lumaSums = scala.collection.mutable.ArrayBuffer.empty[Long]
       var clockMs = 0L
       var durationMs = 0L
-      var width = 0; var height = 0
+      // COMPOSITED canvas (luma per pixel, -1 = unset/background=0 for
+      // summing): every frame is decoded and drawn at its descriptor
+      // offsets honoring transparency + disposal; `everyN` selects
+      // which composited states are feature-summed (animation state is
+      // cumulative, so decode cannot be skipped).
+      val canvas = new Array[Int](width * height)
       (0 until n).foreach { i =>
-        // per-frame delay from the GCE node of the image metadata tree
         val md = reader.getImageMetadata(i)
         val tree = md.getAsTree("javax_imageio_gif_image_1.0")
           .asInstanceOf[org.w3c.dom.Element]
-        val gce = tree.getElementsByTagName("GraphicControlExtension")
-        val delayMs =
-          if (gce.getLength > 0)
-            gce.item(0).asInstanceOf[org.w3c.dom.Element]
-              .getAttribute("delayTime").toLong * 10L
-          else 0L
-        if (i % everyN == 0) {
-          val img = reader.read(i)
-          if (i == 0) { width = img.getWidth; height = img.getHeight }
-          var s = 0L
-          var y = 0
-          while (y < img.getHeight) {
+        def attr(tag: String, name: String): String = {
+          val nodes = tree.getElementsByTagName(tag)
+          if (nodes.getLength > 0)
+            nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute(name)
+          else ""
+        }
+        val delayMs = {
+          val d = attr("GraphicControlExtension", "delayTime")
+          if (d.nonEmpty) d.toLong * 10L else 0L
+        }
+        val disposal = attr("GraphicControlExtension", "disposalMethod")
+        val left = { val v = attr("ImageDescriptor", "imageLeftPosition")
+          if (v.nonEmpty) v.toInt else 0 }
+        val top  = { val v = attr("ImageDescriptor", "imageTopPosition")
+          if (v.nonEmpty) v.toInt else 0 }
+        val img = reader.read(i)
+        val fw = img.getWidth; val fh = img.getHeight
+        val prev =
+          if (disposal == "restoreToPrevious") canvas.clone() else null
+        var y = 0
+        while (y < fh) {
+          val cy = top + y
+          if (cy >= 0 && cy < height) {
             var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                    (rgb & 0xff)) / 3
+            while (x < fw) {
+              val cx = left + x
+              if (cx >= 0 && cx < width) {
+                val rgb = img.getRGB(x, y)
+                if ((rgb >>> 24) != 0) // transparent pixels keep canvas
+                  canvas(cy * width + cx) =
+                    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3
+              }
               x += 1
             }
-            y += 1
           }
+          y += 1
+        }
+        if (i % everyN == 0) {
+          var s = 0L
+          var p = 0
+          while (p < canvas.length) { s += canvas(p); p += 1 }
           frameMs  += clockMs
           lumaSums += s
+        }
+        // disposal applies AFTER the frame is displayed
+        disposal match {
+          case "restoreToBackgroundColor" =>
+            var yy = 0
+            while (yy < fh) {
+              val cy = top + yy
+              if (cy >= 0 && cy < height) {
+                var xx = 0
+                while (xx < fw) {
+                  val cx = left + xx
+                  if (cx >= 0 && cx < width) canvas(cy * width + cx) = 0
+                  xx += 1
+                }
+              }
+              yy += 1
+            }
+          case "restoreToPrevious" if prev != null =>
+            System.arraycopy(prev, 0, canvas, 0, canvas.length)
+          case _ => ()
         }
         clockMs += delayMs
         durationMs += delayMs
@@ -854,25 +911,44 @@ object Multimodal {
     * keeping the encoder an exact, dependency-free spec implementation.
     */
   def encodeGif(w: Int, h: Int, delayCs: Int, nFrames: Int,
-                colorOf: Int => Int): Array[Byte] = {
-    require(w > 0 && h > 0 && nFrames > 0 && delayCs >= 0)
+                colorOf: Int => Int): Array[Byte] =
+    encodeGifFrames(w, h, (0 until nFrames).map(f =>
+      GifFrame(0, 0, w, h, colorOf(f), delayCs)))
+
+  /** One frame of the canonical encoder: a constant-index rectangle at
+    * (x, y), GCE delay + disposal (0 none, 1 doNotDispose, 2
+    * restoreToBackground, 3 restoreToPrevious).
+    */
+  final case class GifFrame(x: Int, y: Int, w: Int, h: Int,
+                            colorIdx: Int, delayCs: Int,
+                            disposal: Int = 0)
+
+  /** General form: PARTIAL frames at offsets with per-frame disposal —
+    * the shapes real optimized GIFs use, so the compositing decoder can
+    * be exercised from-spec.
+    */
+  def encodeGifFrames(screenW: Int, screenH: Int,
+                      frames: Seq[GifFrame]): Array[Byte] = {
+    require(screenW > 0 && screenH > 0 && frames.nonEmpty)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
-    out.write(le16Bytes(w)); out.write(le16Bytes(h))
+    out.write(le16Bytes(screenW)); out.write(le16Bytes(screenH))
     out.write(0xf7) // global table, 8-bit color res, 256 entries
     out.write(0); out.write(0) // background index, aspect
     (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
     val clear = 256; val eoi = 257
-    (0 until nFrames).foreach { f =>
-      // Graphic Control Extension
+    frames.foreach { fr =>
+      require(fr.w > 0 && fr.h > 0 && fr.delayCs >= 0 &&
+        fr.disposal >= 0 && fr.disposal <= 3)
+      // Graphic Control Extension (disposal in bits 2-4)
       out.write(0x21); out.write(0xf9); out.write(4)
-      out.write(0) // no disposal, no transparency
-      out.write(le16Bytes(delayCs))
+      out.write(fr.disposal << 2)
+      out.write(le16Bytes(fr.delayCs))
       out.write(0); out.write(0)
-      // Image Descriptor: full screen, no local table
+      // Image Descriptor: frame rect, no local table
       out.write(0x2c)
-      out.write(le16Bytes(0)); out.write(le16Bytes(0))
-      out.write(le16Bytes(w)); out.write(le16Bytes(h))
+      out.write(le16Bytes(fr.x)); out.write(le16Bytes(fr.y))
+      out.write(le16Bytes(fr.w)); out.write(le16Bytes(fr.h))
       out.write(0)
       // LZW data: min code size 8 → 9-bit codes; CLEAR every 254
       // literals so no code above 511 is ever assigned
@@ -886,9 +962,9 @@ object Multimodal {
         }
       }
       put(clear)
-      val px = colorOf(f) & 0xff
+      val px = fr.colorIdx & 0xff
       var i = 0
-      while (i < w * h) {
+      while (i < fr.w * fr.h) {
         if (i % 254 == 0 && i > 0) put(clear)
         put(px)
         i += 1

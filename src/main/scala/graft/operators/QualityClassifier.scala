@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.LongType
 object QualityClassifier {
 
   private def toksCol(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+    graft.functions.TextAnalysis.wsTokensLower(text)
 
   /** Count tables: `words` (w, c_pos, c_neg) over the training corpus;
     * `totals` one row (n_pos, n_neg docs; t_pos, t_neg token totals;
@@ -45,13 +45,22 @@ object QualityClassifier {
     val words = toks.groupBy("w").agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
       sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
-    val docCounts = docs.agg(
+    // doc counts are computed EAGERLY (one cheap agg over the labeled
+    // frame, no explode): an empty class would otherwise surface as
+    // log10(0) = -Inf priors casting to Long.MinValue — confidently
+    // garbage predictions instead of an error.
+    val dc = docs.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
-      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg")).head()
+    val (nPos, nNeg) = (dc.getLong(0), dc.getLong(1))
+    require(nPos > 0 && nNeg > 0,
+      s"QualityClassifier.train: both classes must be non-empty " +
+        s"(n_pos=$nPos, n_neg=$nNeg) — check the $labelCol column")
     val totals = words.agg(
       sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
       count(lit(1)).as("v"))
-      .crossJoin(docCounts)
+      .select(col("t_pos"), col("t_neg"), col("v"),
+        lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"))
     Model(words, totals)
   }
 

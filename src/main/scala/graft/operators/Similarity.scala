@@ -389,6 +389,12 @@ object Similarity {
       array(cents.map(c => array(c.map(lit).toIndexedSeq: _*))
         .toIndexedSeq: _*),
       col("cid") + 1)
+    // assignment + norms computed ONCE: the frame feeds the guard
+    // action, both sides of the pair self-join and the final kept-join
+    // (4 plan references) — without the checkpoint each would re-run
+    // the kClusters-way distance argmin over the corpus. Blocks belong
+    // to the returned plan; the session's usual cache cleanup (or
+    // unpersist by the caller when done) reclaims them.
     val e = embeddings
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .withColumn("cid", assignListCol(col("v"), cents))
@@ -396,6 +402,7 @@ object Similarity {
       .withColumn("cent_sim", round(
         dotCol(col("v"), centOf) /
           (col("nrm") * sqrt(dotCol(centOf, centOf))), 6))
+      .localCheckpoint()
     // LOUD guard against silent quadratic blowup: the pair join is
     // O(size²) within a cluster by design — a skewed quantizer (or a
     // kClusters too small for the corpus) must fail with advice, not

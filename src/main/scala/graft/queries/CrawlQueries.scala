@@ -390,25 +390,30 @@ object CrawlQueries {
          u AS (
            SELECT sitemap_id, 'url' AS kind,
                   unnest(regexp_extract_all(
-                    regexp_extract(xml, '<urlset>(.*)</urlset>', 1),
-                    '<url>(.*?)</url>', 1)) AS e
+                    regexp_extract(xml,
+                      '(?s)<urlset(?:\s[^>]*)?>(.*)</urlset>', 1),
+                    '(?s)<url(?:\s[^>]*)?>(.*?)</url>', 1)) AS e
            FROM x
            UNION ALL
            SELECT sitemap_id, 'sitemap' AS kind,
                   unnest(regexp_extract_all(
                     regexp_extract(xml,
-                      '<sitemapindex>(.*)</sitemapindex>', 1),
-                    '<sitemap>(.*?)</sitemap>', 1)) AS e
+                      '(?s)<sitemapindex(?:\s[^>]*)?>(.*)</sitemapindex>',
+                      1),
+                    '(?s)<sitemap(?:\s[^>]*)?>(.*?)</sitemap>', 1)) AS e
            FROM x)
          SELECT sitemap_id, kind,
                 replace(replace(replace(replace(replace(
-                  regexp_extract(e, '<loc>(.*?)</loc>', 1),
+                  trim(regexp_extract(e,
+                    '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)),
                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                   '&apos;', ''''), '&amp;', '&') AS url,
-                regexp_extract(e, '<lastmod>(.*?)</lastmod>', 1)
+                trim(regexp_extract(e,
+                  '(?s)<lastmod(?:\s[^>]*)?>(.*?)</lastmod>', 1))
                   AS lastmod
          FROM u
-         WHERE regexp_extract(e, '<loc>(.*?)</loc>', 1) <> ''""",
+         WHERE trim(regexp_extract(e,
+                 '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
 
     "q_recrawl_schedule" ->
       """WITH RECURSIVE src AS (

@@ -29,25 +29,34 @@ object Sitemaps {
   /** Parse sitemap XML documents: input (idCol, xmlCol) → one row per
     * entry (idCol, kind 'url' | 'sitemap', url, lastmod — empty string
     * when the entry carries none). Malformed blocks without a `<loc>`
-    * are dropped.
+    * are dropped. Real-world tolerant: container/entry tags may carry
+    * attributes (the protocol REQUIRES xmlns on urlset) and documents
+    * may be pretty-printed — all patterns run in DOTALL mode
+    * (`(?s)`), and a single pass computes both containers' entries
+    * (one explode, no second scan of the payloads).
     */
   def parse(sitemaps: DataFrame,
             idCol: String = "sitemap_id",
             xmlCol: String = "xml"): DataFrame = {
-    def entries(container: String, tag: String, kind: String) = {
-      val inContainer = regexp_extract(col(xmlCol),
-        s"<$container>(.*)</$container>", 1)
-      sitemaps.select(col(idCol),
-          explode(regexp_extract_all(inContainer,
-            lit(s"<$tag>(.*?)</$tag>"), lit(1))).as("e"))
-        .select(col(idCol), lit(kind).as("kind"),
-          xmlUnescape(regexp_extract(col("e"), "<loc>(.*?)</loc>", 1))
-            .as("url"),
-          regexp_extract(col("e"), "<lastmod>(.*?)</lastmod>", 1)
-            .as("lastmod"))
-        .where(col("url") =!= "")
-    }
-    entries("urlset", "url", "url")
-      .unionByName(entries("sitemapindex", "sitemap", "sitemap"))
+    def entryStructs(container: String, tag: String, kind: String) =
+      transform(
+        regexp_extract_all(
+          regexp_extract(col(xmlCol),
+            s"(?s)<$container(?:\\s[^>]*)?>(.*)</$container>", 1),
+          lit(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"), lit(1)),
+        e => struct(lit(kind).as("kind"), e.as("e")))
+    // NOTE: trim() strips only spaces in both engines — pretty-printed
+    // values carry newlines, so whitespace-trim via regexp
+    def wsTrim(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^\\s+|\\s+$", "")
+    sitemaps.select(col(idCol),
+        explode(concat(entryStructs("urlset", "url", "url"),
+          entryStructs("sitemapindex", "sitemap", "sitemap"))).as("s"))
+      .select(col(idCol), col("s.kind").as("kind"),
+        xmlUnescape(wsTrim(regexp_extract(col("s.e"),
+          "(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>", 1))).as("url"),
+        wsTrim(regexp_extract(col("s.e"),
+          "(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>", 1)).as("lastmod"))
+      .where(col("url") =!= "")
   }
 }

@@ -25,6 +25,14 @@ class CharsetsSpec extends AnyFunSuite {
     assert(Charsets.sniff("café".getBytes("UTF-8"))._1 == "utf-8")
     // lone continuation byte: not UTF-8 -> legacy default
     assert(Charsets.sniff(b('i', 't', 0x92, 's'))._1 == "windows-1252")
+    // a bare charset=/encoding= OUTSIDE a meta/xml declaration (e.g. a
+    // link's query string) must NOT hijack detection
+    assert(Charsets.sniff(
+      "<a href=\"/convert?encoding=utf-16le\">x</a>"
+        .getBytes("US-ASCII"))._1 == "utf-8")
+    assert(Charsets.sniff(
+      "body text charset=utf-16be more".getBytes("US-ASCII"))._1
+      == "utf-8")
   }
 
   test("decode: transcodes per sniffed charset, strips BOM, no throw") {

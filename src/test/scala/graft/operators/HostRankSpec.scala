@@ -41,6 +41,22 @@ class HostRankSpec extends AnyFunSuite {
     assert(out(3L) == 50000L)
   }
 
+  test("string host ids (real hostnames) rank identically to longs") {
+    val s = spark
+    import s.implicits._
+    val name = Map(1L -> "a.com", 2L -> "b.org", 3L -> "c.net")
+    val ed = Seq(("a.com", "b.org"), ("b.org", "a.com"),
+      ("c.net", "b.org")).toDF("src", "dst")
+    val nodes = name.values.toSeq.toDF("host")
+    val got = HostRank.pageRank(ed, nodes, iters = 1, scale = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (edL, nodesL) = graph
+    val want = HostRank.pageRank(edL, nodesL, iters = 1,
+      scale = 1000000L).collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == want.map { case (k, v) => name(k) -> v })
+  }
+
   test("duplicate and self edges are ignored; iters=0 is uniform") {
     val s = spark
     import s.implicits._

@@ -312,7 +312,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.frame_ms == (0 until 256).map(_ * 70L))
   }
 
-  test("GIF: frame sampling skips decode but keeps count and duration") {
+  test("GIF: frame sampling selects composited states, keeps timing") {
     val gif = Multimodal.encodeGif(10, 6, delayCs = 4, nFrames = 5,
       f => f * 50)
     val every2 = Multimodal.decodeGif(gif, everyN = 2).get
@@ -320,6 +320,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(every2.duration_ms == 5L * 40)
     assert(every2.frame_ms == Seq(0L, 80L, 160L))
     assert(every2.luma_sum == Seq(0L, 10L * 6 * 100, 10L * 6 * 200))
+  }
+
+  test("GIF: partial frames composite onto the canvas with disposal") {
+    import Multimodal.GifFrame
+    // screen 8x4; frame0 full screen gray 10; frame1 a 2x2 patch of
+    // gray 200 at (3,1) kept (doNotDispose); frame2 a 1x1 patch of
+    // gray 90 at (0,0) with restoreToBackground
+    val gif = Multimodal.encodeGifFrames(8, 4, Seq(
+      GifFrame(0, 0, 8, 4, 10, 5, disposal = 1),
+      GifFrame(3, 1, 2, 2, 200, 5, disposal = 1),
+      GifFrame(0, 0, 1, 1, 90, 5, disposal = 2)))
+    val got = Multimodal.decodeGif(gif, everyN = 1).get
+    assert(got.width == 8 && got.height == 4) // logical screen, not rect
+    val full = 8L * 4 * 10
+    assert(got.luma_sum == Seq(
+      full,                          // frame 0 displayed
+      full - 4 * 10 + 4 * 200,       // patch replaces 4 pixels
+      full - 4 * 10 + 4 * 200 - 10 + 90)) // 1px patch over frame1 state
+    // frame2's restoreToBackground applies AFTER its display — the
+    // sums above are the displayed states, which is what features mean
+  }
+
+  test("GIF: restoreToPrevious reverts the patched rect") {
+    import Multimodal.GifFrame
+    val gif = Multimodal.encodeGifFrames(6, 3, Seq(
+      GifFrame(0, 0, 6, 3, 100, 2, disposal = 1),
+      GifFrame(2, 1, 2, 1, 0, 2, disposal = 3), // transient black patch
+      GifFrame(5, 2, 1, 1, 255, 2, disposal = 1)))
+    val got = Multimodal.decodeGif(gif, everyN = 1).get
+    val full = 6L * 3 * 100
+    assert(got.luma_sum == Seq(
+      full,
+      full - 2 * 100,          // patch shown
+      full - 100 + 255))       // patch REVERTED, then 1px white drawn
   }
 
   test("GIF: malformed payloads decode to None, never throw") {

@@ -40,6 +40,28 @@ class SitemapsSpec extends AnyFunSuite {
       (7L, "sitemap", "https://a/s2.xml", "2024-05-06")))
   }
 
+  test("parse: real-world shape — xmlns attributes and pretty-printing") {
+    val s = spark
+    import s.implicits._
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://example.com/a</loc>
+        |    <lastmod>2024-07-01</lastmod>
+        |  </url>
+        |  <url>
+        |    <loc>
+        |      https://example.com/b
+        |    </loc>
+        |  </url>
+        |</urlset>""".stripMargin
+    val out = Sitemaps.parse(Seq((1L, xml)).toDF("sitemap_id", "xml"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(out == Set(("https://example.com/a", "2024-07-01"),
+      ("https://example.com/b", "")))
+  }
+
   test("parse: garbage and empty documents yield no rows, never throw") {
     val s = spark
     import s.implicits._
