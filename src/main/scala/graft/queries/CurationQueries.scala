@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Sessions.table
-import graft.operators.Curation
+import graft.operators.{Bpe, Curation}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -23,6 +23,7 @@ object CurationQueries {
 
   private val PackBudget = 200L
   private val NgramN = 8
+  private val BpeMerges = 8
 
   val defs: Map[String, Q] = Map(
     // PII scrubbing as codegen'd regex columns. The fixture text carries
@@ -130,6 +131,37 @@ object CurationQueries {
           budget = PackBudget)
         .select(col("doc_id"), col("shard"), col("window_id"),
           col("n_tokens"), col("token_offset"))
+    },
+
+    // BPE tokenizer training: ONE corpus-wide word-count shuffle, then
+    // 8 merge iterations over the vocabulary table (pair-count partial
+    // agg + one-row argmax, ties (cnt desc, a, b)). The oracle replays
+    // the same iterations unrolled — pair counts as plain CTEs, the
+    // left-to-right non-overlapping merge scan as one recursive-CTE
+    // fold per iteration (DuckDB's RE2 lacks the lookaround the Spark
+    // side uses, so the two realizations are fully independent).
+    "q_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val (merges, _) = Bpe.train(Bpe.wordCounts(docs, "text"), BpeMerges)
+      merges.map(m => (m.rank.toLong, m.a, m.b, m.cnt))
+        .toDF("merge_rank", "a", "b", "cnt")
+    },
+
+    // The trained segmentation of every vocabulary word (the state
+    // q_bpe_encode joins against).
+    "q_bpe_vocab" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val (_, vocab) = Bpe.train(Bpe.wordCounts(docs, "text"), BpeMerges)
+      vocab.select(col("word"), col("c"), col("seg"))
+    },
+
+    // Encode the corpus with the learned merges: distinct words pay the
+    // merge chain once, the corpus joins the segmented vocab by word.
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val (merges, _) = Bpe.train(Bpe.wordCounts(docs, "text"), BpeMerges)
+      Bpe.encode(docs, "doc_id", "text", merges)
     }
   )
 
@@ -145,7 +177,75 @@ object CurationQueries {
     "(" + (2 to 6).foldLeft(hexDigit(1))((acc, i) =>
       s"($acc * 16 + ${hexDigit(i)})") + ") % 1024"
 
+  /** One unrolled BPE iteration for the DuckDB oracle: pair counts from
+    * `w{i-1}`, deterministic argmax, then the left-to-right
+    * non-overlapping merge scan as a recursive-CTE fold per word
+    * (RE2 has no lookaround, so the Spark side's boundary-asserting
+    * regexp cannot be reused — by design: two independent
+    * realizations of the same contract).
+    */
+  private def bpeIterSql(i: Int): String = {
+    val prev = i - 1
+    s"""p$i AS MATERIALIZED (
+           SELECT syms[j] AS a, syms[j+1] AS b, sum(c)::BIGINT AS cnt
+           FROM w$prev, unnest(generate_series(1, len(syms)-1)) AS t(j)
+           GROUP BY 1, 2),
+         best$i AS MATERIALIZED (
+           SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         m$i(word, c, pos, out) AS (
+           SELECT word, c, 1, []::VARCHAR[] FROM w$prev
+           UNION ALL
+           SELECT m.word, m.c,
+                  CASE WHEN m.pos < len(s.syms) AND s.syms[m.pos] = q.a
+                            AND s.syms[m.pos+1] = q.b
+                       THEN m.pos + 2 ELSE m.pos + 1 END,
+                  m.out || CASE WHEN m.pos < len(s.syms)
+                                     AND s.syms[m.pos] = q.a
+                                     AND s.syms[m.pos+1] = q.b
+                                THEN [q.a || q.b] ELSE [s.syms[m.pos]] END
+           FROM m$i m JOIN w$prev s USING (word) CROSS JOIN best$i q
+           WHERE m.pos <= len(s.syms)),
+         w$i AS MATERIALIZED (
+           SELECT m.word, m.c, m.out AS syms
+           FROM m$i m JOIN w$prev s USING (word)
+           WHERE m.pos > len(s.syms))"""
+  }
+
+  /** Shared CTE prefix: tokenize, word counts, initial symbolization,
+    * then `BpeMerges` unrolled iterations.
+    */
+  private val bpeBaseSql: String =
+    s"""WITH RECURSIVE
+         toks AS MATERIALIZED (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+         w0 AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS c,
+                  regexp_extract_all(word, '.') || ['</w>'] AS syms
+           FROM toks GROUP BY word),
+         """ + (1 to BpeMerges).map(bpeIterSql).mkString(",\n         ")
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      (bpeBaseSql + "\n         " +
+        (1 to BpeMerges).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b, cnt FROM best$i")
+          .mkString("\n         UNION ALL ")),
+
+    "q_bpe_vocab" ->
+      (bpeBaseSql +
+        s"\n         SELECT word, c, array_to_string(syms, ' ') AS seg" +
+        s" FROM w$BpeMerges"),
+
+    "q_bpe_encode" ->
+      (bpeBaseSql +
+        s"""
+         SELECT t.doc_id, count(*)::BIGINT AS n_words,
+                sum(len(w.syms))::BIGINT AS n_tokens
+         FROM toks t JOIN w$BpeMerges w USING (word)
+         GROUP BY 1"""),
+
     "q_dsir_weights" ->
       s"""WITH d AS (
            SELECT doc_id, doc_id % 37 = 0 AS tgt,
