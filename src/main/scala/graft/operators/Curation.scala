@@ -208,4 +208,43 @@ object Curation {
     packed.toDF("id", "shard", "window_id", "n_tokens", "token_offset")
       .withColumnRenamed("id", idCol)
   }
+
+  /** CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020 §3.2
+    * shape): every paragraph is hashed, only the FIRST occurrence in
+    * (idCol, position) order survives anywhere in the corpus, and each
+    * document is reconstructed from its surviving paragraphs. Distinct
+    * from FrequentParagraphs (which drops by frequency threshold):
+    * here the first copy always stays and every later copy always
+    * goes, which is what kills boilerplate headers/footers shared
+    * across sites.
+    *
+    * Plan: explode to (id, p_id, ptext) → ONE window over md5(ptext)
+    * (the shuffle is by paragraph hash — uniform by construction, no
+    * skew) → groupBy id to rebuild. Two shuffles total, both keyed on
+    * high-cardinality columns; no self-join, no collect.
+    *
+    * Output: (idCol, n_pars, n_kept, clean_text) — clean_text "" when
+    * every paragraph was a later duplicate.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      parWords: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pars = docs.select(col(idCol),
+      posexplode(graft.functions.TextAnalysis
+        .paragraphsCol(col(textCol), parWords)).as(Seq("p_id", "ptext")))
+    val w = Window.partitionBy(md5(col("ptext")))
+      .orderBy(col(idCol), col("p_id"))
+    pars.withColumn("rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("rn") === 1,
+                struct(col("p_id"), col("ptext"))))),
+            s => s("ptext")),
+          " ").as("clean_text"))
+  }
 }

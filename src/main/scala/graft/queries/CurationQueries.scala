@@ -25,6 +25,13 @@ object CurationQueries {
   private val NgramN = 8
   private val BpeMerges = 8
 
+  // exactly 12 whitespace tokens each — one paragraph chunk when
+  // PREPENDED (chunking is 12-token windows from position 0)
+  private val BannerA =
+    "cookie notice we use cookies to improve your experience accept all now"
+  private val BannerB =
+    "subscribe to our newsletter for the latest updates delivered every week free"
+
   val defs: Map[String, Q] = Map(
     // PII scrubbing as codegen'd regex columns. The fixture text carries
     // no PII, so each row gets a deterministic email/IP/phone suffix
@@ -133,6 +140,21 @@ object CurationQueries {
           col("n_tokens"), col("token_offset"))
     },
 
+    // CCNet-style corpus-wide paragraph dedup: first occurrence (by
+    // doc_id, position) of every paragraph hash survives, later copies
+    // are dropped, docs are rebuilt from survivors. The fixture soup
+    // never repeats a 12-token chunk, so 2/3 of docs get one of two
+    // 12-token banners PREPENDED (prepending keeps chunk alignment —
+    // the banner IS chunk 0), giving the window real duplicate groups.
+    "q_par_dedup" -> { (s, dir) =>
+      val sel = pmod(col("doc_id").cast(LongType), lit(3L))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(sel === 1, concat(lit(BannerA), lit(" "), col("text")))
+          .when(sel === 2, concat(lit(BannerB), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Curation.dedupParagraphs(docs, "doc_id", "text")
+    },
+
     // BPE tokenizer training: ONE corpus-wide word-count shuffle, then
     // 8 merge iterations over the vocabulary table (pair-count partial
     // agg + one-row argmax, ties (cnt desc, a, b)). The oracle replays
@@ -227,6 +249,37 @@ object CurationQueries {
          """ + (1 to BpeMerges).map(bpeIterSql).mkString(",\n         ")
 
   val oracles: Map[String, String] = Map(
+    "q_par_dedup" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id AS BIGINT) % 3
+                    WHEN 1 THEN '$BannerA ' || text
+                    WHEN 2 THEN '$BannerB ' || text
+                    ELSE text END AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           FROM d),
+         par AS (
+           SELECT doc_id,
+                  unnest(range(CAST(ceil(len(t) / 12.0) AS BIGINT))) AS p_id,
+                  t
+           FROM toks),
+         pt AS (
+           SELECT doc_id, p_id,
+                  array_to_string(t[(p_id*12+1):(p_id*12+12)], ' ') AS ptext
+           FROM par),
+         r AS (
+           SELECT doc_id, p_id, ptext,
+                  row_number() OVER (PARTITION BY md5(ptext)
+                                     ORDER BY doc_id, p_id) AS rn
+           FROM pt)
+         SELECT doc_id, count(*)::BIGINT AS n_pars,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
+                                    ORDER BY p_id), '') AS clean_text
+         FROM r GROUP BY doc_id""",
+
     "q_bpe_merges" ->
       (bpeBaseSql + "\n         " +
         (1 to BpeMerges).map(i =>

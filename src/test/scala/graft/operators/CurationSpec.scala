@@ -179,4 +179,51 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedupParagraphs: first occurrence survives, later copies drop") {
+    val s = spark
+    import s.implicits._
+    // 12-token banner X prepended to docs 1 and 3; doc 2 clean.
+    // Chunks: doc1 = [X, a1], doc2 = [b1], doc3 = [X, c1] where the
+    // tails are unique -> X survives only in doc "1".
+    val x = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val docs = Seq(
+      ("1", s"$x alpha beta"),
+      ("2", "gamma delta"),
+      ("3", s"$x epsilon zeta")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pars"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out("1") == (2L, 2L, s"$x alpha beta"))
+    assert(out("2") == (1L, 1L, "gamma delta"))
+    assert(out("3") == (2L, 1L, "epsilon zeta"))
+  }
+
+  test("dedupParagraphs: fully-duplicate doc reconstructs to empty") {
+    val s = spark
+    import s.implicits._
+    val x = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+    val docs = Seq(("a", x), ("b", x)).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(out("a") == (1L, x))
+    assert(out("b") == (0L, ""))
+  }
+
+  test("dedupParagraphs: surviving paragraphs keep document order") {
+    val s = spark
+    import s.implicits._
+    // doc "2" duplicates doc "1"'s single chunk as its MIDDLE chunk:
+    // reconstruction must stitch chunks 0 and 2 in order
+    val d = (1 to 12).map(i => s"d$i").mkString(" ")
+    val head = (1 to 12).map(i => s"h$i").mkString(" ")
+    val tail = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("1", d), ("2", s"$head $d $tail"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[String]("clean_text")).toMap
+    assert(out("2") == s"$head $tail")
+  }
 }
