@@ -84,6 +84,38 @@ object MiscQueries {
         regexp_count(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
           .as("n_bpe_tokens"))
+    },
+
+    // Deterministic HyperLogLog: per-event-type distinct-user sketches.
+    // Registers are exact integers from md5 string arithmetic — the
+    // oracle rebuilds them bit-for-bit; only the final estimate touches
+    // floats (identical literal expressions both sides). `exact` is the
+    // true distinct count, joined in so the artifact shows sketch error.
+    "q_hll_distinct" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .withColumn("key", col("user_id").cast("string"))
+      val regs = graft.operators.Sketches
+        .hllRegisters(ev, "key", Seq("event_type"))
+      graft.operators.Sketches.hllEstimate(regs, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct("key").as("exact")), "event_type")
+        .select(col("event_type"), col("zeros"), col("est"), col("exact"))
+    },
+
+    // Sketch MERGEABILITY on the driver gate: per-type register sets
+    // are merged (max per bucket) into one global sketch and estimated.
+    // The oracle computes the global sketch DIRECTLY — merge
+    // associativity is the property under test, so the two paths must
+    // hash-match.
+    "q_hll_merge" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .withColumn("key", col("user_id").cast("string"))
+      val perType = graft.operators.Sketches
+        .hllRegisters(ev, "key", Seq("event_type"))
+      val merged = graft.operators.Sketches
+        .hllMerge(perType.drop("event_type"))
+      graft.operators.Sketches.hllEstimate(merged)
+        .select(col("zeros"), col("est"))
     }
   )
 
@@ -122,6 +154,76 @@ object MiscQueries {
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
-         FROM documents"""
+         FROM documents""",
+    "q_hll_distinct" ->
+      s"""WITH $hllRegSql,
+          est AS ($hllEstSql GROUP BY event_type)
+          SELECT est.event_type, zeros, est, exact
+          FROM est JOIN (
+            SELECT event_type,
+                   count(DISTINCT CAST(user_id AS VARCHAR)) AS exact
+            FROM events GROUP BY 1) x ON est.event_type = x.event_type""",
+    "q_hll_merge" ->
+      // merge associativity: max-per-bucket over the per-type registers
+      // IS the sketch of the union, so the oracle computes it directly
+      s"""WITH $hllRegSql,
+          m AS (SELECT bucket, max(r) AS r FROM reg GROUP BY 1),
+          est AS (${hllEstSql.replace("FROM reg", "FROM m")
+                             .replace("event_type,", "")})
+          SELECT zeros, est FROM est"""
   )
+
+  /** Shared HLL register construction (the SQL twin of
+    * Sketches.hllRegisters over md5-hex string arithmetic): rho =
+    * 4·(leading '0' hex chars) + the first non-zero digit's own
+    * leading zeros + 1; all-zero 56-bit tail -> 57. The '1' sentinel
+    * appended before the digit extraction keeps the cast non-empty in
+    * that case (the CASE ignores it).
+    */
+  private def hllRegSql: String =
+    """h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      f AS (
+        SELECT event_type,
+               CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+               length(regexp_extract(substr(h, 3, 14), '^0*')) AS z,
+               CAST('0x' || substr(substr(h, 3, 14) || '1',
+                 length(regexp_extract(substr(h, 3, 14), '^0*')) + 1, 1)
+                 AS BIGINT) AS d
+        FROM h),
+      rho AS (
+        SELECT event_type, bucket,
+               CASE WHEN z = 14 THEN 57
+                    ELSE 4*z + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+                                    WHEN d >= 2 THEN 2 ELSE 3 END + 1
+               END AS rho
+        FROM f),
+      reg AS (
+        SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2)"""
+
+  /** Shared HLL estimate (the SQL twin of Sketches.hllEstimate):
+    * exact integer register terms, float only in the final identical-
+    * literal expression (e0 suffixes force DOUBLE in DuckDB — bare
+    * decimals would stay DECIMAL-typed and round differently).
+    */
+  private def hllEstSql: String =
+    """SELECT event_type,
+              CAST(256 - count(*) AS BIGINT) AS zeros,
+              round(CASE WHEN 0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
+                              * 65536.0e0 * 144115188075855872.0e0
+                              / (CAST(sum(1::BIGINT << CAST(57 - r AS INT))
+                                      AS DOUBLE)
+                                 + CAST(256 - count(*) AS DOUBLE)
+                                   * 144115188075855872.0e0) <= 640.0e0
+                              AND 256 - count(*) > 0
+                         THEN 256.0e0 * round(ln(256.0e0 /
+                                CAST(256 - count(*) AS DOUBLE)), 6)
+                         ELSE 0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)
+                              * 65536.0e0 * 144115188075855872.0e0
+                              / (CAST(sum(1::BIGINT << CAST(57 - r AS INT))
+                                      AS DOUBLE)
+                                 + CAST(256 - count(*) AS DOUBLE)
+                                   * 144115188075855872.0e0)
+                    END, 4) AS est
+       FROM reg"""
 }

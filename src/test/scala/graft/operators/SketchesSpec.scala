@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("bucket and rho match the hand-computed md5 decomposition") {
+    val s = spark
+    import s.implicits._
+    // md5("42") = a1d0c6e83f027327... -> bucket 0xa1 = 161,
+    // tail d0c6... starts with d (>= 8) -> rho = 1
+    val r = Seq("42").toDF("k")
+      .select(Sketches.hllBucketCol(col("k")).as("b"),
+              Sketches.hllRhoCol(col("k")).as("rho"))
+      .head()
+    assert(r.getLong(0) == 161L && r.getLong(1) == 1L)
+  }
+
+  test("rho covers multi-nibble leading-zero runs (brute parity vs JVM)") {
+    val s = spark
+    import s.implicits._
+    // reference rho computed from the md5 hex in plain Scala
+    def rhoRef(key: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rest = h.substring(2, 16)
+      val z = rest.takeWhile(_ == '0').length
+      if (z == 14) 57L
+      else {
+        val d = Integer.parseInt(rest.charAt(z).toString, 16)
+        val lz = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+        4L * z + lz + 1
+      }
+    }
+    val keys = (0 until 5000).map(_.toString)
+    val got = keys.toDF("k")
+      .select(col("k"), Sketches.hllRhoCol(col("k")).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach(k => assert(got(k) == rhoRef(k), s"key $k"))
+    // the run must include rho > 5 cases or the test proves nothing
+    assert(got.values.max >= 8L)
+  }
+
+  test("estimate is within 10% at 10k distinct keys (m=256)") {
+    val s = spark
+    import s.implicits._
+    val regs = Sketches.hllRegisters(
+      (0 until 10000).map(i => s"url-$i").toDF("key"), "key")
+    val est = Sketches.hllEstimate(regs).head().getAs[Double]("est")
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10, s"est=$est")
+  }
+
+  test("duplicates never move the sketch; merge == sketch of the union") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 3000).map(i => s"k$i").toDF("key")
+    val b = (1500 until 4500).map(i => s"k$i").toDF("key") // overlaps a
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(regSet(a.union(a)) == regSet(a))
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, "key"), Sketches.hllRegisters(b, "key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == regSet(a.union(b)))
+  }
+
+  test("small cardinalities take the linear-counting branch") {
+    val s = spark
+    import s.implicits._
+    val regs = Sketches.hllRegisters(
+      (0 until 20).map(i => s"x$i").toDF("key"), "key")
+    val row = Sketches.hllEstimate(regs).head()
+    val zeros = row.getAs[Long]("zeros")
+    val est = row.getAs[Double]("est")
+    assert(zeros >= 236L) // 20 keys occupy at most 20 buckets
+    // linear counting: 256 * ln(256/zeros), rounded — close to 20
+    assert(est > 10.0 && est < 30.0, s"est=$est")
+  }
+}
