@@ -105,4 +105,53 @@ object CrawlPolicy {
         when(col("__f"), lit(null).cast("long")).otherwise(col("__oe"))
           .as("refers_to_epoch"))
   }
+
+  /** Crawler-trap detection: hosts that generate unbounded URL spaces
+    * (calendars, session ids, infinite pagination) show up as ONE path
+    * template with an exploding distinct-URL count. Each URL's path is
+    * generalized — long hex runs first (session tokens contain digits,
+    * so hex must collapse before the digit rule), then digit runs —
+    * and (host, template) groups exceeding `maxPerTemplate` distinct
+    * URLs are flagged.
+    *
+    * Both regexes stay inside the RE2-safe subset so the DuckDB oracle
+    * runs the SAME patterns. Plan: pure regexp columns + one
+    * partial-agg groupBy keyed on (host, template) — a trap host's
+    * millions of URLs collapse into one group row, so the flag table
+    * is tiny and the frontier gates candidates with a broadcast-able
+    * anti join (same shape as robots gating).
+    */
+  def trapTemplates(urls: DataFrame, urlCol: String = "url",
+                    maxPerTemplate: Long = 50L): DataFrame = {
+    val host = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val template = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "~"), "[0-9]+", "#")
+    urls.select(host.as("host"), template.as("template"),
+        col(urlCol).as("u"))
+      .groupBy("host", "template")
+      .agg(countDistinct(col("u")).as("n_urls"))
+      .withColumn("trap", col("n_urls") > maxPerTemplate)
+  }
+
+  /** Gate frontier candidates against the flagged templates: drop
+    * candidates whose (host, template) is a known trap. The trap table
+    * is template-scale (tiny) — AQE broadcasts it.
+    */
+  def trapGate(candidates: DataFrame, traps: DataFrame,
+               urlCol: String = "url"): DataFrame = {
+    val host = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val template = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "~"), "[0-9]+", "#")
+    candidates
+      .withColumn("host", host).withColumn("template", template)
+      .join(traps.filter(col("trap")).select("host", "template"),
+        Seq("host", "template"), "left_anti")
+      .drop("host", "template")
+  }
 }

@@ -53,6 +53,41 @@ object CrawlQueries {
               event_id AS line_ord
        FROM events"""
 
+  /** Shared URL mix for the trap queries: two unbounded URL spaces per
+    * host and one bounded one.
+    */
+  private def trapFixture(s: SparkSession, dir: String): DataFrame = {
+    val sel = pmod(col("event_id"), lit(5L))
+    table(s, dir, "events").select(
+      col("event_id"),
+      concat(lit("https://h"), pmod(col("user_id"), lit(20L)),
+        lit(".example.com"),
+        when(sel === 0, concat(lit("/cal/"), col("event_id"), lit("/day")))
+          .when(sel === 1,
+            concat(lit("/s?sid="), md5(col("event_id").cast("string"))))
+          .otherwise(concat(lit("/p"), pmod(col("event_id"), lit(7L)))))
+        .as("url"))
+  }
+
+  private val trapFixtureSql =
+    """SELECT event_id,
+              'https://h' || (user_id % 20) || '.example.com' ||
+              CASE event_id % 5
+                WHEN 0 THEN '/cal/' || event_id || '/day'
+                WHEN 1 THEN '/s?sid=' || md5(CAST(event_id AS VARCHAR))
+                ELSE '/p' || (event_id % 7) END AS url
+       FROM events"""
+
+  private val trapTemplateSql =
+    """SELECT event_id, url,
+              regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+              regexp_replace(regexp_replace(
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                '[0-9a-f]{8,}', '~', 'g'), '[0-9]+', '#', 'g') AS template
+       FROM u"""
+
   val defs: Map[String, Q] = Map(
     // Host-graph PageRank frontier priority: deterministic sparse link
     // graph from events (out-degree <= 5), 5 fixed iterations of
@@ -132,6 +167,25 @@ object CrawlQueries {
       graft.operators.CrawlPolicy.refreshSchedule(fetches,
         initIntervalS = 86400L, minIntervalS = 3600L,
         maxIntervalS = 1209600L)
+    },
+
+    // Crawler-trap detection: synthesized URL mix per host — calendar
+    // paths ('/cal/<event_id>/day', distinct per event), session-id
+    // query strings ('/s?sid=<md5>'), and a bounded normal page set
+    // ('/p<0..6>'). The first two generalize to one exploding template
+    // each (~100 distinct URLs/host > 50), the normal set stays at 7.
+    "q_trap_urls" -> { (s, dir) =>
+      graft.operators.CrawlPolicy.trapTemplates(trapFixture(s, dir))
+        .select(col("host"), col("template"), col("n_urls"), col("trap"))
+    },
+
+    // The gate: candidates inside flagged templates are dropped before
+    // frontier scheduling (anti join against the tiny template table).
+    "q_trap_gate" -> { (s, dir) =>
+      val urls = trapFixture(s, dir)
+      val traps = graft.operators.CrawlPolicy.trapTemplates(urls)
+      graft.operators.CrawlPolicy.trapGate(urls, traps)
+        .select(col("event_id"), col("url"))
     },
 
     // WARC revisit-record dedup: first capture per digest stays a
@@ -414,6 +468,24 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_trap_urls" ->
+      s"""WITH u AS ($trapFixtureSql),
+          t AS ($trapTemplateSql)
+          SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls,
+                 count(DISTINCT url) > 50 AS trap
+          FROM t GROUP BY 1, 2""",
+
+    "q_trap_gate" ->
+      s"""WITH u AS ($trapFixtureSql),
+          t AS ($trapTemplateSql),
+          f AS (
+            SELECT host, template FROM t
+            GROUP BY 1, 2 HAVING count(DISTINCT url) > 50)
+          SELECT t.event_id, t.url
+          FROM t LEFT JOIN f
+            ON t.host = f.host AND t.template = f.template
+          WHERE f.host IS NULL""",
 
     "q_recrawl_schedule" ->
       """WITH RECURSIVE src AS (

@@ -81,4 +81,33 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(out("u1") == (("revisit", Some("u2"), Some(50L))))
     assert(out("u4") == (("response", None, None)))
   }
+
+  test("trapTemplates: hex collapses before digits; bounded spaces pass") {
+    val s = spark
+    import s.implicits._
+    // 60 distinct calendar days + 60 session ids on one host (traps at
+    // maxPerTemplate=50), 7 normal pages on another (not a trap)
+    val urls =
+      (0 until 60).map(i => s"https://a.com/cal/2024/$i") ++
+      (0 until 60).map(i => s"https://a.com/view?sid=deadbeef$i${"0" * 8}") ++
+      (0 until 200).map(i => s"https://b.com/p${i % 7}")
+    val out = CrawlPolicy.trapTemplates(urls.toDF("url")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_urls"), r.getAs[Boolean]("trap"))).toMap
+    assert(out(("a.com", "/cal/#/#")) == (60L, true))
+    // the whole deadbeef<i>00000000 run is one hex token -> '~'
+    assert(out(("a.com", "/view?sid=~")) == (60L, true))
+    assert(out(("b.com", "/p#")) == (7L, false))
+  }
+
+  test("trapGate drops flagged templates, keeps everything else") {
+    val s = spark
+    import s.implicits._
+    val urls = ((0 until 60).map(i => s"https://a.com/cal/2024/$i") ++
+      Seq("https://a.com/about", "https://b.com/p1")).toDF("url")
+    val traps = CrawlPolicy.trapTemplates(urls)
+    val kept = CrawlPolicy.trapGate(urls, traps)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://a.com/about", "https://b.com/p1"))
+  }
 }
