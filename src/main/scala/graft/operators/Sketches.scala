@@ -67,6 +67,62 @@ object Sketches {
       .agg(max("r").as("r"))
   }
 
+  // ---- count-min sketch (Cormode & Muthukrishnan 2005) ----
+
+  /** Count-min parameters: `depth` independent hash rows ×
+    * `width` buckets. Hash j of a key = first 2 hex digits of
+    * md5(j || ':' || key) mod width — deterministic, so sketch
+    * contents are oracle-checkable.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  private def cmsBucket(j: Int, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), key)), 1, 2), 16, 10)
+      .cast(LongType), lit(CmsWidth.toLong))
+
+  /** Build the counter table: (j, bucket, cnt) — depth·width rows max,
+    * regardless of input size. One explode by depth (constant factor)
+    * + one partial-agg groupBy; counters are exact Longs, merge of two
+    * sketches = sum per (j, bucket).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String,
+               weightCol: Option[String] = None): DataFrame = {
+    val wc = weightCol.map(col(_).cast(LongType)).getOrElse(lit(1L))
+    val rows = (0 until CmsDepth).map { j =>
+      df.select(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("bucket"),
+        wc.as("w"))
+    }
+    rows.reduce(_.unionByName(_))
+      .groupBy("j", "bucket").agg(sum("w").as("cnt"))
+  }
+
+  /** Merge count-min sketches: sum per cell (the cross-partition /
+    * cross-dump combine).
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_.unionByName(_))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point-query a set of keys: estimated count = min over the depth
+    * rows (never under the true count; over only on collisions). The
+    * sketch is cell-scale — AQE broadcasts it into the probe join.
+    */
+  def cmsQuery(keys: DataFrame, keyCol: String,
+               sketch: DataFrame): DataFrame = {
+    val probes = (0 until CmsDepth).map { j =>
+      keys.select(col(keyCol), lit(j).as("j"),
+        cmsBucket(j, col(keyCol)).as("bucket"))
+    }.reduce(_.unionByName(_))
+    // left join: a probe hashing into a never-incremented cell reads 0
+    // (an inner join would silently take the min over fewer rows)
+    probes.join(sketch, Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Estimate per group from registers. Float discipline for the
     * oracle: per-register terms 2^(57-r) are exact Longs, their group
     * sum is exact (Decimal on Spark, HUGEINT in DuckDB), and the only

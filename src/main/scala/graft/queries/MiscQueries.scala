@@ -107,6 +107,24 @@ object MiscQueries {
     // The oracle computes the global sketch DIRECTLY — merge
     // associativity is the property under test, so the two paths must
     // hash-match.
+    // Count-min sketch point queries: the sketch is depth·width exact
+    // Long counters (deterministic md5 hashing -> oracle-checkable);
+    // est_cnt >= exact always, == except on bucket collisions. Three
+    // absent keys exercise the zero-cell (left-join) path.
+    "q_cms_counts" -> { (s, dir) =>
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"))
+      val sketch = graft.operators.Sketches.cmsBuild(ev, "key")
+      val probes = ev.distinct()
+        .unionByName(Seq("absent-1", "absent-2", "absent-3").toDF("key"))
+      graft.operators.Sketches.cmsQuery(probes, "key", sketch)
+        .join(ev.groupBy("key").agg(count(lit(1)).as("exact")),
+          Seq("key"), "left")
+        .select(col("key"), col("est_cnt"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+    },
+
     "q_hll_merge" -> { (s, dir) =>
       val ev = table(s, dir, "events")
         .withColumn("key", col("user_id").cast("string"))
@@ -170,7 +188,31 @@ object MiscQueries {
           m AS (SELECT bucket, max(r) AS r FROM reg GROUP BY 1),
           est AS (${hllEstSql.replace("FROM reg", "FROM m")
                              .replace("event_type,", "")})
-          SELECT zeros, est FROM est"""
+          SELECT zeros, est FROM est""",
+    "q_cms_counts" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+         k AS (SELECT DISTINCT key FROM e
+               UNION ALL SELECT 'absent-' || i
+                         FROM (VALUES (1), (2), (3)) v(i)),
+         d AS (SELECT unnest(range(4)) AS j),
+         cells AS (
+           SELECT d.j,
+                  CAST('0x' || substr(md5(d.j || ':' || e.key), 1, 2)
+                       AS BIGINT) % 64 AS bucket,
+                  count(*)::BIGINT AS cnt
+           FROM e, d GROUP BY 1, 2),
+         probes AS (
+           SELECT k.key, d.j,
+                  CAST('0x' || substr(md5(d.j || ':' || k.key), 1, 2)
+                       AS BIGINT) % 64 AS bucket
+           FROM k, d),
+         est AS (
+           SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+           FROM probes LEFT JOIN cells USING (j, bucket) GROUP BY 1),
+         ex AS (SELECT key, count(*)::BIGINT AS exact FROM e GROUP BY 1)
+         SELECT est.key, est_cnt,
+                CAST(coalesce(exact, 0) AS BIGINT) AS exact
+         FROM est LEFT JOIN ex USING (key)"""
   )
 
   /** Shared HLL register construction (the SQL twin of

@@ -81,4 +81,53 @@ class SketchesSpec extends AnyFunSuite {
     // linear counting: 256 * ln(256/zeros), rounded — close to 20
     assert(est > 10.0 && est < 30.0, s"est=$est")
   }
+
+  test("cms: estimates never undercount; exact when collision-free") {
+    val s = spark
+    import s.implicits._
+    val data = (Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++
+      Seq("gamma")).toDF("key")
+    val sketch = Sketches.cmsBuild(data, "key")
+    val est = Sketches.cmsQuery(
+      Seq("alpha", "beta", "gamma", "never").toDF("key"), "key", sketch)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 40L && est("beta") >= 7L && est("gamma") >= 1L)
+    // 3 keys in 4x64 cells: verify against the exact per-cell replay
+    def cell(j: Int, k: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 2), 16) % 64
+    }
+    val truth = Map("alpha" -> 40L, "beta" -> 7L, "gamma" -> 1L)
+    val expected = Seq("alpha", "beta", "gamma", "never").map { k =>
+      k -> (0 until 4).map { j =>
+        truth.filter { case (k2, _) => cell(j, k2) == cell(j, k) }
+          .values.sum
+      }.min
+    }.toMap
+    assert(est == expected)
+  }
+
+  test("cms: merge of two sketches equals the sketch of the union") {
+    val s = spark
+    import s.implicits._
+    val a = (Seq.fill(5)("x") ++ Seq.fill(3)("y")).toDF("key")
+    val b = (Seq.fill(2)("y") ++ Seq.fill(9)("z")).toDF("key")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val merged = cells(Sketches.cmsMerge(
+      Sketches.cmsBuild(a, "key"), Sketches.cmsBuild(b, "key")))
+    assert(merged == cells(Sketches.cmsBuild(a.union(b), "key")))
+  }
+
+  test("cms: weighted build counts weights, not rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k1", 10L), ("k1", 5L), ("k2", 2L)).toDF("key", "w")
+    val sketch = Sketches.cmsBuild(df, "key", weightCol = Some("w"))
+    val est = Sketches.cmsQuery(Seq("k1", "k2").toDF("key"), "key", sketch)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("k1") >= 15L && est("k2") >= 2L)
+  }
 }
