@@ -97,4 +97,39 @@ object HostRank {
     events.select(src.as("src"), dst.as("dst"))
       .where(col("src") =!= col("dst")).distinct()
   }
+
+  /** Anchor-text aggregation — the other classic link-graph signal
+    * (how the web DESCRIBES a page, used for ranking and as retrieval
+    * text for pages never fetched). Per target: in-link count,
+    * distinct linking hosts, and the top-k anchors by frequency with
+    * a deterministic (count desc, anchor asc) order.
+    *
+    * Plan: one partial-agg groupBy on (dst, anchor) — the
+    * high-cardinality shuffle — then a window over dst (group-scale
+    * rows only) plus one dst-keyed agg for the host count. No
+    * collect_list over raw links: a mega-target's millions of in-links
+    * collapse at the first groupBy.
+    */
+  def anchorText(links: DataFrame, k: Int = 3,
+                 srcCol: String = "src_host", dstCol: String = "dst",
+                 anchorCol: String = "anchor"): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val perAnchor = links.groupBy(col(dstCol), col(anchorCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(dstCol))
+      .orderBy(desc("cnt"), asc(anchorCol))
+    val ranked = perAnchor.withColumn("rk", row_number().over(w))
+    val tops = ranked.where(col("rk") <= k)
+      .groupBy(dstCol)
+      .agg(
+        max(when(col("rk") === 1, col(anchorCol))).as("top_anchor"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("rk"), col(anchorCol)))),
+          s => s(anchorCol)), " | ").as("top_anchors"))
+    val totals = links.groupBy(dstCol).agg(
+      count(lit(1)).as("n_links"),
+      countDistinct(col(srcCol)).as("n_src_hosts"))
+    totals.join(tops, dstCol)
+  }
 }

@@ -169,6 +169,21 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Anchor-text aggregation: per link target, in-link totals and the
+    // top-3 anchors by frequency ((cnt desc, anchor) deterministic).
+    // The raw-link shuffle happens once, on (dst, anchor) — no
+    // collect_list over raw links.
+    "q_anchor_text" -> { (s, dir) =>
+      val links = table(s, dir, "events").select(
+        concat(lit("h"), pmod(col("user_id"), lit(20L))).as("src_host"),
+        concat(lit("https://t"), pmod(col("event_id"), lit(40L)),
+          lit(".org/")).as("dst"),
+        element_at(array(lit("click here"), lit("read more"), lit("home"),
+            lit("docs"), lit("api reference"), lit("blog")),
+          (pmod(col("event_id"), lit(6L)) + 1).cast("int")).as("anchor"))
+      graft.operators.HostRank.anchorText(links)
+    },
+
     // Crawler-trap detection: synthesized URL mix per host — calendar
     // paths ('/cal/<event_id>/day', distinct per event), session-id
     // query strings ('/s?sid=<md5>'), and a bounded normal page set
@@ -468,6 +483,33 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_anchor_text" ->
+      """WITH l AS (
+           SELECT 'h' || (user_id % 20) AS src_host,
+                  'https://t' || (event_id % 40) || '.org/' AS dst,
+                  ['click here', 'read more', 'home', 'docs',
+                   'api reference', 'blog'][CAST(event_id % 6 AS INT) + 1]
+                    AS anchor
+           FROM events),
+         pa AS (
+           SELECT dst, anchor, count(*)::BIGINT AS cnt
+           FROM l GROUP BY 1, 2),
+         r AS (
+           SELECT dst, anchor, cnt,
+                  row_number() OVER (PARTITION BY dst
+                    ORDER BY cnt DESC, anchor ASC) AS rk
+           FROM pa),
+         tops AS (
+           SELECT dst, max(CASE WHEN rk = 1 THEN anchor END) AS top_anchor,
+                  string_agg(anchor, ' | ' ORDER BY rk) AS top_anchors
+           FROM r WHERE rk <= 3 GROUP BY 1),
+         tot AS (
+           SELECT dst, count(*)::BIGINT AS n_links,
+                  count(DISTINCT src_host)::BIGINT AS n_src_hosts
+           FROM l GROUP BY 1)
+         SELECT tot.dst, n_links, n_src_hosts, top_anchor, top_anchors
+         FROM tot JOIN tops ON tot.dst = tops.dst""",
 
     "q_trap_urls" ->
       s"""WITH u AS ($trapFixtureSql),

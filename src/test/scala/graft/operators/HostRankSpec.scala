@@ -74,4 +74,22 @@ class HostRankSpec extends AnyFunSuite {
       scale = 1000000L).collect().map(_.getLong(1)).toSet
     assert(zero == Set(333333L))
   }
+
+  test("anchorText: counts, tie-break, k cap, distinct hosts") {
+    val s = spark
+    import s.implicits._
+    val links = Seq(
+      ("h1", "t", "docs"), ("h1", "t", "docs"), ("h2", "t", "docs"),
+      ("h2", "t", "blog"), ("h3", "t", "blog"), ("h1", "t", "api"),
+      ("h1", "t", "zzz"),                    // 4th anchor -> cut at k=3
+      ("h9", "u", "home")).toDF("src_host", "dst", "anchor")
+    val out = HostRank.anchorText(links).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_src_hosts"),
+         r.getAs[String]("top_anchor"), r.getAs[String]("top_anchors")))
+      .toMap
+    // docs=3, blog=2, api=1 ties zzz=1 -> anchor asc picks api
+    assert(out("t") == (7L, 3L, "docs", "docs | blog | api"))
+    assert(out("u") == (1L, 1L, "home", "home"))
+  }
 }
