@@ -144,9 +144,9 @@ object Bench {
     * the real 71-query line measured 1865/1900, and at 76 queries even
     * the slim form needs the ladder. Pure so the size contract is
     * spec-testable. Degradation ladder as the query set grows: 2dp full
-    * names -> 1dp full names -> 1dp unique 12-char keys -> 1dp unique
-    * 8-char keys (keys stay prefix-attributable to the full-name map in
-    * the file; nothing is ever dropped).
+    * names -> 1dp full names -> 1dp unique 12/8/6/4-char keys (keys
+    * stay prefix-attributable to the full-name map in the file;
+    * nothing is ever dropped).
     */
   private[graft] def compactLine(
       results: Seq[(String, Double)], cpus: Int, sfDir: String,
@@ -192,10 +192,10 @@ object Bench {
         s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8))
+    val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4))
     ladder.iterator.map { case (dp, w) => render(dp, w) }
       .find(_.length <= 1900)
-      .getOrElse(render(1, 8))
+      .getOrElse(render(1, 4))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a
