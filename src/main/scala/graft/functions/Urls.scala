@@ -158,4 +158,27 @@ object Urls {
     * across runs, unlike Python's salted hash(), SURVEY.md §7.4 risk 3).
     */
   def urlHashCol(url: Column): Column = xxhash64(url)
+
+  /** Query parameters that never change page content — analytics and
+    * click-attribution noise. Stripping them before the seen-set hash
+    * collapses what would otherwise be unbounded synthetic URL variants
+    * of one page (every email campaign mints fresh utm_* strings).
+    * RE2-safe alternation so the DuckDB oracle runs the SAME pattern.
+    */
+  val TrackingParams: String =
+    "utm_[^=&#]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|_ga|ref_src"
+
+  /** Strip tracking parameters from a URL's query string: each
+    * `[?&]<param>=<value>` pair is removed, and if the leading `?` went
+    * with a removed pair the first surviving `&` is promoted back to
+    * `?`. Two codegen'd regexp passes, no UDF. Fragments and non-query
+    * text are untouched.
+    */
+  def stripTrackingCol(url: Column): Column = {
+    val removed = regexp_replace(url,
+      s"[?&](?:$TrackingParams)=[^&#]*", "")
+    // '^([^?#]+)&' can only match once (anchored), so Spark's
+    // always-global replace promotes exactly the first '&'
+    regexp_replace(removed, "^([^?#]+)&", "$1?")
+  }
 }

@@ -89,12 +89,13 @@ object Sketches {
   def cmsBuild(df: DataFrame, keyCol: String,
                weightCol: Option[String] = None): DataFrame = {
     val wc = weightCol.map(col(_).cast(LongType)).getOrElse(lit(1L))
-    val rows = (0 until CmsDepth).map { j =>
-      df.select(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("bucket"),
-        wc.as("w"))
-    }
-    rows.reduce(_.unionByName(_))
-      .groupBy("j", "bucket").agg(sum("w").as("cnt"))
+    // ONE input scan: the depth rows explode from an inline array (a
+    // per-depth union would re-read the corpus CmsDepth times)
+    df.select(wc.as("w"), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("bucket")))
+        .toIndexedSeq: _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
+      .agg(sum("w").as("cnt"))
   }
 
   /** Merge count-min sketches: sum per cell (the cross-partition /
@@ -112,10 +113,11 @@ object Sketches {
     */
   def cmsQuery(keys: DataFrame, keyCol: String,
                sketch: DataFrame): DataFrame = {
-    val probes = (0 until CmsDepth).map { j =>
-      keys.select(col(keyCol), lit(j).as("j"),
-        cmsBucket(j, col(keyCol)).as("bucket"))
-    }.reduce(_.unionByName(_))
+    val probes = keys.select(col(keyCol),
+        explode(array((0 until CmsDepth).map(j =>
+          struct(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("bucket")))
+          .toIndexedSeq: _*)).as("c"))
+      .select(col(keyCol), col("c.j").as("j"), col("c.bucket").as("bucket"))
     // left join: a probe hashing into a never-incremented cell reads 0
     // (an inner join would silently take the min over fewer rows)
     probes.join(sketch, Seq("j", "bucket"), "left")
@@ -142,7 +144,9 @@ object Sketches {
         .cast(DecimalType(38, 0))).as("sp"))
     val zeros = (lit(M.toLong) - col("n_present")).cast(LongType)
     val pow57 = 144115188075855872.0 // 2^57, exact double
-    val sumPow = col("sp").cast("double") +
+    // coalesce: an all-empty register set sums to null; treating it as
+    // 0 lets the zeros term carry the whole (linear-counting) estimate
+    val sumPow = coalesce(col("sp"), lit(0)).cast("double") +
       zeros.cast("double") * lit(pow57)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
     val raw = alpha * lit(65536.0) * lit(pow57) / sumPow

@@ -169,6 +169,26 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Tracking-parameter stripping: utm_*/gclid/fbclid/... query pairs
+    // removed, leading '?' re-promoted when its pair went, fragments
+    // untouched (the '#utm_inside' case must survive). Collapses the
+    // unbounded synthetic URL variants of one page before seen-hashing.
+    "q_url_strip_tracking" -> { (s, dir) =>
+      val base = concat(lit("https://h"), pmod(col("user_id"), lit(20L)),
+        lit(".example.com/p"), pmod(col("event_id"), lit(50L)))
+      val sel = pmod(col("event_id"), lit(5L))
+      val url = concat(base, when(sel === 0, lit(""))
+        .when(sel === 1, concat(lit("?utm_source=mail"), col("event_id"),
+          lit("&id="), pmod(col("event_id"), lit(9L))))
+        .when(sel === 2, concat(lit("?id="), pmod(col("event_id"), lit(9L)),
+          lit("&fbclid=x"), col("event_id")))
+        .when(sel === 3, concat(lit("?gclid=g"), col("event_id"),
+          lit("&utm_campaign=c"), col("event_id"), lit("&page=2")))
+        .otherwise(lit("?a=1#utm_inside=keep")))
+      table(s, dir, "events").select(col("event_id"), url.as("url"),
+        graft.functions.Urls.stripTrackingCol(url).as("clean_url"))
+    },
+
     // Anchor-text aggregation: per link target, in-link totals and the
     // top-3 anchors by frequency ((cnt desc, anchor) deterministic).
     // The raw-link shuffle happens once, on (dst, anchor) — no
@@ -483,6 +503,29 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_url_strip_tracking" ->
+      s"""WITH u AS (
+           SELECT event_id,
+                  'https://h' || (user_id % 20) || '.example.com/p' ||
+                  (event_id % 50) ||
+                  CASE event_id % 5
+                    WHEN 0 THEN ''
+                    WHEN 1 THEN '?utm_source=mail' || event_id ||
+                                '&id=' || (event_id % 9)
+                    WHEN 2 THEN '?id=' || (event_id % 9) ||
+                                '&fbclid=x' || event_id
+                    WHEN 3 THEN '?gclid=g' || event_id ||
+                                '&utm_campaign=c' || event_id || '&page=2'
+                    ELSE '?a=1#utm_inside=keep' END AS url
+           FROM events)
+         SELECT event_id, url,
+                regexp_replace(
+                  regexp_replace(url,
+                    '[?&](?:${graft.functions.Urls.TrackingParams})=[^&#]*',
+                    '', 'g'),
+                  '^([^?#]+)&', '\\1?') AS clean_url
+         FROM u""",
 
     "q_anchor_text" ->
       """WITH l AS (

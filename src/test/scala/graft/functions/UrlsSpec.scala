@@ -61,4 +61,27 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.bareUrl("https://a.com/x") == "a.com/x")
     assert(Urls.bareUrl("nocolon") == "colon") // find -1 -> url[2:]
   }
+
+  test("stripTrackingCol: removes noise params, re-promotes '?', keeps fragments") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // leading tracking pair: the '&' survivor is promoted to '?'
+      ("https://a/p?utm_source=m1&id=3", "https://a/p?id=3"),
+      // trailing tracking pair: plain removal
+      ("https://a/p?id=3&fbclid=xyz", "https://a/p?id=3"),
+      // multiple tracking pairs around a survivor
+      ("https://a/p?gclid=g&utm_campaign=c&page=2", "https://a/p?page=2"),
+      // all-tracking query: '?' disappears entirely
+      ("https://a/p?utm_a=1&utm_b=2", "https://a/p"),
+      // fragment text is not a query param
+      ("https://a/p?a=1#utm_inside=keep", "https://a/p?a=1#utm_inside=keep"),
+      // no query at all
+      ("https://a/p", "https://a/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.functions.Urls.stripTrackingCol(col("url")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+  }
 }

@@ -130,4 +130,17 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("k1") >= 15L && est("k2") >= 2L)
   }
+
+  test("cms: build scans its input exactly once (explode, not a union)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms-scan").toString
+    (0 until 100).map(i => s"k${i % 9}").toDF("key")
+      .write.mode("overwrite").parquet(dir)
+    val sketch = Sketches.cmsBuild(s.read.parquet(dir), "key")
+    sketch.collect()
+    val scans = sketch.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan, found $scans")
+  }
 }
