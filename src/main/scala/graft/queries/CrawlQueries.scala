@@ -169,6 +169,33 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Outlink extraction + RFC 3986-style resolution: each page carries
+    // five keepable link shapes (root-relative, directory-relative,
+    // ../ dot-segment, single-quoted protocol-relative, absolute with
+    // an &amp; entity) and four droppable ones (mailto, fragment-only,
+    // javascript, empty). The oracle replays extraction, entity decode,
+    // the resolution CASE and the bounded dot-segment passes.
+    "q_outlinks" -> { (s, dir) =>
+      val e = col("event_id")
+      val pages = table(s, dir, "events").select(
+        e,
+        concat(lit("https://h"), pmod(col("user_id"), lit(20L)),
+          lit(".example.com/d"), pmod(e, lit(5L)), lit("/s/page"),
+          pmod(e, lit(7L)), lit(".html")).as("url"),
+        concat(
+          lit("<html><a href=\"/top"), pmod(e, lit(9L)), lit("\">t</a>"),
+          lit("<a href=\"rel"), pmod(e, lit(4L)), lit(".html\">r</a>"),
+          lit("<a href=\"../up"), pmod(e, lit(3L)), lit("\">u</a>"),
+          lit("<a href='//cdn.example.org/x"), pmod(e, lit(5L)),
+          lit("'>c</a>"),
+          lit("<a href=\"https://ext.example.net/a?x=1&amp;y="),
+          pmod(e, lit(2L)), lit("\">a</a>"),
+          lit("<a href=\"mailto:x@y.z\">m</a><a href=\"#f\">f</a>" +
+            "<a href=\"javascript:void(0)\">j</a><a href=\"\">e</a>" +
+            "</html>")).as("html"))
+      graft.operators.Links.outlinks(pages, "event_id", "url", "html")
+    },
+
     // Tracking-parameter stripping: utm_*/gclid/fbclid/... query pairs
     // removed, leading '?' re-promoted when its pair went, fragments
     // untouched (the '#utm_inside' case must survive). Collapses the
@@ -503,6 +530,74 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_outlinks" ->
+      s"""WITH p AS (
+           SELECT event_id,
+                  'https://h' || (user_id % 20) || '.example.com/d' ||
+                  (event_id % 5) || '/s/page' || (event_id % 7) || '.html'
+                    AS url,
+                  '<html><a href="/top' || (event_id % 9) || '">t</a>' ||
+                  '<a href="rel' || (event_id % 4) || '.html">r</a>' ||
+                  '<a href="../up' || (event_id % 3) || '">u</a>' ||
+                  '<a href=''//cdn.example.org/x' || (event_id % 5) ||
+                  '''>c</a>' ||
+                  '<a href="https://ext.example.net/a?x=1&amp;y=' ||
+                  (event_id % 2) || '">a</a>' ||
+                  '<a href="mailto:x@y.z">m</a><a href="#f">f</a>' ||
+                  '<a href="javascript:void(0)">j</a><a href="">e</a>' ||
+                  '</html>' AS html
+           FROM events),
+         h AS (
+           SELECT event_id, url,
+                  unnest(list_concat(
+                    regexp_extract_all(html,
+                      '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+                    regexp_extract_all(html,
+                      '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)))
+                    AS raw
+           FROM p),
+         d AS (
+           SELECT event_id, url,
+                  replace(replace(replace(replace(replace(raw,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&amp;', '&') AS href
+           FROM h),
+         parts AS (
+           SELECT event_id, url, href,
+                  regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+                  regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+                  regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                    AS path
+           FROM d),
+         j AS (
+           SELECT event_id, url,
+                  CASE
+                    WHEN regexp_matches(href, '^(?i)(https?)://') THEN href
+                    WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                      THEN NULL
+                    WHEN href LIKE '//%' THEN scheme || ':' || href
+                    WHEN href LIKE '/%' THEN scheme || '://' || host || href
+                    WHEN href = '' OR href LIKE '#%' THEN NULL
+                    ELSE scheme || '://' || host ||
+                         CASE WHEN path = '' THEN '/'
+                              ELSE regexp_replace(path, '[^/]*$$', '') END ||
+                         regexp_replace(href, '^(\\./)+', '')
+                  END AS link0
+           FROM parts),
+         r AS (
+           SELECT event_id, url,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(link0, '#.*$$', ''),
+                    '/[^/.][^/]*/\\.\\./', '/', 'g'),
+                    '/[^/.][^/]*/\\.\\./', '/', 'g'),
+                    '/[^/.][^/]*/\\.\\./', '/', 'g'),
+                    '/[^/.][^/]*/\\.\\./', '/', 'g') AS link
+           FROM j WHERE link0 IS NOT NULL)
+         SELECT DISTINCT event_id, url, link FROM r""",
 
     "q_url_strip_tracking" ->
       s"""WITH u AS (
