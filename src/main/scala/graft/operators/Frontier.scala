@@ -343,6 +343,25 @@ object Frontier {
       .withColumn("crawl_delay", coalesce(col("crawl_delay"), lit(1L)))
   }
 
+  /** `Sitemap:` lines from robots files — the sitemaps-protocol seed
+    * channel ([[graft.sources.Sitemaps]] parses what these point at).
+    * Per the protocol these are GLOBAL, not user-agent-group-scoped,
+    * so this is a plain line scan: strip comments, keep sitemap lines,
+    * take everything after the FIRST colon (the URL's own '://' colon
+    * comes later). Pure columns, no window.
+    */
+  def robotsSitemaps(files: DataFrame,
+                     hostCol: String = "host_key",
+                     contentCol: String = "content"): DataFrame =
+    files
+      .select(col(hostCol),
+        explode(split(col(contentCol), "\n")).as("raw"))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(lower(col("line")).startsWith("sitemap:"))
+      .select(col(hostCol),
+        trim(expr("substring(line, instr(line, ':') + 1)"))
+          .as("sitemap_url"))
+
   /** O2 byte-range coalescing: group cluster ranges by file, merge
     * byte-contiguous runs (offset == previous end), cap each batch at
     * `maxClusters` (cc_corpus/index.py:187–241; ≤100 clusters/request,

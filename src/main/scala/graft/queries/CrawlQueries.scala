@@ -169,6 +169,29 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Robots Sitemap: seed channel — global lines (never UA-group
+    // scoped, per the sitemaps protocol), extracted around comments,
+    // case variants and UA groups. Docs with doc_id%2==1 carry a second
+    // sitemap line; every 7th file has none and must emit no rows.
+    "q_robots_sitemaps" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val nl = lit("\n")
+      val first = concat(lit("Sitemap: https://h"), pmod(id, lit(30L)),
+        lit(".example.com/sitemap"), pmod(id, lit(3L)), lit(".xml"))
+      val second = concat(lit("sitemap:https://h"), pmod(id, lit(30L)),
+        lit(".example.com/news"), pmod(id, lit(4L)),
+        lit(".xml # seasonal"))
+      val content = concat(
+        lit("User-agent: *"), nl, lit("Disallow: /tmp"), nl,
+        when(pmod(id, lit(7L)) === 0, lit("# no sitemaps here"))
+          .otherwise(concat(first,
+            when(pmod(id, lit(2L)) === 1, concat(nl, second))
+              .otherwise(lit("")))))
+      graft.operators.Frontier.robotsSitemaps(
+        table(s, dir, "documents").select(
+          concat(lit("h"), id).as("host_key"), content.as("content")))
+    },
+
     // Outlink extraction + RFC 3986-style resolution: each page carries
     // five keepable link shapes (root-relative, directory-relative,
     // ../ dot-segment, single-quoted protocol-relative, absolute with
@@ -530,6 +553,37 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_robots_sitemaps" ->
+      """WITH f AS (
+           SELECT 'h' || CAST(doc_id AS BIGINT) AS host_key,
+                  'User-agent: *' || chr(10) || 'Disallow: /tmp' ||
+                  chr(10) ||
+                  CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                       THEN '# no sitemaps here'
+                       ELSE 'Sitemap: https://h' ||
+                            (CAST(doc_id AS BIGINT) % 30) ||
+                            '.example.com/sitemap' ||
+                            (CAST(doc_id AS BIGINT) % 3) || '.xml' ||
+                            CASE WHEN CAST(doc_id AS BIGINT) % 2 = 1
+                                 THEN chr(10) || 'sitemap:https://h' ||
+                                      (CAST(doc_id AS BIGINT) % 30) ||
+                                      '.example.com/news' ||
+                                      (CAST(doc_id AS BIGINT) % 4) ||
+                                      '.xml # seasonal'
+                                 ELSE '' END
+                  END AS content
+           FROM documents),
+         l AS (
+           SELECT host_key,
+                  trim(regexp_replace(
+                    unnest(string_split(content, chr(10))),
+                    '#.*$', '')) AS line
+           FROM f)
+         SELECT host_key,
+                trim(substr(line, position(':' IN line) + 1))
+                  AS sitemap_url
+         FROM l WHERE lower(line) LIKE 'sitemap:%'""",
 
     "q_outlinks" ->
       s"""WITH p AS (

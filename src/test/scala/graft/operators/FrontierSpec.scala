@@ -261,4 +261,23 @@ class FrontierSpec extends AnyFunSuite {
     assert(r.getString(1) == "hu,elte")
     assert(r.getLong(2) == graft.functions.TextAnalysis.simhash64("a b c"))
   }
+
+  test("robotsSitemaps: global lines, comments stripped, first-colon split") {
+    val s = spark
+    import s.implicits._
+    val content =
+      """User-agent: crawler
+        |Disallow: /x
+        |Sitemap: https://a.com/s1.xml
+        |User-agent: other
+        |sitemap:https://a.com/s2.xml  # comment after
+        |# Sitemap: https://a.com/commented-out.xml
+        |SITEMAP: https://a.com/s3.xml""".stripMargin
+    val out = graft.operators.Frontier.robotsSitemaps(
+      Seq(("a.com", content)).toDF("host_key", "content"))
+      .collect().map(_.getString(1)).toSet
+    // group scoping must NOT apply; the fully-commented line must
+    assert(out == Set("https://a.com/s1.xml", "https://a.com/s2.xml",
+      "https://a.com/s3.xml"))
+  }
 }
