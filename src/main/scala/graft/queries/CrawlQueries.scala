@@ -169,6 +169,28 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // WARC write→read round trip: the storage side of the crawl loop.
+    // Each doc is built into a spec-shaped gzip-member response record
+    // by the WRITER and read back through the production S4 reader
+    // (gzip decode → WARC parse → charset-aware text). The oracle
+    // predicts the fields directly from the fixture — write-then-read
+    // must be the identity, which is the sink's contract.
+    "q_warc_roundtrip" -> { (s, dir) =>
+      import graft.sources.WarcGzip
+      val id = col("doc_id").cast(LongType)
+      val url = concat(lit("https://h"), pmod(id, lit(30L)),
+        lit(".example.com/doc"), col("doc_id"))
+      val rec = WarcGzip.buildWarcResponseUdf(url,
+        lit(1700000000L) + id, encode(col("text"), "UTF-8"))
+      val p = WarcGzip.warcResponseUdf(WarcGzip.decodeAllUdf(rec))
+      table(s, dir, "documents")
+        .select(col("doc_id"), p.as("p"))
+        .select(col("doc_id"),
+          col("p._1").as("url"), col("p._2").as("status"),
+          col("p._3").as("mime"), col("p._4").as("body"),
+          length(col("p._4")).cast(LongType).as("n_chars"))
+    },
+
     // Robots Sitemap: seed channel — global lines (never UA-group
     // scoped, per the sitemaps protocol), extracted around comments,
     // case variants and UA groups. Docs with doc_id%2==1 carry a second
@@ -553,6 +575,16 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_warc_roundtrip" ->
+      """SELECT doc_id,
+           'https://h' || (CAST(doc_id AS BIGINT) % 30) ||
+           '.example.com/doc' || doc_id AS url,
+           CAST(200 AS INT) AS status,
+           'text/html' AS mime,
+           text AS body,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
 
     "q_robots_sitemaps" ->
       """WITH f AS (

@@ -25,6 +25,61 @@ import scala.collection.mutable
   */
 object WarcGzip {
 
+  // ---- WARC WRITING (the storage side of the crawl loop —
+  //      download_pages.py's per-thread WARC shard, S9's payload) ----
+
+  /** One spec-shaped WARC response record, gzip-compressed as its own
+    * member (the Common Crawl convention: member boundary == record
+    * boundary, which is also what keeps ranged fetch possible). The
+    * inter-record CRLF separator stays OUTSIDE the member — our own
+    * reader takes payload to end-of-record, and member framing is the
+    * real delimiter. Fully deterministic: WARC-Record-ID is a name
+    * UUID of (uri, epoch), the gzip header carries no mtime, and the
+    * digest is sha-1 hex of the payload — byte-identical output for
+    * identical input on any executor.
+    */
+  def buildWarcResponse(uri: String, epochSec: Long,
+                        payload: Array[Byte],
+                        status: Int = 200,
+                        contentType: String = "text/html"): Array[Byte] = {
+    val date = java.time.Instant.ofEpochSecond(epochSec).toString
+    val http = (s"HTTP/1.1 $status OK\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+    val recId = java.util.UUID.nameUUIDFromBytes(
+      (uri + "@" + epochSec).getBytes("UTF-8"))
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload).map("%02x".format(_)).mkString
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recId>\r\n" +
+      s"WARC-Payload-Digest: sha1:$digest\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length + payload.length}\r\n\r\n")
+      .getBytes("US-ASCII")
+    gzipOneMember(head ++ http ++ payload)
+  }
+
+  /** Deterministic single-member gzip (no mtime, no name — identical
+    * bytes for identical input, so written shards are reproducible).
+    */
+  def gzipOneMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    val out = bos.toByteArray
+    // GZIPOutputStream stamps no mtime (bytes 4-7 already zero) — keep
+    // OS byte fixed too (some JDKs write 0, keep it that way)
+    out(9) = 0
+    out
+  }
+
+  val buildWarcResponseUdf = udf(
+    (uri: String, epoch: Long, payload: Array[Byte]) =>
+      buildWarcResponse(uri, epoch, payload))
+
   /** Decode one gzip member from a byte range of a multi-member file. */
   def gzipMemberAt(bytes: Array[Byte], offset: Long, length: Long): Array[Byte] = {
     val slice = java.util.Arrays.copyOfRange(

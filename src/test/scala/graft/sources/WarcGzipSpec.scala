@@ -88,4 +88,39 @@ class WarcGzipSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
     assert(rows == Set((0, 0, "l1"), (0, 1, "l2"), (1, 0, "l3")))
   }
+
+  test("writer round-trips through the reader, field for field") {
+    val payload = "hello <b>warc</b> world \u00e9".getBytes("UTF-8")
+    val rec = WarcGzip.buildWarcResponse(
+      "https://ex.com/a?q=1", 1700000123L, payload, 200, "text/html")
+    val parsed = WarcGzip.parseWarcRecord(WarcGzip.decodeAll(rec))
+    assert(parsed != null)
+    assert(parsed.warcHeaders("WARC-Target-URI") == "https://ex.com/a?q=1")
+    assert(parsed.warcHeaders("WARC-Date") == "2023-11-14T22:15:23Z")
+    assert(parsed.httpStatus == 200)
+    assert(parsed.httpHeaders("Content-Length") == payload.length.toString)
+    assert(java.util.Arrays.equals(parsed.payload, payload))
+    // payload digest is honest sha-1 of the payload bytes
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload).map("%02x".format(_)).mkString
+    assert(parsed.warcHeaders("WARC-Payload-Digest") == s"sha1:$d")
+  }
+
+  test("writer output is deterministic and member-concatenable") {
+    val a = WarcGzip.buildWarcResponse("https://a/1", 1L, Array[Byte](1, 2))
+    val b = WarcGzip.buildWarcResponse("https://a/1", 1L, Array[Byte](1, 2))
+    assert(java.util.Arrays.equals(a, b)) // reproducible shards
+    val c = WarcGzip.buildWarcResponse("https://a/2", 2L, Array[Byte](3))
+    // a shard = concatenated members; the member walk splits it back
+    val members = WarcGzip.gzipMembers(a ++ c)
+    assert(members.size == 2)
+    assert(WarcGzip.parseWarcRecord(members(0))
+      .warcHeaders("WARC-Target-URI") == "https://a/1")
+    assert(WarcGzip.parseWarcRecord(members(1))
+      .warcHeaders("WARC-Target-URI") == "https://a/2")
+    // and ranged access works at (offset, length) of the second member
+    assert(WarcGzip.parseWarcRecord(
+      WarcGzip.gzipMemberAt(a ++ c, a.length.toLong, c.length.toLong))
+      .httpStatus == 200)
+  }
 }
