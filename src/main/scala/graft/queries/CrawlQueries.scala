@@ -191,6 +191,32 @@ object CrawlQueries {
           length(col("p._4")).cast(LongType).as("n_chars"))
     },
 
+    // WARC index shards + ranged re-read: records are written into
+    // 8 shards, the index (surt, offset, length) is a per-shard window
+    // sum over member lengths, and every record is RE-READ through the
+    // production ranged reader at its indexed (offset, length) — any
+    // offset error breaks the gzip/WARC parse and the hash. The
+    // shard-bytes join is the verification shape; a real sink streams.
+    "q_warc_index" -> { (s, dir) =>
+      import graft.sources.WarcGzip
+      val id = col("doc_id").cast(LongType)
+      val url = concat(lit("https://h"), pmod(id, lit(30L)),
+        lit(".example.com/doc"), col("doc_id"))
+      val recs = table(s, dir, "documents").select(
+        pmod(id, lit(8L)).as("shard"), id.as("ord"), url.as("url"),
+        WarcGzip.buildWarcResponseUdf(url, lit(1700000000L) + id,
+          encode(col("text"), "UTF-8")).as("rec"))
+      val idx = WarcGzip.indexShards(recs)
+      val shards = WarcGzip.shardBytes(recs)
+      idx.join(shards, "shard")
+        .withColumn("p", WarcGzip.warcResponseUdf(
+          WarcGzip.gzipMemberAtUdf(col("bytes"), col("offset"),
+            col("length"))))
+        .select(col("shard"), col("ord"), col("url"), col("surt_key"),
+          col("p._1").as("reread_url"),
+          length(col("p._4")).cast(LongType).as("n_chars"))
+    },
+
     // Robots Sitemap: seed channel — global lines (never UA-group
     // scoped, per the sitemaps protocol), extracted around comments,
     // case variants and UA groups. Docs with doc_id%2==1 carry a second
@@ -575,6 +601,21 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_warc_index" ->
+      """WITH u AS (
+           SELECT CAST(doc_id AS BIGINT) AS id, text,
+                  'https://h' || (CAST(doc_id AS BIGINT) % 30) ||
+                  '.example.com/doc' || doc_id AS url,
+                  'h' || (CAST(doc_id AS BIGINT) % 30) ||
+                  '.example.com' AS host
+           FROM documents)
+         SELECT id % 8 AS shard, id AS ord, url,
+                array_to_string(list_reverse(string_split(host, '.')),
+                                ',') AS surt_key,
+                url AS reread_url,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM u""",
 
     "q_warc_roundtrip" ->
       """SELECT doc_id,

@@ -80,6 +80,53 @@ object WarcGzip {
     (uri: String, epoch: Long, payload: Array[Byte]) =>
       buildWarcResponse(uri, epoch, payload))
 
+  /** Index shard for written WARC records — the (url, surt, shard,
+    * offset, length) table the ranged reader needs to fetch one record
+    * back (the reference writes exactly this beside each WARC shard,
+    * download_pages.py's per-thread index file; cluster.idx is its
+    * merged form). Input rows: (shardCol, ordCol, urlCol, recCol =
+    * the gzip-member bytes from buildWarcResponse). Offsets are a
+    * cumulative window sum of member lengths within each shard in
+    * `ordCol` order — one window, partitioned by shard (bounded by
+    * shard size, never corpus skew).
+    */
+  def indexShards(records: DataFrame,
+                  shardCol: String = "shard", ordCol: String = "ord",
+                  urlCol: String = "url",
+                  recCol: String = "rec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(asc(ordCol))
+    records.select(col(shardCol), col(ordCol), col(urlCol),
+        length(col(recCol)).cast("long").as("length"))
+      .withColumn("offset",
+        coalesce(sum(col("length")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(shardCol), col(ordCol), col(urlCol),
+        graft.functions.Urls.surtKeyCol(
+          graft.functions.Urls.hostCol(col(urlCol))).as("surt_key"),
+        col("offset"), col("length"))
+  }
+
+  /** Whole-shard bytes: members concatenated in `ordCol` order — the
+    * file a shard sink would write. Per-shard, so memory is bounded by
+    * shard size (at corpus scale the sink streams; this form exists so
+    * index offsets can be VERIFIED by re-reading ranges).
+    */
+  def shardBytes(records: DataFrame,
+                 shardCol: String = "shard", ordCol: String = "ord",
+                 recCol: String = "rec"): DataFrame =
+    records.groupBy(col(shardCol))
+      .agg(sort_array(collect_list(struct(col(ordCol).as("o"),
+        col(recCol).as("r")))).as("rs"))
+      .select(col(shardCol),
+        concatMembersUdf(col("rs.r")).as("bytes"))
+
+  private val concatMembersUdf = udf((members: Seq[Array[Byte]]) => {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach(out.write)
+    out.toByteArray
+  })
+
   /** Decode one gzip member from a byte range of a multi-member file. */
   def gzipMemberAt(bytes: Array[Byte], offset: Long, length: Long): Array[Byte] = {
     val slice = java.util.Arrays.copyOfRange(

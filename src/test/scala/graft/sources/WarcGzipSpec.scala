@@ -123,4 +123,37 @@ class WarcGzipSpec extends AnyFunSuite {
       WarcGzip.gzipMemberAt(a ++ c, a.length.toLong, c.length.toLong))
       .httpStatus == 200)
   }
+
+  test("indexShards: contiguous offsets; every record re-reads at its range") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val recs = (0 until 12).map { i =>
+      (i % 3L, i.toLong, s"https://h$i.ex.com/p",
+       WarcGzip.buildWarcResponse(s"https://h$i.ex.com/p", 100L + i,
+         s"payload-$i".getBytes("US-ASCII")))
+    }.toDF("shard", "ord", "url", "rec")
+    val idx = WarcGzip.indexShards(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("offset"), r.getAs[Long]("length"))).toMap
+    // per shard: offsets are the prefix sums of lengths in ord order
+    (0L until 3L).foreach { sh =>
+      val ords = (0 until 12).map(_.toLong).filter(_ % 3 == sh).sorted
+      var expect = 0L
+      ords.foreach { o =>
+        val (off, len) = idx((sh, o))
+        assert(off == expect, s"shard $sh ord $o")
+        expect += len
+      }
+    }
+    // ranged re-read through the production reader at every index row
+    val bytes = WarcGzip.shardBytes(recs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    idx.foreach { case ((sh, o), (off, len)) =>
+      val rec = WarcGzip.parseWarcRecord(
+        WarcGzip.gzipMemberAt(bytes(sh), off, len))
+      assert(rec.warcHeaders("WARC-Target-URI") == s"https://h$o.ex.com/p")
+      assert(new String(rec.payload, "US-ASCII") == s"payload-$o")
+    }
+  }
 }
