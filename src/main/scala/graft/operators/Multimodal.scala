@@ -246,6 +246,9 @@ object Multimodal {
       if (fmtTag == 0x11)
         return decodeImaAdpcm(bytes, dataOff, dataLen, channels, rate,
                               bits, blockAlign, samplesPerBlock)
+      if ((fmtTag == 6 || fmtTag == 7) && bits == 8)
+        return decodeG711(bytes, dataOff, dataLen, channels, rate,
+                          mulaw = fmtTag == 7)
       if (fmtTag != 1 || (bits != 8 && bits != 16)) return None
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
@@ -274,6 +277,76 @@ object Multimodal {
       Some(WavFeatures(rate, channels, bits, nFrames,
         nFrames * 1000L / rate, sumSq, zc))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ---- G.711 (ITU-T) — REAL compressed telephony audio: 8-bit
+  //      companded bytes expand to 13/14-bit linear PCM by a pure
+  //      integer formula, so the oracle can replay the decode in SQL.
+
+  /** μ-law byte → linear sample (G.711 expansion, BIAS 0x84). */
+  def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear sample (G.711 expansion, 0x55 toggle; note
+    * the sign bit SET means positive in A-law).
+    */
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val q = a & 0x0f
+    val seg = (a & 0x70) >> 4
+    val t = seg match {
+      case 0 => (q << 4) + 8
+      case 1 => (q << 4) + 0x108
+      case s => ((q << 4) + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private def decodeG711(bytes: Array[Byte], dataOff: Int, dataLen: Int,
+                         channels: Int, rate: Int,
+                         mulaw: Boolean): Option[WavFeatures] = {
+    val nFrames = dataLen / channels
+    var sumSq = 0L; var zc = 0L; var prevSign = 0
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val raw = bytes(dataOff + f * channels + c) & 0xff
+        val v = if (mulaw) ulawToLinear(raw) else alawToLinear(raw)
+        sumSq += v.toLong * v
+        if (c == 0) {
+          val s = java.lang.Integer.signum(v)
+          if (s != 0 && prevSign != 0 && s != prevSign) zc += 1
+          if (s != 0) prevSign = s
+        }
+        c += 1
+      }
+      f += 1
+    }
+    Some(WavFeatures(rate, channels, 8, nFrames,
+      nFrames * 1000L / rate, sumSq, zc))
+  }
+
+  /** Canonical G.711 WAV builder (tests/fixtures): RIFF + fmt (tag 7
+    * μ-law / 6 A-law, mono, 8-bit) + raw companded bytes.
+    */
+  def encodeG711Wav(rate: Int, mulaw: Boolean,
+                    data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + data.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(if (mulaw) 7 else 6); w16(1); w32(rate); w32(rate); w16(1); w16(8)
+    out.write("data".getBytes("US-ASCII")); w32(data.length)
+    out.write(data)
+    if (data.length % 2 == 1) out.write(0) // word-align the chunk
+    out.toByteArray
   }
 
   /** Mono IMA-ADPCM block walk: each block = 4-byte header (predictor

@@ -441,6 +441,29 @@ object PipelineQueries {
         col("wav.zero_crossings").as("zc"))
     },
 
+    // REAL compressed telephony audio: G.711 mu-law (even docs) and
+    // A-law (odd docs) payloads — every byte value 0..255 appears —
+    // expanded through the production RIFF walk + ITU integer formulas.
+    // The oracle replays the expansion per byte in SQL (shift/xor
+    // arithmetic) including the strict-sign-change zero crossings.
+    "q_audio_g711" -> { (s, dir) =>
+      val g711Udf = udf((ord: Long, n: Int, mulaw: Boolean) =>
+        Multimodal.encodeG711Wav(8000, mulaw,
+          (0 until n).map(i => ((i * 7 + ord) % 256).toByte).toArray))
+      val id = col("doc_id").cast(LongType)
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://g711/"), col("doc_id")).as("media_ref"),
+        (pmod(id, lit(2L)) === 0).as("is_ulaw"),
+        g711Udf(id, (pmod(id, lit(150L)) + 100).cast("int"),
+          pmod(id, lit(2L)) === 0).as("bytes"))
+      Multimodal.audioFeatures(media).select(
+        col("media_ref"), col("is_ulaw"),
+        col("wav.n_frames").as("n_frames"),
+        col("wav.duration_ms").as("duration_ms"),
+        col("wav.sum_sq").as("sum_sq"),
+        col("wav.zero_crossings").as("zc"))
+    },
+
     // REAL video decode end-to-end: uncompressed YUV4MPEG2 payloads are
     // encoded from a luma formula, then Multimodal.videoFeatures walks
     // the container (header tags, FRAME markers, planar C420 frames),
@@ -934,6 +957,56 @@ object PipelineQueries {
          FROM d
          JOIN ss ON ss.doc_id = d.doc_id
          LEFT JOIN zc ON zc.doc_id = d.doc_id""",
+
+    // G.711 replay: the ITU expansion formulas as pure shift/xor
+    // arithmetic per byte; strict-sign-change zero crossings via lag
+    // over the nonzero-sign stream.
+    "q_audio_g711" -> {
+      def ulaw(b: String) = {
+        val u = s"(255 - ($b))"
+        val t = s"((($u % 16) * 8 + 132) << (($u // 16) % 8))"
+        s"(CASE WHEN $u >= 128 THEN 132 - $t ELSE $t - 132 END)"
+      }
+      def alaw(b: String) = {
+        val a = s"xor(($b), 85)"
+        val t = s"(CASE WHEN ($a // 16) % 8 = 0 THEN ($a % 16) * 16 + 8" +
+          s" WHEN ($a // 16) % 8 = 1 THEN ($a % 16) * 16 + 264" +
+          s" ELSE (($a % 16) * 16 + 264) << ((($a // 16) % 8) - 1) END)"
+        s"(CASE WHEN $a >= 128 THEN $t ELSE -$t END)"
+      }
+      s"""WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord,
+                  CAST(doc_id AS BIGINT) % 150 + 100 AS n
+           FROM documents),
+         smp AS (
+           SELECT doc_id, ord, n, i,
+                  CASE WHEN ord % 2 = 0 THEN ${ulaw("(i*7+ord) % 256")}
+                       ELSE ${alaw("(i*7+ord) % 256")} END AS s
+           FROM d, unnest(range(n)) AS t(i)),
+         nz AS (
+           SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE -1 END AS sg
+           FROM smp WHERE s <> 0),
+         nz2 AS (
+           SELECT doc_id, sg,
+                  lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS psg
+           FROM nz),
+         zc AS (
+           SELECT doc_id,
+                  sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+                           THEN 1 ELSE 0 END)::BIGINT AS zc
+           FROM nz2 GROUP BY 1),
+         agg AS (
+           SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS sum_sq
+           FROM smp GROUP BY 1)
+         SELECT 'media://g711/' || d.doc_id AS media_ref,
+                ord % 2 = 0 AS is_ulaw,
+                CAST(n AS BIGINT) AS n_frames,
+                CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                agg.sum_sq,
+                CAST(coalesce(zc.zc, 0) AS BIGINT) AS zc
+         FROM d JOIN agg ON agg.doc_id = d.doc_id
+         LEFT JOIN zc ON zc.doc_id = d.doc_id"""
+    },
 
     // IMA-ADPCM replay: one recursion step per sample per doc (all docs
     // advance in parallel). The encoder tracks the decoder's predictor

@@ -368,4 +368,38 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = Multimodal.decodeGif(good.dropRight(good.length / 2))
     assert(cut.forall(_.n_frames <= 3L))
   }
+
+  test("G.711: ITU table landmark values expand exactly") {
+    // published landmarks: mu-law 0x00 -> -32124, 0xff/0x7f -> 0,
+    // 0x80 -> +32124; A-law 0x55 -> -8 (sign CLEAR is negative),
+    // 0xd5 -> +8, 0x2a -> -32256, 0xaa -> +32256
+    assert(Multimodal.ulawToLinear(0x00) == -32124)
+    assert(Multimodal.ulawToLinear(0xff) == 0)
+    assert(Multimodal.ulawToLinear(0x7f) == 0)
+    assert(Multimodal.ulawToLinear(0x80) == 32124)
+    assert(Multimodal.alawToLinear(0x55) == -8)
+    assert(Multimodal.alawToLinear(0xd5) == 8)
+    assert(Multimodal.alawToLinear(0x2a) == -32256)
+    assert(Multimodal.alawToLinear(0xaa) == 32256)
+    // sign symmetry across the whole byte range
+    (0 until 128).foreach { i =>
+      assert(Multimodal.ulawToLinear(i) == -Multimodal.ulawToLinear(i | 0x80))
+      assert(Multimodal.alawToLinear(i) == -Multimodal.alawToLinear(i | 0x80))
+    }
+  }
+
+  test("G.711: WAV container decode routes by format tag") {
+    val data = (0 until 256).map(_.toByte).toArray
+    val mu = Multimodal.decodeWav(
+      Multimodal.encodeG711Wav(8000, mulaw = true, data)).get
+    val al = Multimodal.decodeWav(
+      Multimodal.encodeG711Wav(8000, mulaw = false, data)).get
+    assert(mu.n_frames == 256 && al.n_frames == 256)
+    assert(mu.duration_ms == 256 * 1000 / 8000)
+    def sumSq(dec: Int => Int) =
+      (0 until 256).map(b => dec(b).toLong * dec(b)).sum
+    assert(mu.sum_sq == sumSq(Multimodal.ulawToLinear))
+    assert(al.sum_sq == sumSq(Multimodal.alawToLinear))
+    assert(mu.sum_sq != al.sum_sq) // the two codecs must not alias
+  }
 }
