@@ -148,10 +148,13 @@ object CrawlPolicy {
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val template = regexp_replace(
       regexp_replace(path, "[0-9a-f]{8,}", "~"), "[0-9]+", "#")
+    // derived keys under __ names so a candidate frame that already
+    // carries host/template columns is never clobbered
     candidates
-      .withColumn("host", host).withColumn("template", template)
-      .join(traps.filter(col("trap")).select("host", "template"),
-        Seq("host", "template"), "left_anti")
-      .drop("host", "template")
+      .withColumn("__th", host).withColumn("__tt", template)
+      .join(traps.filter(col("trap"))
+          .select(col("host").as("__th"), col("template").as("__tt")),
+        Seq("__th", "__tt"), "left_anti")
+      .drop("__th", "__tt")
   }
 }

@@ -25,19 +25,35 @@ object Links {
 
   val MaxDotSegments: Int = graft.expressions.UrlExpressions.MaxDotSegments
 
-  /** Raw href attribute values (double- and single-quoted) from an
-    * HTML column; callers entity-decode after exploding (Sitemaps
-    * .xmlUnescape, amp last).
+  /** rel="nofollow" inside an anchor tag — crawlers must not enqueue
+    * the target (RE2-safe; also matches rel='nofollow' and space-
+    * separated token lists).
     */
-  def hrefsCol(html: Column): Column = {
-    // RAW hrefs only — entity decode happens AFTER the explode as a
-    // plain column (inside the array lambda it would run the decode
-    // chain interpreted per element: HOFs are CodegenFallback)
-    val dq = regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1))
-    val sq = regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"), lit(1))
-    concat(dq, sq)
+  val NofollowRel: String = "(?i)rel\\s*=\\s*[\"']?[^\"'>]*nofollow"
+
+  /** Page-level robots meta nofollow: every link on the page is
+    * non-enqueueable.
+    */
+  val MetaNofollow: String =
+    "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      "content\\s*=\\s*[\"'][^\"']*nofollow"
+
+  /** Whole `<a ...>` opening tags from an HTML column — tag-level so
+    * per-anchor attributes (rel=nofollow) can gate the href.
+    */
+  def anchorTagsCol(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\s[^>]*>"), lit(0))
+
+  /** Raw href value from one anchor tag (double- then single-quoted;
+    * '' when absent/empty — resolve drops it). Callers entity-decode
+    * after exploding (Sitemaps.xmlUnescape, amp last) — inside an
+    * array lambda the decode chain would run interpreted per element
+    * (HOFs are CodegenFallback).
+    */
+  def hrefFromTag(tag: Column): Column = {
+    val dq = regexp_extract(tag, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(tag, "(?i)href\\s*=\\s*'([^']*)'", 1)
+    when(dq =!= "", dq).otherwise(sq)
   }
 
   /** Resolve one href column against a base-URL column. Returns null
@@ -63,9 +79,13 @@ object Links {
                urlCol: String = "url",
                htmlCol: String = "html"): DataFrame = {
     graft.expressions.UrlExpressions.register(pages.sparkSession)
-    pages.select(col(idCol), col(urlCol),
-        explode(hrefsCol(col(htmlCol))).as("raw"))
-      .withColumn("href", graft.sources.Sitemaps.xmlUnescape(col("raw")))
+    pages
+      .where(!col(htmlCol).rlike(MetaNofollow)) // page-level nofollow
+      .select(col(idCol), col(urlCol),
+        explode(anchorTagsCol(col(htmlCol))).as("tag"))
+      .where(!col("tag").rlike(NofollowRel)) // per-anchor nofollow
+      .withColumn("href",
+        graft.sources.Sitemaps.xmlUnescape(hrefFromTag(col("tag"))))
       .withColumn("link", resolveCol(col(urlCol), col("href")))
       .where(col("link").isNotNull)
       .select(col(idCol), col(urlCol), col("link"))

@@ -243,9 +243,11 @@ object CrawlQueries {
     // Outlink extraction + RFC 3986-style resolution: each page carries
     // five keepable link shapes (root-relative, directory-relative,
     // ../ dot-segment, single-quoted protocol-relative, absolute with
-    // an &amp; entity) and four droppable ones (mailto, fragment-only,
-    // javascript, empty). The oracle replays extraction, entity decode,
-    // the resolution CASE and the bounded dot-segment passes.
+    // an &amp; entity) and five droppable ones (mailto, fragment-only,
+    // javascript, empty, rel=nofollow); every 11th page carries a
+    // robots-meta nofollow and must emit NOTHING. The oracle replays
+    // extraction, both nofollow gates, entity decode, the resolution
+    // CASE and the bounded dot-segment passes.
     "q_outlinks" -> { (s, dir) =>
       val e = col("event_id")
       val pages = table(s, dir, "events").select(
@@ -254,7 +256,13 @@ object CrawlQueries {
           lit(".example.com/d"), pmod(e, lit(5L)), lit("/s/page"),
           pmod(e, lit(7L)), lit(".html")).as("url"),
         concat(
-          lit("<html><a href=\"/top"), pmod(e, lit(9L)), lit("\">t</a>"),
+          lit("<html>"),
+          when(pmod(e, lit(11L)) === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          lit("<a rel=\"nofollow\" href=\"/paid"), pmod(e, lit(3L)),
+          lit("\">pd</a>"),
+          lit("<a href=\"/top"), pmod(e, lit(9L)), lit("\">t</a>"),
           lit("<a href=\"rel"), pmod(e, lit(4L)), lit(".html\">r</a>"),
           lit("<a href=\"../up"), pmod(e, lit(3L)), lit("\">u</a>"),
           lit("<a href='//cdn.example.org/x"), pmod(e, lit(5L)),
@@ -664,7 +672,14 @@ object CrawlQueries {
                   'https://h' || (user_id % 20) || '.example.com/d' ||
                   (event_id % 5) || '/s/page' || (event_id % 7) || '.html'
                     AS url,
-                  '<html><a href="/top' || (event_id % 9) || '">t</a>' ||
+                  '<html>' ||
+                  CASE WHEN event_id % 11 = 0
+                       THEN '<meta name="robots" ' ||
+                            'content="noindex, nofollow">'
+                       ELSE '' END ||
+                  '<a rel="nofollow" href="/paid' || (event_id % 3) ||
+                  '">pd</a>' ||
+                  '<a href="/top' || (event_id % 9) || '">t</a>' ||
                   '<a href="rel' || (event_id % 4) || '.html">r</a>' ||
                   '<a href="../up' || (event_id % 3) || '">u</a>' ||
                   '<a href=''//cdn.example.org/x' || (event_id % 5) ||
@@ -675,15 +690,25 @@ object CrawlQueries {
                   '<a href="javascript:void(0)">j</a><a href="">e</a>' ||
                   '</html>' AS html
            FROM events),
+         tg AS (
+           SELECT event_id, url,
+                  unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*>'))
+                    AS tag
+           FROM p
+           WHERE NOT regexp_matches(html,
+             '(?i)<meta\\s[^>]*name\\s*=\\s*["'']?robots["'']?[^>]*' ||
+             'content\\s*=\\s*["''][^"'']*nofollow')),
          h AS (
            SELECT event_id, url,
-                  unnest(list_concat(
-                    regexp_extract_all(html,
-                      '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
-                    regexp_extract_all(html,
-                      '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)))
-                    AS raw
-           FROM p),
+                  CASE WHEN regexp_extract(tag,
+                         '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+                       THEN regexp_extract(tag,
+                         '(?i)href\\s*=\\s*"([^"]*)"', 1)
+                       ELSE regexp_extract(tag,
+                         '(?i)href\\s*=\\s*''([^'']*)''', 1) END AS raw
+           FROM tg
+           WHERE NOT regexp_matches(tag,
+             '(?i)rel\\s*=\\s*["'']?[^"''>]*nofollow')),
          d AS (
            SELECT event_id, url,
                   replace(replace(replace(replace(replace(raw,

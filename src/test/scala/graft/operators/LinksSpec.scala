@@ -63,4 +63,18 @@ class LinksSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(out == Set("https://h.co/p?id=7"))
   }
+
+  test("nofollow: rel'd anchors and robots-meta pages are not enqueued") {
+    val s = spark
+    import s.implicits._
+    val follow = """<a href="/ok">k</a><a rel="nofollow" href="/paid">p</a>""" +
+      """<a rel='ugc nofollow' href='/ugc'>u</a>"""
+    val metaPage = """<meta name="robots" content="noindex, nofollow">""" +
+      """<a href="/never">n</a>"""
+    val out = Links.outlinks(Seq(
+        (1L, "https://h.co/", follow),
+        (2L, "https://h.co/", metaPage)).toDF("page_id", "url", "html"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSet == Set((1L, "https://h.co/ok")))
+  }
 }
