@@ -169,6 +169,24 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Self-built cluster index + the reference's acquisition flow run
+    // against it: 10k captures sort into 40-line gzip cdx blocks (4 per
+    // file), cluster.idx carries each block's first key + range; then
+    // parse → prune (pattern + predecessor) → ranged gzip decode →
+    // line re-match, all through the production S1/O1/S3 operators.
+    // The oracle is simply the captures whose domain matches — any
+    // error in ordering, block assignment, offsets or pruning loses or
+    // duplicates rows and breaks the hash.
+    "q_index_acquire" -> { (s, dir) =>
+      val rows = table(s, dir, "events").select(
+        concat(lit("com,example,h"), pmod(col("user_id"), lit(20L)),
+          lit(")/p"), pmod(col("event_id"), lit(100L))).as("surt_path"),
+        col("event_id").as("ts"))
+      val (files, cidx) = graft.operators.ClusterIndex
+        .buildIndex(rows, blockSize = 40, blocksPerFile = 4)
+      graft.operators.ClusterIndex.acquire(files, cidx, "com,example,h7")
+    },
+
     // WARC write→read round trip: the storage side of the crawl loop.
     // Each doc is built into a spec-shaped gzip-member response record
     // by the WRITER and read back through the production S4 reader
@@ -609,6 +627,13 @@ object CrawlQueries {
          FROM u
          WHERE trim(regexp_extract(e,
                  '(?s)<loc(?:\s[^>]*)?>(.*?)</loc>', 1)) <> ''""",
+
+    "q_index_acquire" ->
+      """SELECT 'com,example,h' || (user_id % 20) || ')/p' ||
+                (event_id % 100) AS surt_path,
+                event_id AS ts
+         FROM events
+         WHERE user_id % 20 = 7""",
 
     "q_warc_index" ->
       """WITH u AS (
