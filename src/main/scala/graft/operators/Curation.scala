@@ -209,6 +209,102 @@ object Curation {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Content-defined chunking (LBFS/rsync lineage) at token
+    * granularity: a chunk boundary falls AFTER token i whenever the
+    * hash of the `w`-token window ending at i lands in the 1/p residue
+    * class (plus a forced boundary at end-of-doc). Because boundaries
+    * depend only on local content, a shared passage produces the SAME
+    * chunks no matter where it sits in a document — the property fixed
+    * 12-token paragraphs (dedupParagraphs) lack, and why storage-level
+    * dedup uses CDC. Deterministic md5 window hash keeps it
+    * oracle-checkable; expected chunk length ≈ p tokens.
+    *
+    * Plan shape: explode (i, tok, window-string) — strings built inside
+    * the array lambda, md5 applied OUTSIDE it on the exploded column
+    * (HOFs are CodegenFallback; the r5 SubstringDedup lesson) — then
+    * chunk ids via one per-doc window cumsum (shuffle keyed by doc id,
+    * group = doc length, no skew), then groupBy (doc, chunk) rebuilds
+    * chunk text. Output: (idCol, chunk_id, n_toks, chunk_text,
+    * chunk_md5).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 3, p: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = toksCol(col(textCol))
+    val posToks = docs.select(col(idCol), size(toks).as("n"),
+      explode(transform(toks, (t, i) => struct(
+        (i + 1).as("i"), t.as("tok"),
+        concat_ws(" ", slice(toks, greatest(i - lit(w) + 2, lit(1)),
+          least(i + lit(1), lit(w)))).as("win")))).as("x"))
+      .select(col(idCol), col("x.i"), col("x.tok"), col("n"), col("x.win"))
+    val bnd = posToks.withColumn("bnd",
+      when((col("i") >= w &&
+        pmod(conv(substring(md5(col("win")), 1, 4), 16, 10)
+          .cast(LongType), lit(p.toLong)) === 0) || col("i") === col("n"),
+        1L).otherwise(0L))
+    // chunk id of token i = boundaries strictly BEFORE i (a boundary
+    // token is the LAST token of its chunk)
+    val cw = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bnd.withColumn("chunk_id",
+        coalesce(sum(col("bnd")).over(cw), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("i"), col("tok")))), s => s("tok")), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
+
+  /** Corpus-wide chunk-level dedup over the CDC chunks: the first
+    * (idCol, chunk_id) occurrence of each distinct chunk survives,
+    * later copies are counted as duplicate bytes — the storage-dedup
+    * measure. One window keyed by chunk hash (uniform, no skew) + one
+    * rebuild groupBy, exactly the dedupParagraphs plan shape. Output:
+    * (idCol, n_chunks, n_kept, toks_total, toks_dup).
+    */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               w: Int = 3, p: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunks(docs, idCol, textCol, w, p)
+    val win = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("rn", row_number().over(win))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(when(col("rn") > 1, col("n_toks")).otherwise(0L))
+          .as("toks_dup"))
+  }
+
+  /** Per-host token-budget cap (domain balancing, RefinedWeb/C4
+    * lineage): within each host, docs are taken in (orderCol asc,
+    * idCol asc) priority order until the host's running token total
+    * reaches `budget` — a doc is kept iff the total BEFORE it is under
+    * budget (so the doc crossing the line still ships and every host
+    * with any docs keeps at least one). Caps boilerplate mega-hosts
+    * from dominating the training mix.
+    *
+    * One window cumsum keyed by host: group size = docs-per-host,
+    * sort spills handle mega-hosts; if one host exceeds a task, the
+    * politeness-rank group-counts decomposition applies unchanged.
+    * Output: docs + (cum_before, kept).
+    */
+  def capHostBudget(docs: DataFrame, idCol: String, hostCol: String,
+                    orderCol: String, nTokensCol: String,
+                    budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(orderCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("cum_before",
+        coalesce(sum(col(nTokensCol).cast(LongType)).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < budget)
+  }
+
   /** CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020 §3.2
     * shape): every paragraph is hashed, only the FIRST occurrence in
     * (idCol, position) order survives anywhere in the corpus, and each

@@ -125,6 +125,90 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  // ---- Bloom filter (Bloom 1970) ----
+
+  /** Bloom parameters for the fixture scale: m bits × k probes. At
+    * production scale pick m from the expected seen-set cardinality
+    * (~10 bits/key for 1% fp); the build below stays one partial-agg
+    * distinct regardless.
+    */
+  val BloomBits = 4096
+  val BloomK = 3
+
+  /** Probe position j of a key = first 5 hex digits (20 bits) of
+    * md5(j ':' key) mod m — deterministic (oracle-checkable), same
+    * discipline as the CMS buckets.
+    */
+  def bloomPos(j: Int, key: Column, m: Int = BloomBits): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), key)), 1, 5), 16, 10)
+      .cast(LongType), lit(m.toLong))
+
+  /** Set-bit positions of the filter over `df[keyCol]`: ONE scan +
+    * partial-agg distinct of at most m rows. Mergeable by construction
+    * (union-distinct = bitwise OR), so per-dump filters combine like
+    * the other sketches.
+    */
+  def bloomBuild(df: DataFrame, keyCol: String, m: Int = BloomBits,
+                 k: Int = BloomK): DataFrame =
+    df.select(explode(array((0 until k).map(j =>
+        bloomPos(j, col(keyCol), m)).toIndexedSeq: _*)).as("pos"))
+      .distinct()
+
+  /** The filter as packed words — model-scale state (m/64 longs; 512
+    * bytes at the default m), the same legitimate driver-side scale as
+    * the IVF/PQ centroids. At very large m swap the literal for a
+    * broadcast variable inside a native Expression; the probe
+    * arithmetic below is unchanged.
+    */
+  def bloomWords(bits: DataFrame, m: Int = BloomBits): Array[Long] = {
+    val words = new Array[Long](m / 64)
+    bits.collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p / 64).toInt) |= 1L << (p % 64)
+    }
+    words
+  }
+
+  /** Pure-column membership probe: all k bit-tests are codegen'd
+    * shift/mask arithmetic against the embedded word array — a map-only
+    * scan, NO join. False positives possible, false negatives never.
+    */
+  def bloomMightContain(key: Column, words: Array[Long],
+                        m: Int = BloomBits, k: Int = BloomK): Column = {
+    val wlit = typedlit(words.toIndexedSeq)
+    (0 until k).map { j =>
+      val p = bloomPos(j, key, m)
+      // bitwiseAND, not % 2: the arithmetic shift keeps the sign when
+      // bit 63 is set, and a negative remainder would read as "absent"
+      call_function("shiftright",
+        element_at(wlit, (p / 64).cast("int") + 1),
+        pmod(p, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === 1
+    }.reduce(_ && _)
+  }
+
+  /** Seen-set anti join with a Bloom pre-filter — the 100 TB shape of
+    * J2/U1: candidates that fail the (map-only) membership probe are
+    * definitely new and BYPASS the shuffle join entirely; only the
+    * `might` sliver pays the exact anti join against the seen table.
+    * Result is EXACT (the join confirms every maybe), the filter only
+    * moves rows off the expensive path. Returns the candidate frame
+    * plus (might_seen, is_new).
+    */
+  def bloomSeenFlags(candidates: DataFrame, keyCol: String,
+                     seen: DataFrame, seenKeyCol: String,
+                     m: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    val seenKeys = seen.select(col(seenKeyCol).as(keyCol)).distinct()
+    val words = bloomWords(bloomBuild(seenKeys, keyCol, m, k), m)
+    val flagged = candidates.withColumn("might_seen",
+      bloomMightContain(col(keyCol), words, m, k))
+    val maybe = flagged.filter(col("might_seen"))
+      .join(seenKeys.withColumn("__hit", lit(1)), Seq(keyCol), "left")
+      .withColumn("is_new", col("__hit").isNull).drop("__hit")
+    val sure = flagged.filter(!col("might_seen"))
+      .withColumn("is_new", lit(true))
+    maybe.unionByName(sure)
+  }
+
   /** Estimate per group from registers. Float discipline for the
     * oracle: per-register terms 2^(57-r) are exact Longs, their group
     * sum is exact (Decimal on Spark, HUGEINT in DuckDB), and the only

@@ -184,8 +184,64 @@ object CurationQueries {
       val docs = table(s, dir, "documents")
       val (merges, _) = Bpe.train(Bpe.wordCounts(docs, "text"), BpeMerges)
       Bpe.encode(docs, "doc_id", "text", merges)
+    },
+
+    // Content-defined chunking: the fixture soup gets a 24-token banner
+    // INSERTED at a doc-dependent token offset (doc_id%5+1) — the
+    // misalignment that breaks fixed-window paragraph dedup and that
+    // CDC exists to survive (boundaries depend on local content only,
+    // so the banner's interior chunks are identical at any offset).
+    // The oracle replays tokenization, the md5 window-hash boundary
+    // rule, the cumsum chunk ids and the rebuild.
+    "q_cdc_chunks" -> { (s, dir) =>
+      Curation.cdcChunks(cdcDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+          col("chunk_text"))
+    },
+
+    // Corpus-wide chunk-level dedup over the CDC chunks: first
+    // occurrence of each distinct chunk survives, later copies count
+    // as duplicate tokens (the storage-dedup measure).
+    "q_cdc_dedup" -> { (s, dir) =>
+      Curation.cdcDedup(cdcDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          col("toks_total"), col("toks_dup"))
+    },
+
+    // Per-host token-budget cap (domain balancing): within each source,
+    // docs in (n_chars desc, doc_id) quality order ship until the
+    // running token total crosses the budget. Pure window cumsum — the
+    // kept decision is exact integer arithmetic on both engines.
+    "q_host_budget" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        (-col("n_chars")).cast(LongType).as("__ord"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType)
+          .as("n_tokens"))
+      Curation.capHostBudget(docs, "doc_id", "source", "__ord",
+          "n_tokens", budget = HostBudget)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_before"), col("kept"))
     }
   )
+
+  private val HostBudget = 400L
+
+  /** The CDC fixture frame: banner (A+B or B+A, 24 tokens) inserted
+    * after the first doc_id%5+1 tokens for 2/3 of docs.
+    */
+  private def cdcDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val k = (pmod(col("doc_id").cast(LongType), lit(5L)) + 1).cast("int")
+    val sel = pmod(col("doc_id").cast(LongType), lit(3L))
+    val banner = when(sel === 1, lit(s"$BannerA $BannerB"))
+      .otherwise(lit(s"$BannerB $BannerA"))
+    table(s, dir, "documents").select(col("doc_id"),
+      when(sel === 0, col("text")).otherwise(concat_ws(" ",
+        array_join(slice(toks, lit(1), k), " "),
+        banner,
+        array_join(slice(toks, k + 1, size(toks) - k), " "))).as("text"))
+  }
 
   /** Hex-digit value of char `i` of the md5 column `h` — the SQL twin
     * of Dsir.bucketCol's character arithmetic.
@@ -247,6 +303,44 @@ object CurationQueries {
                   regexp_extract_all(word, '.') || ['</w>'] AS syms
            FROM toks GROUP BY word),
          """ + (1 to BpeMerges).map(bpeIterSql).mkString(",\n         ")
+
+  /** Shared CDC replay: the banner-insertion fixture, tokenization,
+    * the md5 window-hash boundary rule (w=3, p=8 — Curation.cdcChunks
+    * defaults), cumsum chunk ids and the chunk rebuild.
+    */
+  private val cdcBaseSql: String =
+    s"""d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE array_to_string(t[1:k], ' ') || ' ' ||
+                            CASE WHEN doc_id % 3 = 1
+                                 THEN '$BannerA $BannerB'
+                                 ELSE '$BannerB $BannerA' END ||
+                            ' ' || array_to_string(t[k+1:len(t)], ' ')
+                  END AS text
+           FROM (SELECT doc_id, text, $toksSql AS t,
+                        CAST(doc_id % 5 + 1 AS INTEGER) AS k
+                 FROM documents)),
+         tk AS (SELECT doc_id, $toksSql AS t FROM d),
+         b AS (
+           SELECT doc_id, i, t[i] AS tok,
+                  CASE WHEN (i >= 3 AND
+                             CAST('0x' || substr(md5(array_to_string(
+                               t[greatest(i-2, 1):i], ' ')), 1, 4)
+                               AS BIGINT) % 8 = 0) OR i = len(t)
+                       THEN 1 ELSE 0 END AS bnd
+           FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+                 FROM tk)),
+         c AS (
+           SELECT doc_id, i, tok,
+                  coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS chunk_id
+           FROM b),
+         chunks AS (
+           SELECT doc_id, chunk_id, count(*)::BIGINT AS n_toks,
+                  string_agg(tok, ' ' ORDER BY i) AS chunk_text
+           FROM c GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
     "q_par_dedup" ->
@@ -486,6 +580,42 @@ object CurationQueries {
          SELECT doc_id, CAST(shard AS BIGINT) AS shard,
                 window_id, nt AS n_tokens,
                 CAST(fill - nt AS BIGINT) AS token_offset
-         FROM p"""
+         FROM p""",
+
+    "q_cdc_chunks" ->
+      s"""WITH $cdcBaseSql
+         SELECT doc_id, chunk_id, n_toks, chunk_text FROM chunks""",
+
+    "q_cdc_dedup" ->
+      s"""WITH $cdcBaseSql,
+         r AS (
+           SELECT doc_id, chunk_id, n_toks,
+                  row_number() OVER (PARTITION BY md5(chunk_text)
+                                     ORDER BY doc_id, chunk_id) AS rn
+           FROM chunks)
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                sum(n_toks)::BIGINT AS toks_total,
+                sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)::BIGINT
+                  AS toks_dup
+         FROM r GROUP BY 1""",
+
+    "q_host_budget" ->
+      s"""WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                  -n_chars AS ord
+           FROM documents),
+         w AS (
+           SELECT doc_id, source, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY ord, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+           FROM d)
+         SELECT doc_id, source, n_tokens, cum_before,
+                cum_before < $HostBudget AS kept
+         FROM w"""
   )
+
 }

@@ -134,6 +134,23 @@ object MiscQueries {
         .hllMerge(perType.drop("event_type"))
       graft.operators.Sketches.hllEstimate(merged)
         .select(col("zeros"), col("est"))
+    },
+
+    // Bloom-prefiltered seen-set check: the sketch decision itself
+    // (might_seen — pure shift/mask columns against the embedded word
+    // array) AND the exact outcome (is_new — anti-join confirm on the
+    // maybe sliver only) are both in the artifact, so the oracle
+    // hash-checks the false-positive pattern bit-for-bit, and
+    // is_new ⇒ might_seen violations (a false NEGATIVE — the one thing
+    // a Bloom filter must never do) would break the hash too. The
+    // DuckDB twin replays the probe as a position JOIN — an independent
+    // realization of the same bit arithmetic.
+    "q_bloom_seen" -> { (s, dir) =>
+      val u = urlFrame(s, dir)
+      val cand = u.select("url").distinct()
+      val seen = u.filter(pmod(col("ord"), lit(3L)) === 0).select("url")
+      graft.operators.Sketches.bloomSeenFlags(cand, "url", seen, "url")
+        .select(col("url"), col("might_seen"), col("is_new"))
     }
   )
 
@@ -212,7 +229,27 @@ object MiscQueries {
          ex AS (SELECT key, count(*)::BIGINT AS exact FROM e GROUP BY 1)
          SELECT est.key, est_cnt,
                 CAST(coalesce(exact, 0) AS BIGINT) AS exact
-         FROM est LEFT JOIN ex USING (key)"""
+         FROM est LEFT JOIN ex USING (key)""",
+    "q_bloom_seen" ->
+      s"""WITH u AS ($urlFrameSql),
+         cand AS (SELECT DISTINCT url FROM u),
+         seen AS (SELECT DISTINCT url FROM u WHERE ord % 3 = 0),
+         d AS (SELECT unnest(range(3)) AS j),
+         bits AS (
+           SELECT DISTINCT
+                  CAST('0x' || substr(md5(j || ':' || url), 1, 5)
+                       AS BIGINT) % 4096 AS pos
+           FROM seen, d),
+         probe AS (
+           SELECT c.url, d.j,
+                  CAST('0x' || substr(md5(d.j || ':' || c.url), 1, 5)
+                       AS BIGINT) % 4096 AS pos
+           FROM cand c, d),
+         might AS (
+           SELECT url, count(b.pos) = 3 AS might_seen
+           FROM probe p LEFT JOIN bits b USING (pos) GROUP BY 1)
+         SELECT m.url, m.might_seen, s.url IS NULL AS is_new
+         FROM might m LEFT JOIN seen s ON m.url = s.url"""
   )
 
   /** Shared HLL register construction (the SQL twin of

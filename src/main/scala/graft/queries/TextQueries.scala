@@ -109,6 +109,19 @@ object TextQueries {
         Seq("join", "scan", "window"))
     },
 
+    // BM25 against the MATERIALIZED inverted index (bm25Build ->
+    // bm25Indexed): postings partitioned by term bucket, the query
+    // prunes to its terms' bucket directories at file listing. Must
+    // equal q_bm25_search bit-for-bit -- the oracle IS the same SQL.
+    "q_bm25_indexed" -> { (s, dir) =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-bm25-idx").toString
+      graft.operators.Retrieval.bm25Build(
+        table(s, dir, "documents"), idx)
+      graft.operators.Retrieval.bm25Indexed(s, idx,
+        Seq("join", "scan", "window"))
+    },
+
     // Unicode NFC normalization (native codegen'd expression vs
     // DuckDB's built-in nfc_normalize): the fixture text is ASCII, so
     // each row gets a deterministic decomposed suffix (combining marks
@@ -557,6 +570,33 @@ object TextQueries {
         $assigns"""
   }
 
+  private val bm25Sql: String =
+    """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         d AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(dl) / count(*) AS avgdl
+           FROM d),
+         w AS (SELECT doc_id, dl, unnest(t) AS w FROM d),
+         tf AS (
+           SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+           FROM w WHERE w IN ('join', 'scan', 'window')
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(
+                    round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)), 6)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4)
+                    AS bm25
+           FROM tf JOIN dft USING (w) CROSS JOIN stats s
+           GROUP BY 1)
+         SELECT doc_id, bm25 FROM sc
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
   private val oraclesBase: Map[String, String] = Map(
     "q_token_count" ->
       """SELECT doc_id,
@@ -625,32 +665,9 @@ object TextQueries {
          FROM documents GROUP BY text""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
-    "q_bm25_search" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-           FROM documents),
-         d AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
-         stats AS (
-           SELECT CAST(count(*) AS DOUBLE) AS n,
-                  sum(dl) / count(*) AS avgdl
-           FROM d),
-         w AS (SELECT doc_id, dl, unnest(t) AS w FROM d),
-         tf AS (
-           SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
-           FROM w WHERE w IN ('join', 'scan', 'window')
-           GROUP BY 1, 2, 3),
-         dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         sc AS (
-           SELECT tf.doc_id,
-                  round(sum(
-                    round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)), 6)
-                    * tf.tf * 2.2
-                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4)
-                    AS bm25
-           FROM tf JOIN dft USING (w) CROSS JOIN stats s
-           GROUP BY 1)
-         SELECT doc_id, bm25 FROM sc
-         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+    "q_bm25_search" -> bm25Sql,
+    // the indexed path must reproduce the direct computation exactly
+    "q_bm25_indexed" -> bm25Sql,
     "q_quality_gopher" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -226,4 +226,74 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[String]("clean_text")).toMap
     assert(out("2") == s"$head $tail")
   }
+
+  test("cdcChunks: boundaries are content-defined, so a shared passage " +
+       "yields identical interior chunks at ANY offset") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag${rnd.nextInt(1000)}x$i").mkString(" ")
+    val banner = words("b", 60)
+    val a = s"${words("p", 3)} $banner ${words("s", 9)}"
+    val b = s"${words("q", 17)} $banner ${words("r", 4)}"
+    val chunks = Curation.cdcChunks(
+      Seq(("a", a), ("b", b)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    def of(id: String) = chunks.filter(_.getString(0) == id)
+      .map(_.getAs[String]("chunk_text")).toSet
+    val shared = of("a").intersect(of("b"))
+    // interior banner chunks are identical despite 3- vs 17-token
+    // prefixes — the alignment shift that kills fixed-window dedup
+    assert(shared.nonEmpty, "no shared chunk across offsets")
+    assert(shared.forall(banner.contains(_)))
+  }
+
+  test("cdcChunks: chunks partition the token stream exactly") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val chunks = Curation.cdcChunks(
+      Seq(("d", text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_id").collect()
+    val rebuilt = chunks.map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuilt == text)
+    assert(chunks.map(_.getAs[Long]("n_toks")).sum == 100L)
+  }
+
+  test("cdcDedup: an exact duplicate doc is all duplicate tokens") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 80).map(i => s"t$i").mkString(" ")
+    val out = Curation.cdcDedup(
+      Seq(("1", text), ("2", text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("toks_total"),
+         r.getAs[Long]("toks_dup"))).toMap
+    assert(out("1")._1 > 0L && out("1")._3 == 0L,
+      "first copy keeps everything")
+    assert(out("2")._1 == 0L && out("2")._3 == 80L,
+      "second copy is 100% duplicate tokens")
+  }
+
+  test("capHostBudget: the doc crossing the budget line still ships") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("h1", 1L, 1L, 5L), ("h1", 2L, 2L, 4L),
+      ("h1", 3L, 3L, 3L), ("h1", 4L, 4L, 2L),
+      ("h2", 5L, 1L, 100L), ("h2", 6L, 2L, 1L)
+    ).toDF("host", "doc_id", "ord", "nt")
+    val out = Curation.capHostBudget(docs, "doc_id", "host", "ord", "nt",
+        budget = 7L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_before"), r.getAs[Boolean]("kept"))).toMap
+    // h1: cum_before 0,5,9,12 -> doc 2 (0+5 < 7) ships though 5+4 > 7
+    assert(out(1L) == (0L, true) && out(2L) == (5L, true))
+    assert(out(3L) == (9L, false) && out(4L) == (12L, false))
+    // h2: an over-budget FIRST doc still ships (cum_before 0), and its
+    // successor is cut
+    assert(out(5L) == (0L, true) && out(6L) == (100L, false))
+  }
 }

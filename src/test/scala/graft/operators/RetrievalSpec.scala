@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The library retrieval/quality API (the promoted, parameterized forms
@@ -108,5 +109,54 @@ class RetrievalSpec extends AnyFunSuite {
         maxTopWordFrac = 1.0)).collect().head
     assert(r.getAs[Double]("ttr") == 0.2857)
     assert(!r.getAs[Boolean]("pass"))
+  }
+
+  test("bm25Indexed == bm25 on the same corpus, and the probe prunes " +
+       "to the terms' bucket partitions") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map { i =>
+      val extra = if (i % 7 == 0) " join scan" else if (i % 5 == 0) " scan"
+                  else ""
+      (i.toLong, s"alpha w$i beta w${i * 3} gamma$extra join")
+    }.toDF("doc_id", "text")
+    val direct = Retrieval.bm25(docs, Seq("join", "scan"), limit = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = java.nio.file.Files
+      .createTempDirectory("bm25-idx").toString
+    Retrieval.bm25Build(docs, idx)
+    val viaIdx = Retrieval.bm25Indexed(s, idx, Seq("join", "scan"),
+      limit = 15)
+    val got = viaIdx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == direct)
+    // file-listing pruning: the scan must read <= 2 bucket partitions
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+      .findFirstIn(viaIdx.queryExecution.executedPlan.toString).isDefined)
+    // every scan in this plan reads the postings (the stats parquet was
+    // consumed driver-side) — all of them must be bucket-pruned.
+    // (AQE nodes count as leaves; recurse into their final plans.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _ => Nil
+    }
+    val parts = scans(viaIdx.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(parts.nonEmpty && parts.forall(_ <= 2),
+      s"query must read <= 2 of 64 bucket partitions, got $parts")
+  }
+
+  test("termBucket JVM twin matches termBucketCol") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 500).map(i => s"word$i")
+    val got = words.toDF("w")
+      .select(col("w"), Retrieval.termBucketCol(col("w"), 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(w => assert(got(w) == Retrieval.termBucket(w, 64), w))
   }
 }

@@ -143,4 +143,45 @@ class SketchesSpec extends AnyFunSuite {
       .count(_.toString.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 parquet scan, found $scans")
   }
+
+  test("bloom: no false negatives; all-set words (sign bit) read true") {
+    val s = spark
+    import s.implicits._
+    val seen = (0 until 2000).map(i => s"url-$i").toDF("k")
+    val words = Sketches.bloomWords(Sketches.bloomBuild(seen, "k"))
+    val got = seen
+      .select(Sketches.bloomMightContain(col("k"), words).as("m"))
+      .collect()
+    assert(got.forall(_.getBoolean(0)), "a Bloom filter may never miss")
+    // every word -1L: all 64 bit tests go through the sign-bit path the
+    // shift/mask arithmetic must survive (x >> p stays negative)
+    val allSet = Array.fill(Sketches.BloomBits / 64)(-1L)
+    val got2 = seen
+      .select(Sketches.bloomMightContain(col("k"), allSet).as("m"))
+      .collect()
+    assert(got2.forall(_.getBoolean(0)))
+  }
+
+  test("bloom seen flags: exact vs the plain anti join, prefilter prunes") {
+    val s = spark
+    import s.implicits._
+    val cand = (0 until 3000).map(i => s"u$i").toDF("k")
+    val seenKeys = (0 until 3000 by 3).map(i => s"u$i")
+    val out = Sketches.bloomSeenFlags(cand, "k", seenKeys.toDF("k"), "k")
+      .collect()
+    assert(out.length == 3000)
+    val seenSet = seenKeys.toSet
+    out.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getAs[Boolean]("is_new") == !seenSet(k), s"exactness at $k")
+      if (seenSet(k)) assert(r.getAs[Boolean]("might_seen"), s"miss at $k")
+    }
+    // the point of the operator: a real slice of candidates must skip
+    // the join entirely (might_seen false => definitely new, map-only)
+    assert(out.count(!_.getAs[Boolean]("might_seen")) > 100)
+    // and false positives exist at this fill ratio => the maybe-side
+    // join path is genuinely exercised too
+    assert(out.exists(r =>
+      r.getAs[Boolean]("might_seen") && r.getAs[Boolean]("is_new")))
+  }
 }
