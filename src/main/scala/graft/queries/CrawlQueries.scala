@@ -89,6 +89,24 @@ object CrawlQueries {
        FROM u"""
 
   val defs: Map[String, Q] = Map(
+    // Dump-to-dump diff: which URLs were added / removed / changed /
+    // same between two snapshots — the change signal the adaptive
+    // recrawl schedule consumes. prev = events not divisible by 7,
+    // cur = not divisible by 5; every third key's digest mutates. One
+    // full-outer join; the oracle replays it.
+    "q_dump_diff" -> { (s, dir) =>
+      val ev = table(s, dir, "events").select(
+        concat(lit("u"), col("event_id")).as("url"),
+        col("event_id").cast(LongType).as("eid"), col("props"))
+      val prev = ev.filter(pmod(col("eid"), lit(7L)) =!= 0)
+        .select(col("url"), md5(col("props")).as("digest"))
+      val cur = ev.filter(pmod(col("eid"), lit(5L)) =!= 0)
+        .select(col("url"), md5(concat(col("props"),
+          when(pmod(col("eid"), lit(3L)) === 0, lit("x"))
+            .otherwise(lit("")))).as("digest"))
+      graft.operators.CrawlPolicy.dumpDiff(prev, cur)
+    },
+
     // Host-graph PageRank frontier priority: deterministic sparse link
     // graph from events (out-degree <= 5), 5 fixed iterations of
     // all-integer micro-unit arithmetic — the oracle unrolls the
@@ -550,6 +568,23 @@ object CrawlQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dump_diff" ->
+      """WITH e AS (
+           SELECT 'u' || event_id AS url, event_id AS eid, props
+           FROM events),
+         prev AS (
+           SELECT url, md5(props) AS d FROM e WHERE eid % 7 <> 0),
+         cur AS (
+           SELECT url, md5(props ||
+                    CASE WHEN eid % 3 = 0 THEN 'x' ELSE '' END) AS d
+           FROM e WHERE eid % 5 <> 0)
+         SELECT coalesce(prev.url, cur.url) AS url,
+                CASE WHEN prev.url IS NULL THEN 'added'
+                     WHEN cur.url IS NULL THEN 'removed'
+                     WHEN prev.d = cur.d THEN 'same'
+                     ELSE 'changed' END AS status
+         FROM prev FULL OUTER JOIN cur ON prev.url = cur.url""",
+
     "q_pagerank_hosts" -> prOracle,
 
     "q_charset_decode" ->

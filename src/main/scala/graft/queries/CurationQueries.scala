@@ -222,6 +222,15 @@ object CurationQueries {
           "n_tokens", budget = HostBudget)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_before"), col("kept"))
+    },
+
+    // Deterministic k-per-group sample: 5 docs per source in
+    // (md5(doc_id), doc_id) order — the content-derived uniform order
+    // both engines reproduce (rand() cannot be oracled).
+    "q_sample_group" -> { (s, dir) =>
+      Curation.samplePerGroup(table(s, dir, "documents"),
+          "source", "doc_id", k = 5)
+        .select(col("doc_id"), col("source"), col("rk"))
     }
   )
 
@@ -615,7 +624,16 @@ object CurationQueries {
            FROM d)
          SELECT doc_id, source, n_tokens, cum_before,
                 cum_before < $HostBudget AS kept
-         FROM w"""
+         FROM w""",
+
+    "q_sample_group" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    ::BIGINT AS rk
+           FROM documents)
+         WHERE rk <= 5"""
   )
 
 }

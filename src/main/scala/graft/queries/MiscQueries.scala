@@ -151,6 +151,19 @@ object MiscQueries {
       val seen = u.filter(pmod(col("ord"), lit(3L)) === 0).select("url")
       graft.operators.Sketches.bloomSeenFlags(cand, "url", seen, "url")
         .select(col("url"), col("might_seen"), col("is_new"))
+    },
+
+    // Histogram quantile sketch over event values: 256 bins of width
+    // 4.0, quantiles at 6 permille points. Counts and thresholds are
+    // exact integers (ceil as (N*q+999) DIV 1000); the estimate is the
+    // first bin whose cumulative count reaches the threshold, reported
+    // as the bin's upper edge. The oracle rebuilds bins, cumsum and
+    // the integer threshold rule.
+    "q_quantile_hist" -> { (s, dir) =>
+      val hist = graft.operators.Sketches.histBuild(
+        table(s, dir, "events"), "value", binWidth = 4.0, nBins = 256)
+      graft.operators.Sketches.histQuantiles(hist,
+        Seq(100, 250, 500, 750, 900, 990), binWidth = 4.0)
     }
   )
 
@@ -249,7 +262,24 @@ object MiscQueries {
            SELECT url, count(b.pos) = 3 AS might_seen
            FROM probe p LEFT JOIN bits b USING (pos) GROUP BY 1)
          SELECT m.url, m.might_seen, s.url IS NULL AS is_new
-         FROM might m LEFT JOIN seen s ON m.url = s.url"""
+         FROM might m LEFT JOIN seen s ON m.url = s.url""",
+    "q_quantile_hist" ->
+      """WITH h AS (
+           SELECT CAST(least(floor(value / 4.0), 255) AS BIGINT) AS bin,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT bin, sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h),
+         t AS (SELECT sum(cnt)::BIGINT AS n FROM h),
+         q AS (SELECT unnest([100, 250, 500, 750, 900, 990]) AS qp)
+         SELECT CAST(q.qp AS BIGINT) AS q_permille,
+                min(c.bin) AS bin,
+                (min(c.bin) + 1) * 4.0e0 AS est_hi
+         FROM q, c, t
+         WHERE c.cum >= (t.n * q.qp + 999) // 1000
+         GROUP BY 1"""
   )
 
   /** Shared HLL register construction (the SQL twin of

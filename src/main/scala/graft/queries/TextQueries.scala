@@ -188,6 +188,30 @@ object TextQueries {
       graft.operators.SetSimilarity.jaccardSelfJoin(sets, t = 0.95)
     },
 
+    // Directional word-set containment (a mostly-inside-b) at t=0.8:
+    // every 10th doc gets a planted "excerpt" twin (id+100000) made of
+    // the first ceil(0.7c) of its sorted distinct tokens plus two novel
+    // tokens, so containment lands at k/(k+2) — above threshold but
+    // below 1.0. The prefix-filtered join must equal the oracle's
+    // exhaustive within-block pair scan (losslessness is the claim).
+    "q_ngram_containment" -> { (s, dir) =>
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val toksD = array_sort(array_distinct(
+        split(trim(col("text")), "\\s+")))
+      val kKeep = ceil(size(toksD) * lit(0.7)).cast("int")
+      val excerpts = base
+        .filter(pmod(col("doc_id").cast(LongType), lit(10L)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          concat_ws(" ",
+            array_join(slice(toksD, lit(1), kKeep), " "),
+            concat(lit("zzza"), col("doc_id")),
+            concat(lit("zzzb"), col("doc_id"))).as("text"))
+      val sets = graft.operators.SetSimilarity
+        .wordSets(base.unionByName(excerpts)).localCheckpoint()
+      graft.operators.SetSimilarity.containmentJoin(sets, t = 0.8)
+    },
+
     // Brute-force cosine top-k against vec_id=0's embedding.
     "q_ann_cosine" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
@@ -794,6 +818,35 @@ object TextQueries {
          JOIN n na ON na.doc_id = a_id
          JOIN n nb ON nb.doc_id = b_id
          WHERE round(i * 1.0 / (na.c + nb.c - i), 4) >= 0.95""",
+    "q_ngram_containment" ->
+      """WITH ex AS (
+           SELECT documents.doc_id + 100000 AS doc_id, source,
+                  array_to_string(
+                    list_sort(list_distinct(
+                      string_split_regex(trim(text), '\s+')))[1:CAST(
+                        ceil(len(list_distinct(
+                          string_split_regex(trim(text), '\s+'))) * 0.7)
+                        AS INT)], ' ')
+                  || ' zzza' || documents.doc_id
+                  || ' zzzb' || documents.doc_id AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         d AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL SELECT doc_id, source, text FROM ex),
+         w AS (
+           SELECT DISTINCT doc_id, source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM d),
+         n AS (SELECT doc_id, count(*) AS c FROM w GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM w a JOIN w b
+             ON a.word = b.word AND a.source = b.source
+            AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(i * 1.0 / na.c, 4) AS containment
+         FROM inter JOIN n na ON na.doc_id = a_id
+         WHERE i * 1.0 / na.c >= 0.8""",
     "q_ann_buckets" ->
       s"""WITH ${bucketsCte(8, 64)}
           SELECT bucket, count(*) AS n FROM b GROUP BY 1""",

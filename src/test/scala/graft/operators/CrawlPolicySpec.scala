@@ -110,4 +110,17 @@ class CrawlPolicySpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(kept == Set("https://a.com/about", "https://b.com/p1"))
   }
+
+  test("dumpDiff labels added/removed/changed/same from one outer join") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3"))
+      .toDF("url", "digest")
+    val cur = Seq(("u1", "h1"), ("u2", "hX"), ("u4", "h4"))
+      .toDF("url", "digest")
+    val got = CrawlPolicy.dumpDiff(prev, cur)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "same", "u2" -> "changed",
+      "u3" -> "removed", "u4" -> "added"))
+  }
 }

@@ -296,4 +296,21 @@ class CurationSpec extends AnyFunSuite {
     // successor is cut
     assert(out(5L) == (0L, true) && out(6L) == (100L, false))
   }
+
+  test("samplePerGroup: k rows per group, deterministic across layouts") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 7}"))
+      .toDF("doc_id", "grp")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Curation.samplePerGroup(d, "grp", "doc_id", k = 4)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rk"))).toSet
+    val a = ids(df.repartition(1))
+    val b = ids(df.repartition(13, col("doc_id")))
+    assert(a == b, "sample must not depend on partition layout")
+    val perGroup = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == 4) && perGroup.size == 7)
+    assert(a.forall(_._3 <= 4L))
+  }
 }

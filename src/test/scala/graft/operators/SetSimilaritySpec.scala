@@ -101,4 +101,55 @@ class SetSimilaritySpec extends AnyFunSuite {
     }
     assert(run(sets) == bruteForce(sets))
   }
+
+  // ---- containment join ----
+
+  private val CT = 0.8
+
+  private def bruteContain(sets: Seq[(String, String, Set[String])])
+      : Set[(String, String)] =
+    (for {
+      a <- sets; b <- sets
+      if a._2 == b._2 && a._1 != b._1
+      i = (a._3 & b._3).size
+      if a._3.nonEmpty && i.toDouble / a._3.size >= CT
+    } yield (a._1, b._1)).toSet
+
+  private def runContain(sets: Seq[(String, String, Set[String])])
+      : Set[(String, String)] = {
+    import spark.implicits._
+    val df = sets.map { case (id, blk, ws) =>
+      (id, blk, ws.toSeq.sorted, ws.size.toLong)
+    }.toDF("doc_id", "source", "ws", "c")
+    SetSimilarity.containmentJoin(df, CT)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("containment: an excerpt inside a much larger doc is found " +
+       "(the pair symmetric Jaccard misses)") {
+    val big = (1 to 100).map(w).toSet
+    val excerpt = (1 to 9).map(w).toSet + w(999) // 9/10 = 0.9 in big
+    val sets = Seq(("big", "s", big), ("ex", "s", excerpt))
+    val got = runContain(sets)
+    assert(got.contains(("ex", "big")))
+    assert(!got.contains(("big", "ex")), "containment is directional")
+    // Jaccard of the same pair is 9/101 — hopeless for a symmetric join
+    assert(run(sets).isEmpty)
+  }
+
+  test("containment: prefix filter is lossless vs brute force") {
+    val sets = (0 until 80).map { i =>
+      val size = 5 + (i * 11) % 60
+      val off = (i * 3) % 20
+      val core = (off until off + size).map(w).toSet
+      val mutated =
+        if (i % 4 == 0) core
+        else if (i % 4 == 1) core + w(700 + i)
+        else if (i % 4 == 2) core.take(math.max(1, size * 4 / 5))
+        else core - w(off) + w(800 + i)
+      (f"d$i%03d", s"s${i % 2}", mutated)
+    }
+    assert(runContain(sets) == bruteContain(sets))
+  }
 }

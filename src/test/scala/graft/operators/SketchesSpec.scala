@@ -184,4 +184,43 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.exists(r =>
       r.getAs[Boolean]("might_seen") && r.getAs[Boolean]("is_new")))
   }
+
+  test("histogram quantiles: hand-computed bins, merge = direct build") {
+    val s = spark
+    import s.implicits._
+    // 10 values in [0,4) -> bin 0; 85 in [4,8) -> bin 1; 5 in [8,12)
+    val vals = (Seq.fill(10)(1.0) ++ Seq.fill(85)(5.0) ++ Seq.fill(5)(9.0))
+    val df = vals.toDF("value")
+    val hist = Sketches.histBuild(df, "value", binWidth = 4.0, nBins = 256)
+    val q = Sketches.histQuantiles(hist, Seq(100, 500, 950, 1000), 4.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // thresholds: ceil(100*q/1000) -> 10, 50, 95, 100
+    assert(q(100L) == (0L, 4.0))  // cum(bin0)=10 >= 10
+    assert(q(500L) == (1L, 8.0))  // cum(bin1)=95 >= 50
+    assert(q(950L) == (1L, 8.0))  // 95 >= 95
+    assert(q(1000L) == (2L, 12.0))
+    // merge associativity: two half-builds sum to the direct build
+    val h1 = Sketches.histBuild(vals.take(50).toDF("value"), "value", 4.0, 256)
+    val h2 = Sketches.histBuild(vals.drop(50).toDF("value"), "value", 4.0, 256)
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(Sketches.histMerge(h1, h2)) == cells(hist))
+  }
+
+  test("histogram quantile error is bounded by one bin width") {
+    val s = spark
+    import s.implicits._
+    val vals = (0 until 2000).map(i => (i * 37 % 1000) / 10.0) // [0, 100)
+    val hist = Sketches.histBuild(vals.toDF("value"), "value", 4.0, 256)
+    val qs = Seq(250, 500, 750, 900)
+    val est = Sketches.histQuantiles(hist, qs, 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val trueQ = sorted((vals.size * q / 1000 - 1).max(0))
+      val e = est(q.toLong)
+      assert(e >= trueQ && e - trueQ <= 2 * 4.0, s"q=$q est=$e true=$trueQ")
+    }
+  }
 }
