@@ -39,8 +39,8 @@ object TextAnalysis {
     * counts, fixed priority on ties (seq order), 'unk' when all scores
     * are zero. Deterministic heuristic per the builder brief (the
     * reference uses cld2 over ~100 languages, filter_corpus.py:95–147);
-    * breadth covers 103 space-delimited-script
-    * languages (22 original + three breadth waves below) of the reference's corpora. Markers are chosen to be
+    * breadth covers 124 space-delimited-script
+    * languages (22 original + four breadth waves below) of the reference's corpora. Markers are chosen to be
     * high-frequency function words that are near-unique to the language
     * (priority order resolves the genuine collisions, e.g. no/da 'og').
     * CJK scripts are out of scope for this heuristic: space-padded word
@@ -169,7 +169,35 @@ object TextAnalysis {
     "tk"  -> Seq("bilen", "üçin"),
     "yi"  -> Seq("און", "איז"),
     "sa"  -> Seq("अस्ति", "एव"),
-    "as"  -> Seq("আৰু", "হয়")
+    "as"  -> Seq("আৰু", "হয়"),
+    // fourth breadth wave (r6): North Germanic/Insular minority
+    // languages, Romance regionals, Philippine languages, Andean and
+    // Paraguayan indigenous, West/Central African, the remaining Bantu
+    // official languages, and two Cyrillic-script Volga/Caucasus
+    // languages. Same rules as every wave: appended after the earlier
+    // waves (tie priority unchanged), >= 2 markers each, all markers
+    // disjoint from every earlier marker, BMP-only, no quotes/spaces.
+    "fo"  -> Seq("hevur", "teirra"),
+    "sco" -> Seq("tae", "wis"),
+    "gv"  -> Seq("ayns", "jannoo"),
+    "co"  -> Seq("chì", "induve"),
+    "sc"  -> Seq("custu", "comente"),
+    "rm"  -> Seq("quai", "ina"),
+    "an"  -> Seq("enta", "atros"),
+    "ast" -> Seq("nesti", "asina"),
+    "ilo" -> Seq("dagiti", "kadagiti"),
+    "hmn" -> Seq("thiab", "lawv"),
+    "qu"  -> Seq("chaymanta", "kaypi"),
+    "ay"  -> Seq("ukat", "ukhama"),
+    "gn"  -> Seq("avei", "guive"),
+    "wo"  -> Seq("dafa", "loolu"),
+    "ln"  -> Seq("mpe", "bango"),
+    "ts"  -> Seq("leswaku", "naswona"),
+    "ss"  -> Seq("kutsi", "ngako"),
+    "ve"  -> Seq("ngauri", "havha"),
+    "nso" -> Seq("gomme", "bjalo"),
+    "cv"  -> Seq("тата", "пулать"),
+    "os"  -> Seq("æмæ", "уыцы")
   )
 
   def langScoreCol(text: Column, lang: String): Column =

@@ -219,25 +219,41 @@ object Curation {
     * dedup uses CDC. Deterministic md5 window hash keeps it
     * oracle-checkable; expected chunk length ≈ p tokens.
     *
-    * Plan shape: explode (i, tok, window-string) — strings built inside
-    * the array lambda, md5 applied OUTSIDE it on the exploded column
-    * (HOFs are CodegenFallback; the r5 SubstringDedup lesson) — then
-    * chunk ids via one per-doc window cumsum (shuffle keyed by doc id,
-    * group = doc length, no skew), then groupBy (doc, chunk) rebuilds
-    * chunk text. Output: (idCol, chunk_id, n_toks, chunk_text,
-    * chunk_md5).
+    * Plan shape: plain posexplode to (i, tok) — all codegen — then the
+    * w-token window string assembles from `lag` over the SAME per-doc
+    * (id, i) window the chunk-id cumsum needs anyway, so the one
+    * shuffle is shared and no interpreted HOF builds strings (an array
+    * lambda here measured 2x the whole query; HOFs are
+    * CodegenFallback — the r5 SubstringDedup lesson, taken further).
+    * Then groupBy (doc, chunk) rebuilds chunk text. Output: (idCol,
+    * chunk_id, n_toks, chunk_text, chunk_md5).
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = 3, p: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = toksCol(col(textCol))
-    val posToks = docs.select(col(idCol), size(toks).as("n"),
-      explode(transform(toks, (t, i) => struct(
-        (i + 1).as("i"), t.as("tok"),
-        concat_ws(" ", slice(toks, greatest(i - lit(w) + 2, lit(1)),
-          least(i + lit(1), lit(w)))).as("win")))).as("x"))
-      .select(col(idCol), col("x.i"), col("x.tok"), col("n"), col("x.win"))
-    val bnd = posToks.withColumn("bnd",
+    // repartition the COMPACT doc rows by id up front: the window's
+    // exchange is then already satisfied, so the one shuffle moves
+    // ~doc-count rows instead of ~token-count exploded rows, and the
+    // explode+tokenize parallelizes across the cluster instead of
+    // running inside however few tasks the input file listing gave us.
+    // The partition count is pinned: AQE sizes coalescing by the doc
+    // rows' BYTES, which under-counts the exploded per-token work this
+    // stage fans into (measured: it collapsed the whole chain to one
+    // task and serialized it)
+    val posToks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), size(toks).as("n"),
+        posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("i"), col("tok"), col("n"))
+    val ow = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    // toks[i-w+1..i] == (lag(w-1), ..., lag(1), tok); concat_ws skips
+    // the null lags of the first w-1 positions, whose `win` is only
+    // read by the i >= w guard anyway
+    val win = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(k => lag(col("tok"), k).over(ow)) :+
+        col("tok"): _*)
+    val bnd = posToks.withColumn("win", win).withColumn("bnd",
       when((col("i") >= w &&
         pmod(conv(substring(md5(col("win")), 1, 4), 16, 10)
           .cast(LongType), lit(p.toLong)) === 0) || col("i") === col("n"),

@@ -430,4 +430,43 @@ object Similarity {
       .select(col("id").as(idCol), col("cid"), col("cent_sim"),
         coalesce(col("__dom"), lit(false)).unary_!.as("kept"))
   }
+
+  /** Deterministic sparse random projection (Achlioptas/JL lineage):
+    * out_j = Σ_i sign(md5(j ':' i)) · v_i for j in [0, outDim) — the
+    * dimensionality-reduction pass that runs BEFORE clustering/LSH at
+    * 100 TB so every downstream distance costs outDim instead of dim.
+    * The "random" signs are the md5-derived hex-digit parity, so the
+    * projection is an engine-independent function of (j, i) — no RNG
+    * state, fully oracle-checkable, and the projection of a merge of
+    * two corpora is trivially the union of their projections.
+    *
+    * Float discipline: each term is rounded to micro-units and summed
+    * as a Long (order-insensitive — doubles summed in shuffle order
+    * would diverge), divided back once at the end. Plan: sign table =
+    * outDim×dim rows (model-scale, broadcast), corpus side = ONE
+    * explode + partial-agg groupBy keyed by (id, j) — a vector's terms
+    * form one group, skew-free.
+    */
+  def randomProjection(embeddings: DataFrame, outDim: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dims = embeddings.select(
+      posexplode(col(embCol)).as(Seq("pos", "v")), col(idCol))
+      .select(col(idCol), (col("pos") + 1).as("i"),
+              col("v").cast("double").as("v"))
+    val signs = spark.range(outDim.toLong).toDF("j")
+      .crossJoin(
+        embeddings.select(size(col(embCol)).as("d")).limit(1))
+      .select(col("j"), explode(sequence(lit(1), col("d"))).as("i"))
+      .withColumn("sgn",
+        when(conv(substring(md5(concat(col("j"), lit(":"), col("i"))),
+          1, 1), 16, 10).cast("int") >= 8, 1L).otherwise(-1L))
+    dims.join(broadcast(signs), Seq("i"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("sgn") *
+        round(col("v") * lit(1000000.0), 0).cast("long")).as("micro"))
+      .select(col(idCol), col("j"),
+        round(col("micro") / lit(1000000.0), 6).as("proj"))
+  }
 }

@@ -21,6 +21,22 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // As-of join (point-in-time lookup): every "trade" event picks the
+    // latest "quote" (event_id%3==0, pre-aggregated unique per
+    // (user, ts)) with ts <= its own, per user. Spark realization =
+    // union + ordered carry-forward, ONE shuffle; the oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — two independent realizations
+    // of the operator Spark lacks.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val quotes = ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+        .groupBy("user_id", "ts").agg(max("value").as("q_value"))
+      val trades = ev.filter(pmod(col("event_id"), lit(3L)) =!= 0)
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.AsOfJoin.asOf(trades, quotes, "user_id", "ts",
+        Seq("ts", "q_value"))
+    },
+
     // A6/A7-style corpus statistics over the biggest table. Partial+final
     // hash aggregation == the reference's two-phase per-file/global dicts.
     "q_agg_pricing" -> { (s, dir) =>
@@ -174,6 +190,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH q AS (
+           SELECT user_id, ts, max(value) AS q_value
+           FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+         t AS (
+           SELECT event_id, user_id, ts, value
+           FROM events WHERE event_id % 3 <> 0)
+         SELECT t.event_id, t.user_id, t.ts, t.value,
+                q.ts AS r_ts, q.q_value AS r_q_value
+         FROM t ASOF LEFT JOIN q
+           ON t.user_id = q.user_id AND t.ts >= q.ts""",
+
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

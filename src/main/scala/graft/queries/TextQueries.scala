@@ -146,6 +146,28 @@ object TextQueries {
         .withColumn("changed", col("n_chars_norm") =!= col("n_chars_raw"))
     },
 
+    // Accent stripping (native graft_strip_accents = NFD + remove
+    // combining marks vs DuckDB's utf8proc strip_accents): suffixes by
+    // doc_id%4 cover precomposed Latin accents, multi-mark stacks,
+    // Cyrillic ё/й, and the pass-through class (ø ß đ) that is NOT a
+    // base+mark composition on either engine.
+    "q_strip_accents" -> { (s, dir) =>
+      graft.expressions.NormalizeExpressions.register(s)
+      val suffix = element_at(array(
+          lit(""),
+          lit(" café zéta"),
+          lit(" öko åño ṓm"),
+          lit(" søster ßeta đen ёж йод")),
+        (pmod(col("doc_id").cast(LongType), lit(4L)) + 1).cast("int"))
+      val raw = concat(col("text"), suffix)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expressions.NormalizeExpressions.stripAccentsCol(raw)
+          .as("stripped"),
+        (graft.expressions.NormalizeExpressions.stripAccentsCol(raw)
+          =!= raw).as("changed"))
+    },
+
     // Exact dedup: hash-groupBy on full text, keep lexicographically
     // smallest doc_id as the representative.
     "q_dedup_exact" -> { (s, dir) =>
@@ -210,6 +232,13 @@ object TextQueries {
       val sets = graft.operators.SetSimilarity
         .wordSets(base.unionByName(excerpts)).localCheckpoint()
       graft.operators.SetSimilarity.containmentJoin(sets, t = 0.8)
+    },
+
+    // Deterministic sparse random projection (JL) of the embeddings to
+    // 8 dims: md5-parity signs, micro-unit Long sums (order-insensitive
+    // on both engines), one broadcast sign join + one partial agg.
+    "q_random_projection" -> { (s, dir) =>
+      Similarity.randomProjection(table(s, dir, "embeddings"), outDim = 8)
     },
 
     // Brute-force cosine top-k against vec_id=0's embedding.
@@ -627,7 +656,7 @@ object TextQueries {
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
              AS n_tokens
          FROM documents""",
-    // GENERATED from TextAnalysis.LangMarkers (103 languages) — the
+    // GENERATED from TextAnalysis.LangMarkers (124 languages) — the
     // oracle SQL and the Column scorer read the same marker table, so
     // the two engines cannot drift as breadth grows.
     "q_lang_id" -> {
@@ -915,6 +944,38 @@ object TextQueries {
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
     // NFC replay: identical decomposed suffixes built from codepoints,
     // DuckDB's nfc_normalize against the native expression.
+    "q_random_projection" ->
+      """WITH e AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         s AS (
+           SELECT j, i,
+                  CASE WHEN CAST('0x' || substr(md5(j || ':' || i), 1, 1)
+                            AS BIGINT) >= 8
+                       THEN 1 ELSE -1 END AS sgn
+           FROM (SELECT unnest(range(8)) AS j),
+                (SELECT unnest(range(1, 65)) AS i))
+         SELECT e.vec_id, CAST(s.j AS BIGINT) AS j,
+                round(sum(s.sgn * CAST(round(e.v * 1000000.0, 0)
+                                       AS BIGINT)) / 1000000.0, 6) AS proj
+         FROM e JOIN s USING (i)
+         GROUP BY 1, 2""",
+
+    "q_strip_accents" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  text || CASE doc_id % 4
+                    WHEN 0 THEN ''
+                    WHEN 1 THEN ' café zéta'
+                    WHEN 2 THEN ' öko åño ṓm'
+                    ELSE ' søster ßeta đen ёж йод'
+                  END AS raw
+           FROM documents)
+         SELECT doc_id, strip_accents(raw) AS stripped,
+                strip_accents(raw) <> raw AS changed
+         FROM w""",
+
     "q_normalize_text" ->
       """WITH w AS (
            SELECT doc_id,

@@ -42,4 +42,34 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
       .collect().head
     assert(!r.getBoolean(0) && r.getBoolean(1))
   }
+
+  test("stripAccents: accents drop, non-composition chars pass through") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    NormalizeExpressions.register(spark)
+    val cases = Seq(
+      ("café åño öko", "cafe ano oko"),     // precomposed Latin
+      ("ṓm", "om"),                          // two stacked marks
+      ("søster ßeta đen", "søster ßeta đen"),// NOT base+mark: unchanged
+      ("ёж йод", "еж иод"),                  // Cyrillic breve/diaeresis
+      ("plain ascii text", "plain ascii text"))
+    val got = cases.map(_._1).toDF("t")
+      .selectExpr("graft_strip_accents(t) AS s").as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("stripAccents is idempotent and NFC-composition-insensitive") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    NormalizeExpressions.register(spark)
+    // decomposed e + COMBINING ACUTE vs precomposed é: same output
+    val r = Seq(("é", "é")).toDF("a", "b")
+      .selectExpr(
+        "graft_strip_accents(a) = graft_strip_accents(b) AS eq",
+        "graft_strip_accents(graft_strip_accents(a)) = " +
+          "graft_strip_accents(a) AS idem",
+        "graft_strip_accents(a) AS sa")
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getString(2) == "e")
+  }
 }

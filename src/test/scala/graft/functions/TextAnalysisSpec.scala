@@ -36,7 +36,7 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("langid markers count literally (non-overlapping replace)") {
     // column form parity is covered in CrawlParitySpec; here the
-    // marker-table shape: 103 languages (22 original + three breadth
+    // marker-table shape: 124 languages (22 original + four breadth
     // waves), priority order starts with the original four, every
     // language has >= 2 markers, and no marker embeds a quote that
     // would break the generated oracle SQL literal. Markers must also
@@ -45,7 +45,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     // without surrogate pairs.
     val langs = TextAnalysis.LangMarkers.map(_._1)
     assert(langs.take(4) == Seq("en", "de", "fr", "es"))
-    assert(langs.length == 103 && langs.distinct.length == 103)
+    assert(langs.length == 124 && langs.distinct.length == 124)
     assert(TextAnalysis.LangMarkers.forall(_._2.length >= 2))
     assert(TextAnalysis.LangMarkers.forall(_._2.forall(w =>
       !w.contains("'") && !w.contains(" "))))
@@ -53,7 +53,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       w.length == w.codePointCount(0, w.length))))
   }
 
-  test("langIdCol classifies sample sentences across all 103 languages") {
+  test("langIdCol classifies sample sentences across all 124 languages") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -160,7 +160,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       "tk" -> "öý bilen it üçin pişik bilen üçin",
       "yi" -> "דאָס הויז איז גרויס און דער הונט איז קליין און",
       "sa" -> "गृहम् अस्ति एव श्वानः अस्ति एव",
-      "as" -> "ঘৰ আৰু কুকুৰ হয় আৰু হয়")
+      "as" -> "ঘৰ আৰু কুকুৰ হয় আৰু হয়",
+      "fo" -> "báturin hevur teirra hús hevur teirra vatn",
+      "sco" -> "he wis gaun tae thon toun an wis gled tae be",
+      "gv" -> "jannoo obbyr ayns shen as jannoo ayns shoh",
+      "co" -> "induve hè u casale chì canta induve chì dorme",
+      "sc" -> "custu logu paret comente su mare custu comente su chelu",
+      "rm" -> "quai è ina chasa e quai è ina via",
+      "an" -> "enta o lugar con atros ninos e enta atros días",
+      "ast" -> "nesti pueblu asina ye nesti sitiu asina foi",
+      "ilo" -> "dagiti balay ken kadagiti tao dagiti aso kadagiti purok",
+      "hmn" -> "lawv mus thiab lawv los thiab nyob",
+      "qu" -> "chaymanta hamuni kaypi tiyani chaymanta rini kaypi",
+      "ay" -> "ukat jutäna ukhama luräna ukat ukhama",
+      "gn" -> "avei oho guive ou avei opyta guive",
+      "wo" -> "dafa dem loolu la dafa ñëw loolu",
+      "ln" -> "bango bakei mpe bango bayei mpe bazali",
+      "ts" -> "leswaku vanhu naswona leswaku vana naswona ta",
+      "ss" -> "kutsi bantfu ngako kutsi bantfwana ngako",
+      "ve" -> "ngauri vhathu havha ngauri vhana havha",
+      "nso" -> "gomme batho bjalo gomme bana bjalo tla",
+      "cv" -> "вăл тата килет пулать тата каять пулать",
+      "os" -> "æмæ уыцы лæг æмæ уыцы сывæллон")
     val got = samples.map(_._2).toDF("text")
       .select(TextAnalysis.langIdCol(col("text")).as("lang"))
       .as[String].collect().toSeq

@@ -118,4 +118,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count() == n)
     assert(out.filter("NOT kept").count() == 0)
   }
+
+  test("randomProjection matches an independent JVM replay exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(2000) - 1000) / 997.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def sign(j: Long, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    vecs.foreach { case (id, v) =>
+      (0 until 4).foreach { j =>
+        val micro = v.zipWithIndex.map { case (x, i0) =>
+          sign(j.toLong, i0 + 1) *
+            BigDecimal(x.toDouble * 1000000.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        val want = BigDecimal(micro / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(out((id, j.toLong)) == want, s"vec $id dim $j")
+      }
+    }
+    // the signs must not be degenerate (all +1 would be a sum, not a
+    // projection): both signs appear across the 4x16 table
+    val signs = for (j <- 0 until 4; i <- 1 to dim) yield sign(j.toLong, i)
+    assert(signs.contains(1L) && signs.contains(-1L))
+  }
 }
