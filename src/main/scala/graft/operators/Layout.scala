@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout: interleave the bits of two dimension
+  * columns so that sorting/partitioning by ONE key clusters rows that
+  * are close in BOTH dimensions. At 100 TB this is how a single parquet
+  * layout serves range predicates on either (or both) of two columns:
+  * each file's (min, max) footer stats stay tight on BOTH dims, so a
+  * box predicate prunes to O(boundary) files at the file listing — the
+  * same mechanism the IVF index uses for lists, applied to plain
+  * relational layout (Delta/Iceberg OPTIMIZE ZORDER lineage; public
+  * Morton-curve construction).
+  *
+  * Everything is shift/mask column arithmetic — codegen'd, no UDF, and
+  * exactly replayable in SQL by a second engine (the correctness gate).
+  */
+object Layout {
+
+  /** Morton key: bit b of `x` lands at position 2b+1, bit b of `y` at
+    * 2b — x-major interleave of the low `bits` bits of each. Inputs are
+    * masked to `bits` bits first (callers with wider domains bucket or
+    * shift down beforehand; two's-complement masking keeps negatives
+    * consistent across engines, unlike `%`).
+    */
+  def zorderCol(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b + 1)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The SQL twin of [[zorderCol]] (same shape, any engine with
+    * integer shift/mask ops), for oracle generation.
+    */
+  def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b + 1}) | ((($y >> $b) & 1) << ${2 * b}))"
+    }.mkString("(", " | ", ")")
+
+  /** Per-bucket layout statistics under a z-range bucketing: bucket =
+    * top `bucketBits` bits of the z key (a fixed z-range per bucket —
+    * what a z-sorted file layout gives each file), with the (min, max)
+    * footer stats a scan would consult per dimension, plus sum(z) so a
+    * checker is sensitive to every bit of every row's key. No window,
+    * no global count: bucket assignment is pure row-local arithmetic
+    * and the stats are one partial-aggregated groupBy of 2^bucketBits
+    * rows — the plan is identical at any scale.
+    */
+  def zBucketStats(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits)
+    df.withColumn("__z", zorderCol(col(xCol), col(yCol), bits))
+      .withColumn("bucket", shiftright(col("__z"), 2 * bits - bucketBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
+        sum(col("__z")).as("sum_z"))
+  }
+
+  /** Footer-stats pruning verdict for a box predicate: a bucket is a
+    * candidate iff its (min, max) ranges overlap the box on both dims —
+    * exactly the test a parquet reader runs per file. Buckets with
+    * candidate=false are never opened; min/max guarantee no false
+    * negatives.
+    */
+  def boxCandidates(stats: DataFrame,
+                    x0: Long, x1: Long, y0: Long, y1: Long): DataFrame =
+    stats.withColumn("candidate",
+      !(col("max_x") < x0 || col("min_x") > x1 ||
+        col("max_y") < y0 || col("min_y") > y1))
+}

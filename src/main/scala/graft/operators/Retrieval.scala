@@ -198,4 +198,69 @@ object Retrieval {
          col("topc") * lit(1.0) / col("n_words") <= params.maxTopWordFrac)
           .as("pass"))
   }
+
+  /** PMI collocations: the top bigrams by pointwise mutual information
+    * — the corpus-analytics pass that surfaces multiword expressions
+    * ("new york", "click here") for tokenizer vocab decisions and
+    * boilerplate-phrase lists. pmi = ln(P(xy) / (P(x)·P(y))) computed
+    * as ln((cxy·Nu·Nu) / ((cx·cy)·Nb)) with BOTH engines evaluating the
+    * identical double-arithmetic shape (the BM25 idf discipline), then
+    * rounded; `minCount` kills the low-frequency noise PMI is infamous
+    * for.
+    *
+    * Plan: one posexplode + per-doc lead() (shuffle keyed by doc id,
+    * group = doc length — skew-free), then partial-agg counts; corpus
+    * totals are two model-scale scalars. Top-k ties break on the
+    * bigram itself, so the limit boundary is deterministic.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 20, topK: Int = 50,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("__id").orderBy("pos")
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val nu = toks.count().toDouble
+    val nb = bi.count().toDouble
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    cxy
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log((col("cxy").cast("double") * lit(nu) * lit(nu)) /
+          ((col("c1").cast("double") * col("c2")) * lit(nb))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Positional phrase search: documents containing the exact token
+    * sequence `phrase`, with match count and first position — the
+    * retrieval op BM25's bag-of-words scoring cannot express. Postings
+    * are filtered to the phrase's terms BEFORE anything shuffles (at
+    * an indexed deployment this is the bm25Build bucket prune), then
+    * each consecutive term pair joins on (doc, start) — candidate sets
+    * are term-frequency-sized, never corpus-sized. Overlapping matches
+    * count separately; positions are 1-based.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val toks = docs.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos0", "w")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+    val parts = phrase.zipWithIndex.map { case (t, k) =>
+      toks.filter(col("w") === t)
+        .select(col(idCol), (col("pos") - k).as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
 }

@@ -107,6 +107,21 @@ object CrawlQueries {
       graft.operators.CrawlPolicy.dumpDiff(prev, cur)
     },
 
+    // Redirect-chain resolution: functional edge set derived from
+    // events (descending chains to multiples of 64, a planted 2-cycle
+    // at every 55<->56 mod-100 pair); the production pointer-doubling
+    // operator vs DuckDB's native recursive CTE — two independent
+    // realizations, loops and >16-hop chains flagged identically.
+    "q_redirect_resolve" -> { (s, dir) =>
+      val nodes = table(s, dir, "events")
+        .select(pmod(col("event_id"), lit(4096L)).as("i")).distinct()
+      val edges = nodes.filter(pmod(col("i"), lit(64L)) =!= 0)
+        .select(col("i").as("src"),
+          when(pmod(col("i"), lit(100L)) === 55, col("i") + 1)
+            .otherwise(col("i") - 1).as("dst"))
+      graft.operators.Redirects.resolveRedirects(edges, maxHops = 16)
+    },
+
     // Host-graph PageRank frontier priority: deterministic sparse link
     // graph from events (out-degree <= 5), 5 fixed iterations of
     // all-integer micro-unit arithmetic — the oracle unrolls the
@@ -584,6 +599,26 @@ object CrawlQueries {
                      WHEN prev.d = cur.d THEN 'same'
                      ELSE 'changed' END AS status
          FROM prev FULL OUTER JOIN cur ON prev.url = cur.url""",
+
+    "q_redirect_resolve" ->
+      """WITH RECURSIVE
+           nodes AS (SELECT DISTINCT event_id % 4096 AS i FROM events),
+           edges AS (
+             SELECT i AS src,
+                    CASE WHEN i % 100 = 55 THEN i + 1 ELSE i - 1 END AS dst
+             FROM nodes WHERE i % 64 <> 0),
+           walk AS (
+             SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM edges
+             UNION ALL
+             SELECT w.src, e.dst, w.hops + 1
+             FROM walk w JOIN edges e ON w.cur = e.src
+             WHERE w.hops < 16),
+           term AS (
+             SELECT w.src, w.cur, w.hops FROM walk w
+             WHERE w.cur NOT IN (SELECT src FROM edges))
+         SELECT e.src, t.cur AS final_id, t.hops,
+                t.src IS NOT NULL AS resolved
+         FROM edges e LEFT JOIN term t ON e.src = t.src""",
 
     "q_pagerank_hosts" -> prOracle,
 

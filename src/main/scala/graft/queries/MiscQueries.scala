@@ -38,6 +38,21 @@ object MiscQueries {
        FROM events"""
 
   val defs: Map[String, Q] = Map(
+    // Z-order layout: Morton keys over two derived dims, fixed z-range
+    // buckets (what a z-sorted file layout gives each file), per-bucket
+    // footer stats + box-pruning verdict; sum(z) makes the oracle
+    // sensitive to every bit of every row's key.
+    "q_zorder_layout" -> { (s, dir) =>
+      val pts = table(s, dir, "events").select(
+        (col("user_id") * 41).bitwiseAND(lit(1023L)).as("x"),
+        floor(col("value") * 100).cast(LongType)
+          .bitwiseAND(lit(1023L)).as("y"))
+      graft.operators.Layout.boxCandidates(
+        graft.operators.Layout.zBucketStats(pts, "x", "y",
+          bits = 10, bucketBits = 6),
+        x0 = 200, x1 = 400, y0 = 300, y1 = 600)
+    },
+
     // A6 index statistics: per-domain URL/byte/distinctness counters.
     "q_index_stats" -> { (s, dir) =>
       urlFrame(s, dir)
@@ -168,6 +183,27 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // z expression GENERATED by Layout.zorderSql — the Column builder
+    // and the SQL replay share one shape, so they cannot drift.
+    "q_zorder_layout" ->
+      s"""WITH pts AS (
+            SELECT (user_id * 41) & 1023 AS x,
+                   CAST(floor(value * 100) AS BIGINT) & 1023 AS y
+            FROM events),
+          z AS (SELECT x, y,
+                       ${graft.operators.Layout.zorderSql("x", "y", 10)} AS z
+                FROM pts),
+          st AS (
+            SELECT z >> 14 AS bucket, count(*) AS n,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   CAST(sum(z) AS BIGINT) AS sum_z
+            FROM z GROUP BY 1)
+          SELECT bucket, n, min_x, max_x, min_y, max_y, sum_z,
+                 NOT (max_x < 200 OR min_x > 400 OR
+                      max_y < 300 OR min_y > 600) AS candidate
+          FROM st""",
+
     "q_index_stats" ->
       s"""WITH u AS ($urlFrameSql)
           SELECT regexp_replace(regexp_extract(url,

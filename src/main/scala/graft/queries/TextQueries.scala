@@ -109,6 +109,21 @@ object TextQueries {
         Seq("join", "scan", "window"))
     },
 
+    // PMI collocations: top bigrams by pointwise mutual information,
+    // both engines evaluating the identical ln((cxy*Nu*Nu)/((cx*cy)*Nb))
+    // double shape (the BM25 idf discipline).
+    "q_pmi_bigrams" -> { (s, dir) =>
+      graft.operators.Retrieval.pmiBigrams(table(s, dir, "documents"),
+        minCount = 20, topK = 50)
+    },
+
+    // Positional phrase search: exact token-sequence matches with count
+    // and first position — the op bag-of-words BM25 cannot express.
+    "q_phrase_search" -> { (s, dir) =>
+      graft.operators.Retrieval.phraseSearch(table(s, dir, "documents"),
+        Seq("slow", "hash", "batch"))
+    },
+
     // BM25 against the MATERIALIZED inverted index (bm25Build ->
     // bm25Indexed): postings partitioned by term bucket, the query
     // prunes to its terms' bucket directories at file listing. Must
@@ -719,6 +734,49 @@ object TextQueries {
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "q_bm25_search" -> bm25Sql,
+
+    "q_pmi_bigrams" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w,
+                  generate_subscripts(
+                    string_split_regex(trim(text), '\s+'), 1) AS pos
+           FROM documents),
+         bi0 AS (
+           SELECT doc_id, w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM tok),
+         bi AS (SELECT w1, w2 FROM bi0 WHERE w2 IS NOT NULL),
+         uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM tok),
+         totb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi),
+         cx AS (SELECT w1, w2, count(*) AS cxy FROM bi GROUP BY 1, 2)
+         SELECT cx.w1, cx.w2, cx.cxy,
+                round(ln((CAST(cx.cxy AS DOUBLE) * nu * nu) /
+                         ((CAST(c1.c AS DOUBLE) * c2.c) * nb)), 6) AS pmi
+         FROM cx
+         CROSS JOIN tot CROSS JOIN totb
+         JOIN uni c1 ON cx.w1 = c1.w
+         JOIN uni c2 ON cx.w2 = c2.w
+         WHERE cx.cxy >= 20
+         ORDER BY pmi DESC, cx.w1 ASC, cx.w2 ASC
+         LIMIT 50""",
+
+    "q_phrase_search" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w,
+                  generate_subscripts(
+                    string_split_regex(trim(text), '\s+'), 1) AS pos
+           FROM documents)
+         SELECT a.doc_id, count(*) AS n_matches, min(a.pos) AS first_pos
+         FROM tok a
+         JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   AND b.w = 'hash'
+         JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                   AND c.w = 'batch'
+         WHERE a.w = 'slow'
+         GROUP BY 1""",
     // the indexed path must reproduce the direct computation exactly
     "q_bm25_indexed" -> bm25Sql,
     "q_quality_gopher" ->

@@ -150,6 +150,46 @@ class RetrievalSpec extends AnyFunSuite {
       s"query must read <= 2 of 64 bucket partitions, got $parts")
   }
 
+  test("phraseSearch: adjacency, overlap counting, 1-based first_pos") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b" at 1 and 4
+      (2L, "b a b"),         // "a b" at 2
+      (3L, "a a a"),         // "a a" overlaps: 1 and 2; no "a b"
+      (4L, "c b a")          // reversed -> no match
+    ).toDF("doc_id", "text")
+    val ab = Retrieval.phraseSearch(docs, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ab == Map(1L -> (2L, 1L), 2L -> (1L, 2L)))
+    val aa = Retrieval.phraseSearch(docs, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(aa == Map(3L -> (2L, 1L)))
+    val abc = Retrieval.phraseSearch(docs, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(abc == Map(1L -> (2L, 1L)))
+  }
+
+  test("pmiBigrams matches a hand-computed PMI and honors minCount") {
+    val s = spark
+    import s.implicits._
+    // "x y" always adjacent (cxy=4); "p q" adjacent twice but below
+    // minCount=3; unigrams: x=4 y=4 p=2 q=2 z=4 -> Nu=16, Nb=12
+    val docs = Seq(
+      (1L, "x y p q"), (2L, "x y z z"),
+      (3L, "x y p q"), (4L, "x y z z")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.pmiBigrams(docs, minCount = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // pmi(x,y) = ln((4 * 16 * 16) / ((4 * 4) * 12)) = ln(16/3)
+    val want = BigDecimal(math.log((4.0 * 16 * 16) / ((4.0 * 4) * 12)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x", "y"))._1 == 4L)
+    assert(got(("x", "y"))._2 == want)
+    assert(!got.contains(("p", "q")), "minCount=3 must drop cxy=2")
+  }
+
   test("termBucket JVM twin matches termBucketCol") {
     val s = spark
     import s.implicits._
