@@ -192,10 +192,11 @@ object Bench {
         s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4))
+    val ladder =
+      Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4), (1, 3))
     ladder.iterator.map { case (dp, w) => render(dp, w) }
       .find(_.length <= 1900)
-      .getOrElse(render(1, 4))
+      .getOrElse(render(1, 3))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

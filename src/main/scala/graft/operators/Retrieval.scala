@@ -117,6 +117,43 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Incremental index maintenance: append a NEW batch of documents to
+    * a `bm25Build` index without touching the existing postings — the
+    * continuous-crawl shape (each dump adds documents; re-tokenizing
+    * the whole corpus per dump is the thing a 100 TB deployment cannot
+    * afford). The new batch's postings append into the same
+    * bucket-partitioned layout (file-level append, existing files
+    * untouched) and the corpus stats fold additively: dl values are
+    * integer-valued doubles, so n' = n + Δn and Σdl' = Σdl + ΔΣdl are
+    * EXACT — `bm25Indexed` after an append is bit-for-bit equal to a
+    * full rebuild over the union (RetrievalSpec pins this).
+    *
+    * Doc ids must be disjoint from the already-indexed corpus (dump
+    * ids are); like bm25Build this is not crash-atomic — drive it from
+    * a Snapshots stage/commit pair when resumability matters.
+    */
+  def bm25Append(spark: org.apache.spark.sql.SparkSession,
+                 newDocs: DataFrame, indexDir: String, nBuckets: Int = 64,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): Unit = {
+    val toks = newDocs.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    toks.select(col(idCol), col("dl"), explode(col("toks")).as("w"))
+      .groupBy(idCol, "dl", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", termBucketCol(col("w"), nBuckets))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+    val old = spark.read.parquet(s"$indexDir/stats").head()
+    val d = toks.agg(count(lit(1)).cast("double").as("n"),
+      sum("dl").as("sdl")).head()
+    spark.range(1)
+      .select(lit(old.getDouble(0) + d.getDouble(0)).as("n"),
+              lit(old.getDouble(1) + d.getDouble(1)).as("sdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** BM25 against a materialized `bm25Build` index: identical results
     * to `bm25` for the same corpus and params (same float discipline),
     * but the scan is pruned to the query terms' bucket partitions at

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Sessions.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.expressions.Window
 
 /** Relational core: aggregation, broadcast joins, semi/anti joins, argmax,
@@ -35,6 +36,44 @@ object RelationalQueries {
         .select("event_id", "user_id", "ts", "value")
       graft.operators.AsOfJoin.asOf(trades, quotes, "user_id", "ts",
         Seq("ts", "q_value"))
+    },
+
+    // Range join: points vs intervals through the bucketed equi-join
+    // (one shuffle, no nested loop); the oracle is a plain BETWEEN join.
+    "q_range_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val points = ev.filter(pmod(col("event_id"), lit(20L)) =!= 0)
+        .select(col("event_id").as("pid"),
+          floor(col("value") * 100).cast(LongType).as("v"))
+      val ivals = ev.filter(pmod(col("event_id"), lit(20L)) === 0)
+        .select(col("event_id").as("iid"),
+          pmod(col("event_id") * 7, lit(49000L)).as("lo"))
+        .withColumn("hi", col("lo") + pmod(col("iid"), lit(97L)) + 1)
+      graft.operators.RangeJoin.rangeJoin(points, ivals,
+          "v", "lo", "hi", bucketWidth = 256)
+        .select("pid", "v", "iid", "lo", "hi")
+    },
+
+    // Rollup/cube: multi-granularity corpus statistics in ONE pass
+    // (Spark expands grouping sets before the partial agg — still one
+    // shuffle, no per-level rescan). Money stays integer cents (floor,
+    // the indexFrame discipline) so sums are order-insensitive.
+    "q_rollup_stats" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(3L)).as("ub"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .rollup("event_type", "ub")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          grouping_id().cast(LongType).as("gid"))
+    },
+
+    "q_cube_stats" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(3L)).as("ub"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .cube("event_type", "ub")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          grouping_id().cast(LongType).as("gid"))
     },
 
     // A6/A7-style corpus statistics over the biggest table. Partial+final
@@ -201,6 +240,33 @@ object RelationalQueries {
                 q.ts AS r_ts, q.q_value AS r_q_value
          FROM t ASOF LEFT JOIN q
            ON t.user_id = q.user_id AND t.ts >= q.ts""",
+
+    "q_range_join" ->
+      """WITH p AS (
+           SELECT event_id AS pid, CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_id % 20 <> 0),
+         i AS (
+           SELECT event_id AS iid, (event_id * 7) % 49000 AS lo,
+                  (event_id * 7) % 49000 + (event_id % 97) + 1 AS hi
+           FROM events WHERE event_id % 20 = 0)
+         SELECT p.pid, p.v, i.iid, i.lo, i.hi
+         FROM p JOIN i ON p.v BETWEEN i.lo AND i.hi""",
+
+    "q_rollup_stats" ->
+      """SELECT event_type, user_id % 3 AS ub, count(*) AS n,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                GROUPING(event_type, user_id % 3) AS gid
+         FROM events
+         GROUP BY ROLLUP (event_type, user_id % 3)""",
+
+    "q_cube_stats" ->
+      """SELECT event_type, user_id % 3 AS ub, count(*) AS n,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                GROUPING(event_type, user_id % 3) AS gid
+         FROM events
+         GROUP BY CUBE (event_type, user_id % 3)""",
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

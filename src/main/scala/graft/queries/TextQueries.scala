@@ -109,6 +109,22 @@ object TextQueries {
         Seq("join", "scan", "window"))
     },
 
+    // Incremental index maintenance: build on 2/3 of the corpus, APPEND
+    // the remaining third (the continuous-crawl dump shape), query the
+    // merged index. The oracle is the SAME full-corpus bm25 SQL —
+    // append == rebuild is the contract.
+    "q_bm25_incremental" -> { (s, dir) =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-bm25-inc").toString
+      val docs = table(s, dir, "documents")
+      graft.operators.Retrieval.bm25Build(
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0), idx)
+      graft.operators.Retrieval.bm25Append(s,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), idx)
+      graft.operators.Retrieval.bm25Indexed(s, idx,
+        Seq("join", "scan", "window"))
+    },
+
     // PMI collocations: top bigrams by pointwise mutual information,
     // both engines evaluating the identical ln((cxy*Nu*Nu)/((cx*cy)*Nb))
     // double shape (the BM25 idf discipline).
@@ -180,6 +196,32 @@ object TextQueries {
         graft.expressions.NormalizeExpressions.stripAccentsCol(raw)
           .as("stripped"),
         (graft.expressions.NormalizeExpressions.stripAccentsCol(raw)
+          =!= raw).as("changed"))
+    },
+
+    // Mojibake repair (ftfy lineage): classes 1/2 are REAL corruptions
+    // built by re-decoding UTF-8 bytes as latin-1 (the classic
+    // 'cafÃ©'/'donâ€™t' web damage); class 3 is clean accented text the
+    // repair must NOT touch (its 8-bit bytes are not valid UTF-8); the
+    // oracle predicts the repaired output from the same generator.
+    "q_mojibake_fix" -> { (s, dir) =>
+      graft.expressions.NormalizeExpressions.register(s)
+      val m = pmod(col("doc_id").cast(LongType), lit(4L))
+      val suffix = element_at(array(
+          lit(""),
+          lit(" café zür"),
+          lit(" don’t – co…"),
+          lit(" søster ña")),
+        (m + 1).cast("int"))
+      val clean = concat(col("text"), suffix)
+      val raw = when(m === 1 || m === 2,
+          decode(encode(clean, "UTF-8"), "ISO-8859-1"))
+        .otherwise(clean)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expressions.NormalizeExpressions.fixMojibakeCol(raw)
+          .as("fixed"),
+        (graft.expressions.NormalizeExpressions.fixMojibakeCol(raw)
           =!= raw).as("changed"))
     },
 
@@ -734,6 +776,7 @@ object TextQueries {
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "q_bm25_search" -> bm25Sql,
+    "q_bm25_incremental" -> bm25Sql,
 
     "q_pmi_bigrams" ->
       """WITH tok AS (
@@ -1019,6 +1062,17 @@ object TextQueries {
                                        AS BIGINT)) / 1000000.0, 6) AS proj
          FROM e JOIN s USING (i)
          GROUP BY 1, 2""",
+
+    "q_mojibake_fix" ->
+      """SELECT doc_id,
+                text || CASE doc_id % 4
+                  WHEN 0 THEN ''
+                  WHEN 1 THEN ' café zür'
+                  WHEN 2 THEN ' don’t – co…'
+                  ELSE ' søster ña'
+                END AS fixed,
+                (doc_id % 4) IN (1, 2) AS changed
+         FROM documents""",
 
     "q_strip_accents" ->
       """WITH w AS (

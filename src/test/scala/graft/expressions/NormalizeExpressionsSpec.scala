@@ -72,4 +72,41 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getString(2) == "e")
   }
+
+  test("graft_fix_mojibake repairs latin-1 and cp1252 renderings, " +
+       "double-encoding, and leaves clean text alone") {
+    NormalizeExpressions.register(spark)
+    def corrupt(s: String): String = new String(
+      s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+    def corrupt1252(s: String): String = {
+      val b = s.getBytes("UTF-8")
+      val sb = new StringBuilder
+      b.foreach { by =>
+        val u = by & 0xFF
+        // cp1252 rendering: 0x80-0x9F band shows smart-quote glyphs
+        sb.append(new String(Array(by),
+          if (u >= 0x80 && u <= 0x9F) "windows-1252"
+          else "ISO-8859-1"))
+      }
+      sb.toString
+    }
+    val cases = Seq(
+      corrupt("café zür")          -> "café zür",       // latin-1 class
+      corrupt("don’t – …")         -> "don’t – …",      // C1-control class
+      corrupt1252("don’t – …")     -> "don’t – …",      // smart-quote class
+      corrupt(corrupt("café"))     -> "café",           // double-encoded
+      "søster ña"                  -> "søster ña",      // clean: untouched
+      "plain ascii"                -> "plain ascii",
+      ""                           -> "")
+    val got = cases.map(_._1).toDF("t")
+      .selectExpr("t", "graft_fix_mojibake(t) AS f").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"input <$in>")
+      // idempotent: a repaired string has nothing left to repair
+      val again = Seq(got(in)).toDF("t")
+        .selectExpr("graft_fix_mojibake(t) AS f").collect().head.getString(0)
+      assert(again == got(in), s"not idempotent on <$in>")
+    }
+  }
 }

@@ -150,6 +150,31 @@ class RetrievalSpec extends AnyFunSuite {
       s"query must read <= 2 of 64 bucket partitions, got $parts")
   }
 
+  test("bm25Append: incremental index == full rebuild, bit for bit") {
+    val s = spark
+    import s.implicits._
+    val extra = Seq(
+      (5L, "scan join scan window"),
+      (6L, "window window order join"))
+    val all = (corpus ++ extra).toDF("doc_id", "text")
+    val idxInc = java.nio.file.Files
+      .createTempDirectory("bm25-inc").toString
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("bm25-full").toString
+    Retrieval.bm25Build(corpus.toDF("doc_id", "text"), idxInc)
+    Retrieval.bm25Append(s, extra.toDF("doc_id", "text"), idxInc)
+    Retrieval.bm25Build(all, idxFull)
+    val terms = Seq("join", "scan", "window")
+    val inc  = Retrieval.bm25Indexed(s, idxInc, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Retrieval.bm25Indexed(s, idxFull, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = Retrieval.bm25(all, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == full)
+    assert(inc == direct)
+  }
+
   test("phraseSearch: adjacency, overlap counting, 1-based first_pos") {
     val s = spark
     import s.implicits._
