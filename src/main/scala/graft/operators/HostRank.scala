@@ -132,4 +132,60 @@ object HostRank {
       countDistinct(col(srcCol)).as("n_src_hosts"))
     totals.join(tops, dstCol)
   }
+
+  /** HITS hubs & authorities (Kleinberg) — the bidirectional companion
+    * to [[pageRank]]: a good HUB links to many good authorities (seed
+    * lists, directories — what a crawler wants for frontier seeding), a
+    * good AUTHORITY is linked from many good hubs (what it wants for
+    * priority). Same determinism contract as pageRank: fixed iteration
+    * count, all-integer micro-unit arithmetic — normalization is by the
+    * MAX (L-infinity) instead of the usual L2 norm precisely so it stays
+    * in exact Long division (`(raw * scale) DIV max`) that DuckDB's `//`
+    * replays bit-for-bit; the norm choice rescales but never reorders,
+    * and ordering is all the frontier consumes. Per half-step: one
+    * hash-join + partial-agg shuffle keyed by host, plus a model-scale
+    * max. Each raw table is localCheckpoint'd so lineage stays O(1);
+    * the previous iteration's blocks release once superseded.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame,
+           iters: Int = 3, scale: Long = 1000000L,
+           srcCol: String = "src", dstCol: String = "dst",
+           idCol: String = "host"): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val base = nodes.select(col(idCol).as("host")).distinct()
+      .localCheckpoint()
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    // contribution flows along edge matchCol -> groupCol; returns the
+    // normalized lazy frame plus its pinned raw checkpoint
+    def halfStep(x: DataFrame, matchCol: String,
+                 groupCol: String): (DataFrame, DataFrame) = {
+      val c = ed.join(x, ed(matchCol) === x("host"))
+        .groupBy(col(groupCol).as("__g")).agg(sum("v").as("s"))
+      val raw = base.join(c, base("host") === c("__g"), "left")
+        .select(base("host"), coalesce(col("s"), lit(0L)).as("raw"))
+        .localCheckpoint()
+      val m = raw.agg(max("raw")).head().getLong(0)
+      require(m > 0, "hits: no edge touches the node universe")
+      (raw.select(col("host"), expr(s"(raw * $scale) DIV $m").as("v")), raw)
+    }
+    var h = base.withColumn("v", lit(scale))
+    var a = h
+    var prevRaws: Seq[DataFrame] = Seq.empty
+    (1 to iters).foreach { _ =>
+      val (a2, aRaw) = halfStep(h, "src", "dst")
+      val (h2, hRaw) = halfStep(a2, "dst", "src")
+      prevRaws.foreach(UrlDedup.releaseOrderCache)
+      prevRaws = Seq(aRaw, hRaw)
+      a = a2; h = h2
+    }
+    UrlDedup.releaseOrderCache(ed)
+    UrlDedup.releaseOrderCache(base)
+    a.select(col("host"), col("v").as("auth_mu"))
+      .join(h.select(col("host"), col("v").as("hub_mu")), Seq("host"))
+      .select(col("host").as(idCol), col("auth_mu"), col("hub_mu"),
+        round(col("auth_mu").cast("double") / scale, 6).as("auth"),
+        round(col("hub_mu").cast("double") / scale, 6).as("hub"))
+  }
 }

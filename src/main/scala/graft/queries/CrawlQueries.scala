@@ -122,6 +122,17 @@ object CrawlQueries {
       graft.operators.Redirects.resolveRedirects(edges, maxHops = 16)
     },
 
+    // HITS hubs & authorities over the same host graph: 3 fixed
+    // iterations, integer micro-units, max-normalized so every step is
+    // exact Long division the oracle unrolls with //.
+    "q_hits_hosts" -> { (s, dir) =>
+      graft.operators.HostRank.hits(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200),
+        s.range(200).toDF("host"),
+        iters = 3)
+    },
+
     // Host-graph PageRank frontier priority: deterministic sparse link
     // graph from events (out-degree <= 5), 5 fixed iterations of
     // all-integer micro-unit arithmetic — the oracle unrolls the
@@ -558,6 +569,52 @@ object CrawlQueries {
            JOIN od ON od.src = ed.src) c ON c.dst = n.host
          GROUP BY 1)"""
 
+  /** One HITS iteration as chained CTEs (MATERIALIZED — inline chained
+    * CTEs blow up exponentially in DuckDB's planner).
+    */
+  private def hitsIterCte(inH: String, tag: Int, scale: Long): String =
+    s"""a${tag}raw AS MATERIALIZED (
+         SELECT n.host, CAST(coalesce(sum(q.v), 0) AS BIGINT) AS raw
+         FROM n LEFT JOIN (
+           SELECT ed.dst AS g, p.v
+           FROM ed JOIN $inH p ON p.host = ed.src) q ON q.g = n.host
+         GROUP BY 1),
+       a$tag AS MATERIALIZED (
+         SELECT host,
+                (raw * $scale) // (SELECT max(raw) FROM a${tag}raw) AS v
+         FROM a${tag}raw),
+       h${tag}raw AS MATERIALIZED (
+         SELECT n.host, CAST(coalesce(sum(q.v), 0) AS BIGINT) AS raw
+         FROM n LEFT JOIN (
+           SELECT ed.src AS g, p.v
+           FROM ed JOIN a$tag p ON p.host = ed.dst) q ON q.g = n.host
+         GROUP BY 1),
+       h$tag AS MATERIALIZED (
+         SELECT host,
+                (raw * $scale) // (SELECT max(raw) FROM h${tag}raw) AS v
+         FROM h${tag}raw)"""
+
+  private val hitsOracle: String = {
+    val hN = 200L
+    val scale = 1000000L
+    s"""WITH ed AS MATERIALIZED (
+         SELECT DISTINCT user_id % $hN AS src,
+                ((user_id % $hN) * 17 + (event_id % 5) * 31 + 7) % $hN
+                  AS dst
+         FROM events
+         WHERE user_id % $hN
+               <> ((user_id % $hN) * 17 + (event_id % 5) * 31 + 7) % $hN),
+       n AS (SELECT unnest(range($hN)) AS host),
+       h0 AS (SELECT host, CAST($scale AS BIGINT) AS v FROM n),
+       ${hitsIterCte("h0", 1, scale)},
+       ${hitsIterCte("h1", 2, scale)},
+       ${hitsIterCte("h2", 3, scale)}
+       SELECT a3.host, a3.v AS auth_mu, h3.v AS hub_mu,
+              round(CAST(a3.v AS DOUBLE) / $scale, 6) AS auth,
+              round(CAST(h3.v AS DOUBLE) / $scale, 6) AS hub
+       FROM a3 JOIN h3 ON a3.host = h3.host"""
+  }
+
   private val prOracle: String = {
     val h = 200L
     val scale = 1000000000000L
@@ -620,6 +677,7 @@ object CrawlQueries {
                 t.src IS NOT NULL AS resolved
          FROM edges e LEFT JOIN term t ON e.src = t.src""",
 
+    "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
 
     "q_charset_decode" ->

@@ -53,6 +53,44 @@ object MiscQueries {
         x0 = 200, x1 = 400, y0 = 300, y1 = 600)
     },
 
+    // MERGE upsert+delete: change batch (U on every 5th key, D on every
+    // 15th, I on fresh keys) applied to the base table through the
+    // anti-join + union plan; oracle replays with NOT IN / UNION ALL.
+    "q_merge_upsert" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("event_id").as("k"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val upd = ev.filter(pmod(col("event_id"), lit(5L)) === 0)
+        .select(col("event_id").as("k"),
+          (floor(col("value") * 100).cast(LongType) + 7).as("cents"),
+          when(pmod(col("event_id"), lit(15L)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+      val ins = ev.filter(pmod(col("event_id"), lit(7L)) === 0)
+        .select((col("event_id") + 10000000L).as("k"),
+          floor(col("value") * 100).cast(LongType).as("cents"),
+          lit("I").as("op"))
+      graft.operators.TableOps.mergeUpsert(base, upd.unionByName(ins), "k")
+    },
+
+    // Compaction planning: per-directory file listing -> target-sized
+    // bins via the cumulative-size-before rule (crossing file ships).
+    "q_compaction_plan" -> { (s, dir) =>
+      val files = table(s, dir, "events").select(
+        concat(lit("d"), pmod(col("user_id"), lit(8L))).as("dir"),
+        col("event_id").as("file_id"),
+        (floor(col("value") * 100).cast(LongType) + 1).as("size"))
+      graft.operators.TableOps.compactionPlan(files, targetBytes = 50000L)
+    },
+
+    // SCD2 history build: validity intervals from a change log
+    // ((key, ts) argmax-deduped first — the A0 idiom).
+    "q_scd2_intervals" -> { (s, dir) =>
+      val log = table(s, dir, "events")
+        .groupBy(col("user_id").as("k"), col("ts"))
+        .agg(max(floor(col("value") * 100).cast(LongType)).as("cents"))
+      graft.operators.TableOps.scd2Intervals(log, "k", "ts")
+    },
+
     // A6 index statistics: per-domain URL/byte/distinctness counters.
     "q_index_stats" -> { (s, dir) =>
       urlFrame(s, dir)
@@ -183,6 +221,51 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH base AS (
+           SELECT event_id AS k, CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         chg AS (
+           SELECT event_id AS k,
+                  CAST(floor(value * 100) AS BIGINT) + 7 AS cents,
+                  CASE WHEN event_id % 15 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 10000000 AS k,
+                  CAST(floor(value * 100) AS BIGINT) AS cents, 'I' AS op
+           FROM events WHERE event_id % 7 = 0)
+         SELECT b.k, b.cents FROM base b
+         WHERE b.k NOT IN (SELECT k FROM chg)
+         UNION ALL
+         SELECT k, cents FROM chg WHERE op <> 'D'""",
+
+    "q_compaction_plan" ->
+      """WITH f AS (
+           SELECT 'd' || (user_id % 8) AS dir, event_id AS file_id,
+                  CAST(floor(value * 100) AS BIGINT) + 1 AS size
+           FROM events),
+         c AS (
+           SELECT dir, file_id, size,
+                  CAST(coalesce(sum(size) OVER (
+                    PARTITION BY dir ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum
+           FROM f)
+         SELECT dir, file_id, size,
+                CAST((cum - cum % 50000) / 50000 AS BIGINT) AS bin
+         FROM c""",
+
+    "q_scd2_intervals" ->
+      """WITH log AS (
+           SELECT user_id AS k, ts,
+                  max(CAST(floor(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT k, ts, cents, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to,
+                lead(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL
+                  AS is_current
+         FROM log""",
+
     // z expression GENERATED by Layout.zorderSql — the Column builder
     // and the SQL replay share one shape, so they cannot drift.
     "q_zorder_layout" ->

@@ -92,4 +92,37 @@ class HostRankSpec extends AnyFunSuite {
     assert(out("t") == (7L, 3L, "docs", "docs | blog | api"))
     assert(out("u") == (1L, 1L, "home", "home"))
   }
+
+  test("hits matches a single-threaded integer replay; star graph sane") {
+    val s = spark
+    import s.implicits._
+    // star: 0 links to 1..4; 5 also links to 1 -> 0 is the top hub,
+    // 1 the top authority
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 1L))
+    val nodes = (0L to 5L).toDF("host")
+    val scale = 1000000L
+    val got = HostRank.hits(edges.toDF("src", "dst"), nodes,
+        iters = 3, scale = scale)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent JVM replay of the same integer half-steps
+    var h = (0L to 5L).map(_ -> scale).toMap
+    var a = h
+    (1 to 3).foreach { _ =>
+      val ar = (0L to 5L).map(n =>
+        n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val am = ar.values.max
+      a = ar.map { case (k, v) => k -> (v * scale) / am }
+      val hr = (0L to 5L).map(n =>
+        n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val hm = hr.values.max
+      h = hr.map { case (k, v) => k -> (v * scale) / hm }
+    }
+    (0L to 5L).foreach { n =>
+      assert(got(n) == (a(n), h(n)), s"host $n")
+    }
+    assert(got(0L)._2 == scale, "star center is the max-normalized hub")
+    assert(got(1L)._1 == scale, "doubly-linked node is the top authority")
+    assert(got(2L)._2 == 0L && got(2L)._1 > 0L)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableOpsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("mergeUpsert: U replaces, D removes, I adds, untouched survive") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "U"),  // update
+      (3L, "x", "D"),  // delete (payload ignored)
+      (9L, "i", "I")   // insert
+    ).toDF("k", "v", "op")
+    val got = TableOps.mergeUpsert(base, changes, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 9L -> "i"))
+  }
+
+  test("compactionPlan: crossing file ships with its bin; dirs independent") {
+    val s = spark
+    import s.implicits._
+    // dir A sizes 40,40,40 at target 100: cum-before 0,40,80 -> bins 0,0,0
+    // then 60: cum-before 120 -> bin 1 (the 80-cum file crossed and shipped)
+    val files = Seq(
+      ("A", 1L, 40L), ("A", 2L, 40L), ("A", 3L, 40L), ("A", 4L, 60L),
+      ("B", 1L, 250L), ("B", 2L, 10L)
+    ).toDF("dir", "file_id", "size")
+    val got = TableOps.compactionPlan(files, targetBytes = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(got(("A", 1L)) == 0L && got(("A", 2L)) == 0L)
+    assert(got(("A", 3L)) == 0L, "crossing file must ship with bin 0")
+    assert(got(("A", 4L)) == 1L)
+    assert(got(("B", 1L)) == 0L)
+    assert(got(("B", 2L)) == 2L, "oversized first file pushes cum past 2 bins")
+  }
+
+  test("scd2Intervals: exclusive valid_to chain, single current per key") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 10L, "v1"), (1L, 20L, "v2"), (1L, 30L, "v3"),
+      (2L, 15L, "w1")
+    ).toDF("k", "ts", "v")
+    val rows = TableOps.scd2Intervals(log, "k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toMap
+    assert(rows((1L, 10L)) == (Some(20L), false))
+    assert(rows((1L, 20L)) == (Some(30L), false))
+    assert(rows((1L, 30L)) == (None, true))
+    assert(rows((2L, 15L)) == (None, true))
+  }
+}
