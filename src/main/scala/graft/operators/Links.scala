@@ -92,6 +92,56 @@ object Links {
       .distinct()
   }
 
+  /** Page-level robots meta noindex: the page must not enter the
+    * corpus/index at all (stronger than nofollow).
+    */
+  val MetaNoindex: String =
+    "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      "content\\s*=\\s*[\"'][^\"']*noindex"
+
+  /** rel=canonical target per page: the URL the page itself declares
+    * as its canonical form — the dedup signal that beats any content
+    * similarity when present (CMSes emit the same article under
+    * session/tracking/pagination URL variants, all pointing one
+    * canonical). Pure codegen'd regex columns in the RE2-safe subset
+    * (both attribute orders; unquoted rel); when two differently-
+    * ordered canonical tags disagree, the rel-before-href one wins —
+    * deterministic and replayed identically by the oracle. noindex
+    * pages are dropped entirely; pages without a canonical link (or
+    * whose href does not resolve) are their own canonical.
+    */
+  def canonicalTargets(pages: DataFrame, idCol: String = "page_id",
+                       urlCol: String = "url",
+                       htmlCol: String = "html"): DataFrame = {
+    graft.expressions.UrlExpressions.register(pages.sparkSession)
+    val t1 = regexp_extract(col(htmlCol),
+      "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+        "href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val t2 = regexp_extract(col(htmlCol),
+      "(?i)<link\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "rel\\s*=\\s*[\"']?canonical", 1)
+    val href = when(t1 =!= "", t1).otherwise(t2)
+    pages.where(!col(htmlCol).rlike(MetaNoindex))
+      .withColumn("canonical",
+        when(href === "", col(urlCol))
+          .otherwise(coalesce(resolveCol(col(urlCol), href), col(urlCol))))
+  }
+
+  /** Canonical-group dedup: one winner per declared canonical URL —
+    * longest html (the fullest rendering of the article), smallest
+    * page id on ties (the A0 argmax idiom, one window-free max_by
+    * shuffle keyed by canonical).
+    */
+  def canonicalDedup(pages: DataFrame, idCol: String = "page_id",
+                     urlCol: String = "url",
+                     htmlCol: String = "html"): DataFrame =
+    canonicalTargets(pages, idCol, urlCol, htmlCol)
+      .groupBy("canonical")
+      .agg(
+        max_by(col(idCol),
+          struct(length(col(htmlCol)), col(idCol) * -1)).as("winner_id"),
+        count(lit(1)).as("n_members"))
+
   /** Frontier candidates from fetched pages: resolved outlinks with
     * tracking params stripped — ready for the seen-set anti join.
     */

@@ -122,6 +122,34 @@ object CrawlQueries {
       graft.operators.Redirects.resolveRedirects(edges, maxHops = 16)
     },
 
+    // rel=canonical dedup: five page classes (no tag -> self, absolute
+    // target, root-relative + href-before-rel, noindex -> dropped,
+    // unquoted rel) built from documents; the production extraction/
+    // resolution/argmax runs Spark-side, the oracle replays the SAME
+    // RE2 regexes + resolution cases + winner window.
+    "q_canonical_dedup" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(5L))
+      val g = id - m
+      val url = concat(lit("https://h"), pmod(id, lit(20L)),
+        lit(".example.com/p"), id)
+      val tag = when(m === 0, lit(""))
+        .when(m === 1, concat(
+          lit("<link rel=\"canonical\" href=\"https://h0.example.com/canon/"),
+          g, lit("\">")))
+        .when(m === 2, concat(
+          lit("<link href=\"/canon/"), g, lit("\" rel=\"canonical\">")))
+        .when(m === 3, concat(
+          lit("<meta name=\"robots\" content=\"noindex\">" +
+            "<link rel=\"canonical\" href=\"/canon/"), g, lit("\">")))
+        .otherwise(concat(
+          lit("<link rel=canonical href=\"/canon/"), g, lit("\">")))
+      val pages = table(s, dir, "documents").select(
+        id.as("page_id"), url.as("url"),
+        concat(lit("<html>"), tag, col("text"), lit("</html>")).as("html"))
+      graft.operators.Links.canonicalDedup(pages)
+    },
+
     // HITS hubs & authorities over the same host graph: 3 fixed
     // iterations, integer micro-units, max-normalized so every step is
     // exact Long division the oracle unrolls with //.
@@ -676,6 +704,55 @@ object CrawlQueries {
          SELECT e.src, t.cur AS final_id, t.hops,
                 t.src IS NOT NULL AS resolved
          FROM edges e LEFT JOIN term t ON e.src = t.src""",
+
+    "q_canonical_dedup" ->
+      """WITH pg AS (
+           SELECT doc_id AS page_id,
+                  'https://h' || (doc_id % 20) || '.example.com/p' || doc_id
+                    AS url,
+                  (doc_id % 20) AS hn,
+                  '<html>' || CASE doc_id % 5
+                    WHEN 0 THEN ''
+                    WHEN 1 THEN '<link rel="canonical" href="https://h0.example.com/canon/'
+                                || (doc_id - doc_id % 5) || '">'
+                    WHEN 2 THEN '<link href="/canon/' || (doc_id - doc_id % 5)
+                                || '" rel="canonical">'
+                    WHEN 3 THEN '<meta name="robots" content="noindex"><link rel="canonical" href="/canon/'
+                                || (doc_id - doc_id % 5) || '">'
+                    ELSE '<link rel=canonical href="/canon/'
+                         || (doc_id - doc_id % 5) || '">'
+                  END || text || '</html>' AS html
+           FROM documents),
+         ext AS (
+           SELECT page_id, url, hn, html,
+                  CASE WHEN regexp_extract(html,
+                         '(?i)<link\s[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']([^"'']*)["'']',
+                         1) <> ''
+                       THEN regexp_extract(html,
+                         '(?i)<link\s[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']([^"'']*)["'']',
+                         1)
+                       ELSE regexp_extract(html,
+                         '(?i)<link\s[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*rel\s*=\s*["'']?canonical',
+                         1)
+                  END AS href
+           FROM pg
+           WHERE NOT regexp_matches(html,
+             '(?i)<meta\s[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["''][^"'']*noindex')),
+         canon AS (
+           SELECT page_id, html,
+                  CASE WHEN href = '' THEN url
+                       WHEN href LIKE 'http%' THEN href
+                       ELSE 'https://h' || hn || '.example.com' || href
+                  END AS canonical
+           FROM ext),
+         ranked AS (
+           SELECT canonical, page_id,
+                  row_number() OVER (PARTITION BY canonical
+                    ORDER BY length(html) DESC, page_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY canonical) AS n_members
+           FROM canon)
+         SELECT canonical, page_id AS winner_id, n_members
+         FROM ranked WHERE rn = 1""",
 
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,

@@ -225,6 +225,20 @@ object RelationalQueries {
         .withColumn("hour_ts", date_trunc("hour", col("ts")))
         .groupBy("hour_ts", "event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    },
+
+    // Hopping (sliding) window: Spark's streaming-compatible window()
+    // operator (1 h windows every 30 min — each event lands in exactly
+    // two); the oracle replays via time_bucket + the two aligned
+    // starts. Same float discipline as tumbling: 2dp inputs sum to an
+    // exact 2-decimal rational, so round(.,2) is boundary-safe.
+    "q_sliding_window" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_v"))
     }
   )
 
@@ -340,6 +354,17 @@ object RelationalQueries {
     "q_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_v
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_sliding_window" ->
+      """WITH w AS (
+           SELECT event_type, value,
+                  unnest([time_bucket(INTERVAL '30 minutes', ts),
+                          time_bucket(INTERVAL '30 minutes', ts)
+                            - INTERVAL '30 minutes']) AS win_start
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n,
+                round(sum(value), 2) AS sum_v
+         FROM w GROUP BY 1, 2"""
   )
 }

@@ -77,4 +77,37 @@ class LinksSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2)))
     assert(out.toSet == Set((1L, "https://h.co/ok")))
   }
+
+  test("canonical: both attribute orders, unquoted rel, noindex drop, " +
+       "self-canonical fallback, group winner") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "https://a.co/p1",
+        """<html><link rel="canonical" href="https://a.co/c"> xx</html>"""),
+      (2L, "https://a.co/p2",
+        """<html><link href="/c" rel="canonical"> yyyyyyyy</html>"""),
+      (3L, "https://a.co/p3",
+        """<html><link rel=canonical href="/c"> z</html>"""),
+      (4L, "https://a.co/p4", "<html>no tag</html>"),
+      (5L, "https://a.co/p5",
+        """<html><meta name="robots" content="noindex">""" +
+          """<link rel="canonical" href="/c"></html>"""),
+      (6L, "https://a.co/p6",
+        """<html><link rel="canonical" href="mailto:x"> w</html>""")
+    ).toDF("page_id", "url", "html")
+    val targets = Links.canonicalTargets(pages)
+      .select("page_id", "canonical").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(targets == Map(
+      1L -> "https://a.co/c", 2L -> "https://a.co/c", 3L -> "https://a.co/c",
+      4L -> "https://a.co/p4",      // no tag -> self
+      6L -> "https://a.co/p6"))     // unresolvable href -> self; 5 dropped
+    val winners = Links.canonicalDedup(pages)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // page 1 has the longest html in the /c group (61 vs 54 vs 43 chars)
+    assert(winners("https://a.co/c") == (1L, 3L))
+    assert(winners("https://a.co/p4") == (4L, 1L))
+  }
 }
