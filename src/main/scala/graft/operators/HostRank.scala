@@ -188,4 +188,77 @@ object HostRank {
         round(col("auth_mu").cast("double") / scale, 6).as("auth"),
         round(col("hub_mu").cast("double") / scale, 6).as("hub"))
   }
+
+  /** Exact per-node triangle counts over the UNDIRECTED host graph —
+    * the classic link-farm signal (spam rings are near-cliques; organic
+    * neighborhoods are sparse). The scale device is degree orientation:
+    * each canonical edge points from its lower-(degree, id) endpoint to
+    * the higher, which bounds every node's out-neighborhood by
+    * O(sqrt(m)) — so the wedge self-join (the quadratic step of the
+    * naive algorithm) is per-node-bounded regardless of how big a hub
+    * is. Wedges close against the oriented edge set; each triangle is
+    * found exactly once, then fans out to its three corners with one
+    * explode + partial-agg count. Orientation is a PLAN device only —
+    * the result equals the plain canonical triple join the oracle runs.
+    */
+  def triangles(edges: DataFrame,
+                srcCol: String = "src", dstCol: String = "dst",
+                idCol: String = "host"): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("n"))
+      .unionAll(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient: lower (deg, id) -> higher; ties by id keep it a total order
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = withDeg.select(
+      when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+      when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+      // the higher endpoint's (deg, id) key: wedge neighbors order by
+      // THIS so the closing pair is oriented exactly as stored
+      when(ka < kb, kb).otherwise(ka).as("vord"))
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("vord").as("xo"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("vord").as("yo"))
+    val wedges = e1.join(e2, Seq("u")).where(col("xo") < col("yo"))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+      "left_semi")
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-host link hygiene signals: out/in degree over the distinct
+    * directed graph and the RECIPROCAL edge count (u→v with v→u) — a
+    * high reciprocal fraction between unrelated hosts is the classic
+    * link-exchange fingerprint. One distinct + one self-join keyed on
+    * the flipped pair + partial-agg counts.
+    */
+  def linkSignals(edges: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  idCol: String = "host"): DataFrame = {
+    val ed = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .where(col("s") =!= col("t")).distinct()
+    val recip = ed.join(
+      ed.select(col("t").as("s"), col("s").as("t")), Seq("s", "t"),
+      "left_semi")
+    val outs = ed.groupBy(col("s").as(idCol))
+      .agg(count(lit(1)).as("out_deg"))
+    val ins = ed.groupBy(col("t").as(idCol))
+      .agg(count(lit(1)).as("in_deg"))
+    val recips = recip.groupBy(col("s").as(idCol))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    outs.join(ins, Seq(idCol), "full_outer")
+      .join(recips, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+  }
 }

@@ -150,6 +150,23 @@ object CrawlQueries {
       graft.operators.Links.canonicalDedup(pages)
     },
 
+    // Exact triangle counts per host (link-farm near-clique signal):
+    // production plan is degree-oriented wedge closing; the oracle is
+    // the plain canonical triple join — same result by construction.
+    "q_triangle_hosts" -> { (s, dir) =>
+      graft.operators.HostRank.triangles(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200))
+    },
+
+    // Per-host link hygiene: out/in degree + reciprocal-edge count
+    // (link-exchange fingerprint).
+    "q_link_signals" -> { (s, dir) =>
+      graft.operators.HostRank.linkSignals(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200))
+    },
+
     // HITS hubs & authorities over the same host graph: 3 fixed
     // iterations, integer micro-units, max-normalized so every step is
     // exact Long division the oracle unrolls with //.
@@ -753,6 +770,43 @@ object CrawlQueries {
            FROM canon)
          SELECT canonical, page_id AS winner_id, n_members
          FROM ranked WHERE rn = 1""",
+
+    "q_triangle_hosts" ->
+      """WITH raw AS (
+           SELECT user_id % 200 AS src,
+                  ((user_id % 200) * 17 + (event_id % 5) * 31 + 7) % 200
+                    AS dst
+           FROM events),
+         e AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst),
+         t AS (
+           SELECT ab.a AS x, ab.b AS y, bc.b AS z
+           FROM e ab
+           JOIN e bc ON bc.a = ab.b
+           JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+         ex AS (SELECT unnest([x, y, z]) AS host FROM t)
+         SELECT host, count(*) AS n_triangles FROM ex GROUP BY 1""",
+
+    "q_link_signals" ->
+      """WITH raw AS (
+           SELECT user_id % 200 AS src,
+                  ((user_id % 200) * 17 + (event_id % 5) * 31 + 7) % 200
+                    AS dst
+           FROM events),
+         ed AS (SELECT DISTINCT src AS s, dst AS t FROM raw
+                WHERE src <> dst),
+         o AS (SELECT s AS host, count(*) AS out_deg FROM ed GROUP BY 1),
+         i AS (SELECT t AS host, count(*) AS in_deg FROM ed GROUP BY 1),
+         r AS (SELECT e1.s AS host, count(*) AS n_reciprocal
+               FROM ed e1 JOIN ed e2 ON e1.s = e2.t AND e1.t = e2.s
+               GROUP BY 1)
+         SELECT coalesce(o.host, i.host) AS host,
+                coalesce(out_deg, 0) AS out_deg,
+                coalesce(in_deg, 0) AS in_deg,
+                coalesce(n_reciprocal, 0) AS n_reciprocal
+         FROM o FULL OUTER JOIN i ON o.host = i.host
+         LEFT JOIN r ON coalesce(o.host, i.host) = r.host""",
 
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,

@@ -125,4 +125,43 @@ class HostRankSpec extends AnyFunSuite {
     assert(got(1L)._1 == scale, "doubly-linked node is the top authority")
     assert(got(2L)._2 == 0L && got(2L)._1 > 0L)
   }
+
+  test("triangles: K4 hand case and random-graph brute parity") {
+    val s = spark
+    import s.implicits._
+    // K4 on 0..3 (4 triangles, 3 per node) + pendant 4 (none)
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) :+
+      (3L, 4L)
+    val got = HostRank.triangles(k4.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    val rnd = new scala.util.Random(9)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextLong(40), rnd.nextLong(40))).distinct
+    val canon = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- canon; c <- 0L until 40L
+      if b < c && canon((a, c)) && canon((b, c))
+    } Seq(a, b, c).foreach(n => want(n) = want.getOrElse(n, 0L) + 1)
+    val got2 = HostRank.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want.toMap)
+  }
+
+  test("linkSignals: degrees and reciprocal counts") {
+    val s = spark
+    import s.implicits._
+    val ed = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (1L, 2L), (2L, 2L))
+    val got = HostRank.linkSignals(ed.toDF("src", "dst"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // distinct, self-loop dropped: 1->2, 2->1, 1->3, 3->4
+    assert(got(1L) == (2L, 1L, 1L)) // out 2, in 1, reciprocal 1->2
+    assert(got(2L) == (1L, 1L, 1L))
+    assert(got(3L) == (1L, 1L, 0L))
+    assert(got(4L) == (0L, 1L, 0L))
+  }
 }
