@@ -376,4 +376,30 @@ object Curation {
     df.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
   }
+
+  /** Stratified sample with EXACT per-stratum quotas: keep
+    * ceil(n_s · num / den) rows of every stratum — the eval-set /
+    * ablation-slice constructor where proportional representation must
+    * be exact, not expected (a Bernoulli rand() sample under- or
+    * over-fills small strata, and is not reproducible across engines).
+    * Order within a stratum is (md5(key), key) — content-derived, so
+    * the SAME rows are kept under any partitioning/engine (the
+    * samplePerGroup discipline). One partial-agg count per stratum +
+    * one rank window; a mega-stratum bounds its own window task (the
+    * politeness group-counts decomposition applies if one stratum
+    * outgrows a task).
+    */
+  def sampleStratified(df: DataFrame, strataCols: Seq[String],
+                       keyCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, "need a valid num/den fraction")
+    import org.apache.spark.sql.expressions.Window
+    val sc = strataCols.map(col)
+    val w = Window.partitionBy(sc: _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val counts = df.groupBy(sc: _*).agg(count(lit(1)).as("__ns"))
+    df.withColumn("__rk", row_number().over(w).cast(LongType))
+      .join(counts, strataCols)
+      .filter(col("__rk") <= (col("__ns") * num + (den - 1)) / den)
+      .drop("__rk", "__ns")
+  }
 }

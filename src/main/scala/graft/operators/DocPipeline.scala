@@ -202,4 +202,41 @@ object DocPipeline {
                 s => s.getField("text")), "\n")
     docs.filter(TextAnalysis.langIdCol(joined) === lang)
   }
+
+  /** Span-sequence invariant validator: the per-row contract of the
+    * interleaved-document table (doc_id, spans<kind,text,media_ref,
+    * offset>) made executable — offsets strictly increasing in array
+    * order, kind from the allowed set, text spans carry text, media
+    * spans carry a media_ref. A corpus ingest gate runs this before
+    * commit: a violation is data corruption, not a quality judgment.
+    * Plan: one posexplode + per-doc lag window (shuffle keyed by doc
+    * id, group = span count — skew-free) + partial-agg rollup.
+    * Output: (idCol, n_violations, first_bad_pos, valid). Docs with an
+    * empty/NULL spans array don't reach the validator's domain — gate
+    * them with a size() filter first.
+    */
+  def validateSpans(docs: DataFrame, idCol: String = "doc_id",
+                    spansCol: String = "spans",
+                    kinds: Seq[String] =
+                      Seq("text", "image", "audio", "video"),
+                    textKind: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs.select(col(idCol),
+      posexplode(col(spansCol)).as(Seq("pos", "sp")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevOff = lag(col("sp.offset"), 1).over(w)
+    val isBad =
+      (prevOff.isNotNull && col("sp.offset") <= prevOff) ||
+        !col("sp.kind").isin(kinds: _*) ||
+        (col("sp.kind") === textKind &&
+          (col("sp.text").isNull || col("sp.text") === "")) ||
+        (col("sp.kind") =!= textKind &&
+          (col("sp.media_ref").isNull || col("sp.media_ref") === ""))
+    ex.withColumn("__bad", isBad) // window fn must project before agg
+      .groupBy(idCol)
+      .agg(sum(col("__bad").cast("long")).as("n_violations"),
+        min(when(col("__bad"), col("pos").cast("long")))
+          .as("first_bad_pos"))
+      .withColumn("valid", col("n_violations") === 0)
+  }
 }

@@ -231,6 +231,15 @@ object CurationQueries {
       Curation.samplePerGroup(table(s, dir, "documents"),
           "source", "doc_id", k = 5)
         .select(col("doc_id"), col("source"), col("rk"))
+    },
+
+    // Stratified sample: exactly ceil(10%) of every (lang, source)
+    // stratum, kept rows content-derived (md5 order) so the SAME rows
+    // survive under any partitioning or engine.
+    "q_stratified_sample" -> { (s, dir) =>
+      Curation.sampleStratified(table(s, dir, "documents"),
+          Seq("lang", "source"), "doc_id", num = 1L, den = 10L)
+        .select("doc_id", "lang", "source")
     }
   )
 
@@ -633,7 +642,17 @@ object CurationQueries {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                     ::BIGINT AS rk
            FROM documents)
-         WHERE rk <= 5"""
+         WHERE rk <= 5""",
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang, source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang, source) AS ns
+           FROM documents)
+         SELECT doc_id, lang, source FROM r
+         WHERE rk <= (ns * 1 + 9) // 10"""
   )
 
 }

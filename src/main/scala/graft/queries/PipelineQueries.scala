@@ -49,6 +49,33 @@ object PipelineQueries {
         DocPipeline.wcChars(col("spans")).cast(LongType).as("n_chars"))
     },
 
+    // Span-sequence invariant validator (the input table's per-row
+    // contract): five fixture classes — valid / offset regression /
+    // unknown kind / empty text span / media span without media_ref;
+    // the oracle predicts the verdicts from the same generator.
+    "q_span_validate" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(5L))
+      def sp(kind: org.apache.spark.sql.Column,
+             text: org.apache.spark.sql.Column,
+             ref: org.apache.spark.sql.Column,
+             off: org.apache.spark.sql.Column) =
+        struct(kind.as("kind"), text.as("text"), ref.as("media_ref"),
+          off.cast("int").as("offset"))
+      val s1 = sp(lit("text"),
+        when(m === 3, lit("")).otherwise(substring(col("text"), 1, 20)),
+        lit(""), lit(0))
+      val s2 = sp(when(m === 2, lit("vidio")).otherwise(lit("image")),
+        lit(""),
+        when(m === 4, lit("")).otherwise(concat(lit("img:"), id)),
+        lit(20))
+      val s3 = sp(lit("text"), substring(col("text"), 21, 20), lit(""),
+        when(m === 1, lit(10)).otherwise(lit(40)))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        array(s1, s2, s3).as("spans"))
+      DocPipeline.validateSpans(docs)
+    },
+
     // A5 same-doc span dedup on top of spanize (counts after dedup).
     "q_span_dedup" -> { (s, dir) =>
       val sp = DocPipeline.spanize(htmlFrame(s, dir))
@@ -1382,6 +1409,16 @@ object PipelineQueries {
             WINDOW w_fol AS (PARTITION BY doc_id ORDER BY p_idx
                              ROWS BETWEEN 1 FOLLOWING
                                       AND UNBOUNDED FOLLOWING))""",
+    "q_span_validate" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                  AS n_violations,
+                CAST(CASE doc_id % 5 WHEN 1 THEN 2 WHEN 2 THEN 1
+                     WHEN 3 THEN 0 WHEN 4 THEN 1 END AS BIGINT)
+                  AS first_bad_pos,
+                doc_id % 5 = 0 AS valid
+         FROM documents""",
+
     "q_spanize_wc" ->
       """WITH s AS (
            SELECT doc_id,

@@ -313,4 +313,21 @@ class CurationSpec extends AnyFunSuite {
     assert(perGroup.values.forall(_ == 4) && perGroup.size == 7)
     assert(a.forall(_._3 <= 4L))
   }
+
+  test("sampleStratified: exact ceil quotas per stratum, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    // strata sizes 7, 10, 1 at 3/10 -> quotas ceil(2.1)=3, 3, 1
+    val rows = (0L until 7L).map(i => (i, "a")) ++
+      (100L until 110L).map(i => (i, "b")) ++ Seq((200L, "c"))
+    val run = (parts: Int) => Curation.sampleStratified(
+        rows.toDF("doc_id", "st").repartition(parts), Seq("st"), "doc_id",
+        num = 3L, den = 10L)
+      .select("st", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val a = run(1)
+    assert(a == run(13), "stratified sample must be layout-invariant")
+    val quota = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
+  }
 }

@@ -104,4 +104,33 @@ class DocPipelineSpec extends AnyFunSuite {
       .select("url", "body").as[(String, String)].collect().toSet
     assert(got == Set(("u1", "body1"), ("u2", "body2")))
   }
+
+  test("validateSpans: each invariant violation is caught at its position") {
+    val s = spark
+    import s.implicits._
+    import DocPipelineSpec.Sp
+    val docs = Seq(
+      (1L, Seq(Sp("text", "a", "", 0), Sp("image", "", "m:1", 5))),
+      (2L, Seq(Sp("text", "a", "", 0), Sp("text", "b", "", 0))),  // dup off
+      (3L, Seq(Sp("glyph", "a", "", 0))),                          // kind
+      (4L, Seq(Sp("text", "", "", 0))),                            // no text
+      (5L, Seq(Sp("audio", "", "", 0))),                           // no ref
+      (6L, Seq(Sp("text", "a", "", 9), Sp("text", "b", "", 3),     // two bad
+               Sp("vid", "c", "", 20)))
+    ).toDF("doc_id", "spans")
+    val got = DocPipeline.validateSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+         r.getBoolean(3))).toMap
+    assert(got(1L) == (0L, None, true))
+    assert(got(2L) == (1L, Some(1L), false))
+    assert(got(3L) == (1L, Some(0L), false))
+    assert(got(4L) == (1L, Some(0L), false))
+    assert(got(5L) == (1L, Some(0L), false))
+    assert(got(6L) == (2L, Some(1L), false))
+  }
+}
+
+object DocPipelineSpec {
+  case class Sp(kind: String, text: String, media_ref: String, offset: Int)
 }
