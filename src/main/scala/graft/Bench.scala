@@ -193,10 +193,10 @@ object Bench {
         s""""sf":"${sfDir.split('/').last}"}"""
     }
     val ladder =
-      Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4), (1, 3))
+      Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4), (1, 3), (1, 2))
     ladder.iterator.map { case (dp, w) => render(dp, w) }
       .find(_.length <= 1900)
-      .getOrElse(render(1, 3))
+      .getOrElse(render(1, 2))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

@@ -382,6 +382,51 @@ object CrawlQueries {
       graft.operators.Links.outlinks(pages, "event_id", "url", "html")
     },
 
+    // The discovery half of the crawl loop composed under ONE oracle:
+    // fetched pages -> outlink extraction (nofollow honored) -> RFC 3986
+    // resolution -> tracking-param strip -> distinct candidates ->
+    // seen-set anti join -> per-host politeness waves (quota 5). Every
+    // stage is the production operator; the oracle chains the SAME
+    // regex/resolution/strip/window CTEs the per-stage oracles use
+    // (q_outlinks / q_url_strip_tracking / q_seen_antijoin /
+    // q_politeness_rank), composed.
+    "q_frontier_pipeline" -> { (s, dir) =>
+      val e = col("event_id")
+      val pages = table(s, dir, "events").select(
+        e,
+        concat(lit("https://h"), pmod(col("user_id"), lit(20L)),
+          lit(".example.com/d"), pmod(e, lit(5L)), lit("/s/page"),
+          pmod(e, lit(7L)), lit(".html")).as("url"),
+        concat(
+          lit("<html>"),
+          when(pmod(e, lit(11L)) === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          lit("<a rel=\"nofollow\" href=\"/paid"), pmod(e, lit(3L)),
+          lit("\">pd</a>"),
+          lit("<a href=\"/top"), pmod(e, lit(9L)), lit("\">t</a>"),
+          lit("<a href=\"rel"), pmod(e, lit(4L)), lit(".html\">r</a>"),
+          lit("<a href=\"../up"), pmod(e, lit(3L)), lit("\">u</a>"),
+          lit("<a href=\"/q?utm_source=m"), pmod(e, lit(4L)),
+          lit("&amp;id="), pmod(e, lit(6L)), lit("\">q</a>"),
+          lit("<a href='//cdn.example.org/x"), pmod(e, lit(5L)),
+          lit("'>c</a>"),
+          lit("<a href=\"mailto:x@y.z\">m</a><a href=\"#f\">f</a>" +
+            "</html>")).as("html"))
+      val cands = graft.operators.Links.frontierCandidates(
+        pages, "event_id", "url", "html")
+      val seen = cands
+        .filter(substring(md5(col("url")), 1, 1).isin("0", "1", "2", "3"))
+        .select("url")
+      val fresh = graft.operators.UrlDedup.antiJoinSeen(cands, seen, s)
+      val ranked = graft.operators.Frontier.politenessRank(
+        fresh.withColumn("host_key",
+          graft.functions.Urls.hostCol(col("url"))),
+        "host_key", Seq(asc("url")), quota = 5)
+      ranked.select(col("host_key"), col("url"),
+        col("wave").cast(LongType).as("wave"))
+    },
+
     // Tracking-parameter stripping: utm_*/gclid/fbclid/... query pairs
     // removed, leading '?' re-promoted when its pair went, fragments
     // untouched (the '#utm_inside' case must survive). Collapses the
@@ -721,6 +766,114 @@ object CrawlQueries {
          SELECT e.src, t.cur AS final_id, t.hops,
                 t.src IS NOT NULL AS resolved
          FROM edges e LEFT JOIN term t ON e.src = t.src""",
+
+    // CTEs p..r mirror q_outlinks (same fixture + one tracking-param
+    // anchor); stripped mirrors q_url_strip_tracking; fresh/ranked
+    // mirror q_seen_antijoin / q_politeness_rank.
+    "q_frontier_pipeline" ->
+      """WITH p AS (
+           SELECT event_id,
+                  'https://h' || (user_id % 20) || '.example.com/d' ||
+                  (event_id % 5) || '/s/page' || (event_id % 7) || '.html'
+                    AS url,
+                  '<html>' ||
+                  CASE WHEN event_id % 11 = 0
+                       THEN '<meta name="robots" ' ||
+                            'content="noindex, nofollow">'
+                       ELSE '' END ||
+                  '<a rel="nofollow" href="/paid' || (event_id % 3) ||
+                  '">pd</a>' ||
+                  '<a href="/top' || (event_id % 9) || '">t</a>' ||
+                  '<a href="rel' || (event_id % 4) || '.html">r</a>' ||
+                  '<a href="../up' || (event_id % 3) || '">u</a>' ||
+                  '<a href="/q?utm_source=m' || (event_id % 4) ||
+                  '&amp;id=' || (event_id % 6) || '">q</a>' ||
+                  '<a href=''//cdn.example.org/x' || (event_id % 5) ||
+                  '''>c</a>' ||
+                  '<a href="mailto:x@y.z">m</a><a href="#f">f</a>' ||
+                  '</html>' AS html
+           FROM events),
+         tg AS (
+           SELECT event_id, url,
+                  unnest(regexp_extract_all(html, '(?i)<a\s[^>]*>'))
+                    AS tag
+           FROM p
+           WHERE NOT regexp_matches(html,
+             '(?i)<meta\s[^>]*name\s*=\s*["'']?robots["'']?[^>]*' ||
+             'content\s*=\s*["''][^"'']*nofollow')),
+         h AS (
+           SELECT event_id, url,
+                  CASE WHEN regexp_extract(tag,
+                         '(?i)href\s*=\s*"([^"]*)"', 1) <> ''
+                       THEN regexp_extract(tag,
+                         '(?i)href\s*=\s*"([^"]*)"', 1)
+                       ELSE regexp_extract(tag,
+                         '(?i)href\s*=\s*''([^'']*)''', 1) END AS raw
+           FROM tg
+           WHERE NOT regexp_matches(tag,
+             '(?i)rel\s*=\s*["'']?[^"''>]*nofollow')),
+         d AS (
+           SELECT event_id, url,
+                  replace(replace(replace(replace(replace(raw,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&amp;', '&') AS href
+           FROM h),
+         parts AS (
+           SELECT event_id, url, href,
+                  regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+                  regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+                  regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                    AS path
+           FROM d),
+         j AS (
+           SELECT event_id, url,
+                  CASE
+                    WHEN regexp_matches(href, '^(?i)(https?)://') THEN href
+                    WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                      THEN NULL
+                    WHEN href LIKE '//%' THEN scheme || ':' || href
+                    WHEN href LIKE '/%' THEN scheme || '://' || host || href
+                    WHEN href = '' OR href LIKE '#%' THEN NULL
+                    ELSE scheme || '://' || host ||
+                         CASE WHEN path = '' THEN '/'
+                              ELSE regexp_replace(path, '[^/]*$', '') END ||
+                         regexp_replace(href, '^(\./)+', '')
+                  END AS link0
+           FROM parts),
+         r AS (
+           SELECT event_id, url,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(link0, '#.*$', ''),
+                    '/[^/.][^/]*/\.\./', '/', 'g'),
+                    '/[^/.][^/]*/\.\./', '/', 'g'),
+                    '/[^/.][^/]*/\.\./', '/', 'g'),
+                    '/[^/.][^/]*/\.\./', '/', 'g') AS link
+           FROM j WHERE link0 IS NOT NULL),
+         stripped AS (
+           SELECT DISTINCT
+                  regexp_replace(
+                    regexp_replace(link,
+                      '[?&](?:utm_[^=&#]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|_ga|ref_src)=[^&#]*',
+                      '', 'g'),
+                    '^([^?#]+)&', '\1?') AS url
+           FROM r),
+         fresh AS (
+           SELECT url FROM stripped
+           WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2', '3')),
+         ranked AS (
+           SELECT regexp_extract(url,
+                    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1)
+                    AS host_key,
+                  url,
+                  CAST(row_number() OVER (
+                    PARTITION BY regexp_extract(url,
+                      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1)
+                    ORDER BY url) AS BIGINT) AS wave
+           FROM fresh)
+         SELECT host_key, url, wave FROM ranked WHERE wave <= 5""",
 
     "q_canonical_dedup" ->
       """WITH pg AS (

@@ -37,6 +37,22 @@ object TextQueries {
         TextAnalysis.tokenCountCol(col("text")).cast(LongType).as("n_tokens"))
     },
 
+    // Language-ID confidence: margin between the best and second-best
+    // marker scores — the gate that keeps only confidently-identified
+    // docs (cld2 exposes the same is_reliable signal). Scores are
+    // integer counts, so top1 - top2 is exact on both engines.
+    "q_lang_margin" -> { (s, dir) =>
+      graft.expressions.LangExpressions.register(s)
+      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+        TextAnalysis.langScoreCol(col("text"), l) }
+      val arr = sort_array(array(scores: _*), asc = false)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expressions.LangExpressions.langIdCol(col("text"))
+          .as("pred_lang"),
+        (element_at(arr, 1) - element_at(arr, 2)).as("margin"))
+    },
+
     "q_lang_id" -> { (s, dir) =>
       graft.expressions.LangExpressions.register(s)
       table(s, dir, "documents").select(
@@ -716,6 +732,24 @@ object TextQueries {
     // GENERATED from TextAnalysis.LangMarkers (124 languages) — the
     // oracle SQL and the Column scorer read the same marker table, so
     // the two engines cannot drift as breadth grows.
+    "q_lang_margin" -> {
+      val (scores, caseExpr) = TextAnalysis.langIdSql("text")
+      val lst = TextAnalysis.LangMarkers
+        .map(l => s"__s_${l._1}").mkString("[", ", ", "]")
+      s"""WITH s AS (
+           SELECT doc_id, text,
+             $scores
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             $caseExpr AS pred_lang,
+             list_sort($lst, 'DESC') AS l
+           FROM s)
+         SELECT doc_id, pred_lang,
+                CAST(l[1] - l[2] AS BIGINT) AS margin
+         FROM m"""
+    },
+
     "q_lang_id" -> {
       val (scores, caseExpr) = TextAnalysis.langIdSql("text")
       s"""WITH s AS (
