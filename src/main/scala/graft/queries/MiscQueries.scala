@@ -217,6 +217,26 @@ object MiscQueries {
         table(s, dir, "events"), "value", binWidth = 4.0, nBins = 256)
       graft.operators.Sketches.histQuantiles(hist,
         Seq(100, 250, 500, 750, 900, 990), binWidth = 4.0)
+    },
+
+    // Winsorization: clip a feature at the histogram sketch's p05/p95
+    // edges — the outlier-robust normalization pass before any scoring
+    // model consumes a heavy-tailed column. Thresholds are two
+    // model-scale scalars from the SAME deterministic sketch
+    // q_quantile_hist oracles; the clip itself is pure columns.
+    "q_winsorize" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val hist = graft.operators.Sketches.histBuild(
+        ev, "value", binWidth = 4.0, nBins = 256)
+      val qs = graft.operators.Sketches.histQuantiles(hist,
+          Seq(50, 950), binWidth = 4.0)
+        .select("q_permille", "est_hi").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (lo, hi) = (qs(50L), qs(950L))
+      ev.select(col("event_id"), round(col("value"), 2).as("value"),
+        round(least(greatest(col("value"), lit(lo)), lit(hi)), 2)
+          .as("clipped"),
+        (col("value") < lo || col("value") > hi).as("was_clipped"))
     }
   )
 
@@ -398,7 +418,28 @@ object MiscQueries {
                 (min(c.bin) + 1) * 4.0e0 AS est_hi
          FROM q, c, t
          WHERE c.cum >= (t.n * q.qp + 999) // 1000
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q_winsorize" ->
+      """WITH h AS (
+           SELECT CAST(least(floor(value / 4.0), 255) AS BIGINT) AS bin,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT bin, sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h),
+         t AS (SELECT sum(cnt)::BIGINT AS n FROM h),
+         thr AS (
+           SELECT
+             (SELECT (min(bin) + 1) * 4.0e0 FROM c, t
+              WHERE cum >= (n * 50 + 999) // 1000) AS lo,
+             (SELECT (min(bin) + 1) * 4.0e0 FROM c, t
+              WHERE cum >= (n * 950 + 999) // 1000) AS hi)
+         SELECT event_id, round(value, 2) AS value,
+                round(least(greatest(value, lo), hi), 2) AS clipped,
+                (value < lo OR value > hi) AS was_clipped
+         FROM events, thr"""
   )
 
   /** Shared HLL register construction (the SQL twin of

@@ -227,6 +227,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
     },
 
+    // Sliding-FRAME aggregate (trend feature): per-user moving stats
+    // over the last 4 events — integer cents sums keep the frame
+    // arithmetic exact; avg is one rounded division of exact ints.
+    "q_moving_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(-3, 0)
+      table(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100).cast(LongType))
+        .select(col("event_id"), col("user_id"),
+          sum("cents").over(w).as("sum4_cents"),
+          count(lit(1)).over(w).as("n4"))
+        .withColumn("avg4",
+          round(col("sum4_cents").cast("double") / col("n4"), 6))
+    },
+
     // Hopping (sliding) window: Spark's streaming-compatible window()
     // operator (1 h windows every 30 min — each event lands in exactly
     // two); the oracle replays via time_bucket + the two aligned
@@ -355,6 +371,25 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_v
          FROM events GROUP BY 1, 2""",
+
+    "q_moving_avg" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         f AS (
+           SELECT event_id, user_id,
+                  CAST(sum(cents) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sum4_cents,
+                  count(*) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n4
+           FROM c)
+         SELECT event_id, user_id, sum4_cents, n4,
+                round(CAST(sum4_cents AS DOUBLE) / n4, 6) AS avg4
+         FROM f""",
 
     "q_sliding_window" ->
       """WITH w AS (

@@ -37,6 +37,25 @@ object TextQueries {
         TextAnalysis.tokenCountCol(col("text")).cast(LongType).as("n_tokens"))
     },
 
+    // Per-source language-mix entropy (a mixed-language source is the
+    // classic scraped-spam fingerprint). Each -p·ln(p) term is rounded
+    // to nano-units and summed as a Long — order-insensitive, so the
+    // two engines' aggregation orders cannot diverge the doubles.
+    "q_source_entropy" -> { (s, dir) =>
+      val counts = table(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("source")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_langs"))
+      val p = col("c").cast("double") / col("n")
+      counts.join(totals, "source")
+        .withColumn("term_nano",
+          round((-p * log(p)) * lit(1000000000.0), 0).cast(LongType))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"), max("n_langs").as("n_langs"),
+          round(sum("term_nano").cast("double") / lit(1000000000.0), 6)
+            .as("entropy"))
+    },
+
     // Language-ID confidence: margin between the best and second-best
     // marker scores — the gate that keeps only confidently-identified
     // docs (cld2 exposes the same is_reliable signal). Scores are
@@ -732,6 +751,25 @@ object TextQueries {
     // GENERATED from TextAnalysis.LangMarkers (124 languages) — the
     // oracle SQL and the Column scorer read the same marker table, so
     // the two engines cannot drift as breadth grows.
+    "q_source_entropy" ->
+      """WITH counts AS (
+           SELECT source, lang, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         totals AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                  count(*) AS n_langs
+           FROM counts GROUP BY 1),
+         terms AS (
+           SELECT counts.source, n, n_langs,
+                  CAST(round(
+                    (-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                      * 1000000000.0, 0) AS BIGINT) AS term_nano
+           FROM counts JOIN totals ON counts.source = totals.source)
+         SELECT source, max(n) AS n_docs, max(n_langs) AS n_langs,
+                round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0, 6)
+                  AS entropy
+         FROM terms GROUP BY 1""",
+
     "q_lang_margin" -> {
       val (scores, caseExpr) = TextAnalysis.langIdSql("text")
       val lst = TextAnalysis.LangMarkers
