@@ -181,4 +181,32 @@ object Urls {
     // always-global replace promotes exactly the first '&'
     regexp_replace(removed, "^([^?#]+)&", "$1?")
   }
+
+  /** Cyrillic/Greek -> Latin confusables (the IDN-homograph core set,
+    * Unicode confusables.txt lineage): single source of truth for the
+    * Column skeleton AND the generated oracle SQL.
+    */
+  val Confusables: Seq[(String, String)] = Seq(
+    "а" -> "a", "е" -> "e", "о" -> "o", "р" -> "p", "с" -> "c",
+    "х" -> "x", "і" -> "i", "ѕ" -> "s", "у" -> "y", "ј" -> "j",
+    "ԁ" -> "d", "ɡ" -> "g", "ν" -> "v", "ο" -> "o", "α" -> "a",
+    "ι" -> "l", "ⅼ" -> "l", "ｍ" -> "m")
+
+  /** Homoglyph skeleton: lower-case, then map each confusable to its
+    * Latin target — 'gооɡle.com' (Cyrillic о) skeletons to
+    * 'google.com'. A host whose skeleton equals a protected name while
+    * its raw form differs is a spoof candidate (IDN homograph attack);
+    * crawlers gate such hosts before trusting their content. A
+    * generated chain of replace() calls, identical in any engine.
+    */
+  def homoglyphSkeletonCol(host: Column): Column =
+    Confusables.foldLeft(lower(host)) { case (c, (from, to)) =>
+      call_function("replace", c, lit(from), lit(to))
+    }
+
+  /** The SQL twin of [[homoglyphSkeletonCol]]. */
+  def homoglyphSkeletonSql(expr: String): String =
+    Confusables.foldLeft(s"lower($expr)") { case (e, (from, to)) =>
+      s"replace($e, '$from', '$to')"
+    }
 }

@@ -178,4 +178,24 @@ object CrawlPolicy {
           .when(col("__cur").isNull, "removed")
           .when(col("__prev") === col("__cur"), "same")
           .otherwise("changed").as("status"))
+
+  /** Soft-404 title/heading patterns: a page that answers HTTP 200 but
+    * IS an error page — the corpus poison a status filter cannot see
+    * (CMSes and CDNs routinely 200 their error pages). RE2-safe, both
+    * engines run the identical regex.
+    */
+  val Soft404Pattern: String =
+    "(?i)<(?:title|h1)>[^<]*(?:404|page not found|not found" +
+      "|no longer (?:exists|available)|page does not exist)"
+
+  /** Per-page fetch verdict: `soft404` (200-but-error-page), `gone`
+    * (hard >= 400 status OR soft404) — the flag the recrawl scheduler
+    * and the corpus filter both consume. Pure codegen'd columns.
+    */
+  def soft404Gate(pages: DataFrame, statusCol: String = "status",
+                  htmlCol: String = "html"): DataFrame =
+    pages
+      .withColumn("soft404",
+        col(statusCol) === 200 && col(htmlCol).rlike(Soft404Pattern))
+      .withColumn("gone", col(statusCol) >= 400 || col("soft404"))
 }

@@ -59,6 +59,29 @@ object TableOps {
       .drop("__cum")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each key
+    * goes to the node with the largest md5(node ':' key) — the
+    * stateless partitioner for serving-layer routing (seen-set shards,
+    * index shards) whose defining property hash-mod lacks: adding or
+    * removing a node moves ONLY the keys whose winner changed (~1/N of
+    * them), not a full reshuffle. Pure column arithmetic: N weight
+    * expressions + one greatest + a CASE — no join, no shuffle at all;
+    * md5-hex string comparison IS the weight order (same discipline as
+    * the sketch registers), so any engine replays it byte-for-byte.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+                       nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "rendezvousAssign needs distinct nodes")
+    def weight(n: String): Column =
+      md5(concat(lit(n), lit(":"), col(keyCol).cast("string")))
+    val best = nodes.map(weight).reduce(greatest(_, _))
+    val assign = nodes.foldRight(lit(null).cast("string")) { (n, e) =>
+      when(weight(n) === best, lit(n)).otherwise(e)
+    }
+    df.withColumn("node", assign)
+  }
+
   /** SCD2 history build: turn a change log (key, ts, payload) into
     * validity intervals — (valid_from, valid_to, is_current) — so any
     * past state of the table is one `BETWEEN` filter away (the

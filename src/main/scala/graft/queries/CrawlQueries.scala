@@ -122,6 +122,47 @@ object CrawlQueries {
       graft.operators.Redirects.resolveRedirects(edges, maxHops = 16)
     },
 
+    // Soft-404 gate: 200-status error pages (title/h1 patterns) vs
+    // real 404s vs content — the regex runs identically in both
+    // engines; fixture titles avoid doc ids (a 'Doc 404' title would
+    // genuinely BE a soft 404).
+    "q_soft404" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(4L))
+      val status = when(m === 3, lit(404)).otherwise(lit(200))
+      val html = when(m === 1, concat(
+          lit("<html><title>404 - Page Not Found</title>"),
+          col("text"), lit("</html>")))
+        .when(m === 2, concat(
+          lit("<html><h1>This page no longer exists</h1>"),
+          col("text"), lit("</html>")))
+        .otherwise(concat(lit("<html><title>Welcome</title>"),
+          col("text"), lit("</html>")))
+      graft.operators.CrawlPolicy.soft404Gate(
+        table(s, dir, "documents").select(id.as("page_id"),
+          status.as("status"), html.as("html")))
+        .select("page_id", "status", "soft404", "gone")
+    },
+
+    // IDN-homograph detection: hosts whose confusable-skeleton equals
+    // a protected name while the raw host differs; the skeleton
+    // replace-chain is generated from ONE confusables table on both
+    // sides.
+    "q_homoglyph" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(4L))
+      val host = when(m === 0, lit("google.com"))
+        .when(m === 1, lit(HomoglyphFixture.spoofGoogle))
+        .when(m === 2, concat(lit("shop"), id, lit(".example.com")))
+        .otherwise(lit(HomoglyphFixture.spoofPaypal))
+      val prot = Seq("google.com", "paypal.com")
+      table(s, dir, "documents").select(id.as("doc_id"),
+          host.as("host"),
+          Urls.homoglyphSkeletonCol(host).as("skeleton"))
+        .withColumn("spoof",
+          col("skeleton").isin(prot: _*) && !col("host").isin(prot: _*))
+    },
+
     // rel=canonical dedup: five page classes (no tag -> self, absolute
     // target, root-relative + href-before-rel, noindex -> dropped,
     // unquoted rel) built from documents; the production extraction/
@@ -659,6 +700,14 @@ object CrawlQueries {
            JOIN od ON od.src = ed.src) c ON c.dst = n.host
          GROUP BY 1)"""
 
+  /** Homograph fixture hosts as explicit escapes (source-encoding-
+    * proof): Cyrillic о in 'google', Cyrillic р/а/у in 'paypal'.
+    */
+  private object HomoglyphFixture {
+    val spoofGoogle = "gооgle.com"
+    val spoofPaypal = "рауpal.com"
+  }
+
   /** One HITS iteration as chained CTEs (MATERIALIZED — inline chained
     * CTEs blow up exponentially in DuckDB's planner).
     */
@@ -874,6 +923,51 @@ object CrawlQueries {
                     ORDER BY url) AS BIGINT) AS wave
            FROM fresh)
          SELECT host_key, url, wave FROM ranked WHERE wave <= 5""",
+
+    "q_soft404" ->
+      s"""WITH pg AS (
+           SELECT doc_id AS page_id,
+                  CASE WHEN doc_id % 4 = 3 THEN 404 ELSE 200 END
+                    AS status,
+                  CASE doc_id % 4
+                    WHEN 1 THEN '<html><title>404 - Page Not Found</title>'
+                                || text || '</html>'
+                    WHEN 2 THEN '<html><h1>This page no longer exists</h1>'
+                                || text || '</html>'
+                    ELSE '<html><title>Welcome</title>' || text
+                         || '</html>'
+                  END AS html
+           FROM documents)
+         SELECT page_id, status,
+                (status = 200 AND regexp_matches(html,
+                  '(?i)<(?:title|h1)>[^<]*(?:404|page not found|not found|no longer (?:exists|available)|page does not exist)'))
+                  AS soft404,
+                (status >= 400 OR (status = 200 AND regexp_matches(html,
+                  '(?i)<(?:title|h1)>[^<]*(?:404|page not found|not found|no longer (?:exists|available)|page does not exist)')))
+                  AS gone
+         FROM pg""",
+
+    "q_homoglyph" -> {
+      val sg = HomoglyphFixture.spoofGoogle
+      val sp = HomoglyphFixture.spoofPaypal
+      s"""WITH h AS (
+           SELECT doc_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN 'google.com'
+                    WHEN 1 THEN '$sg'
+                    WHEN 2 THEN 'shop' || doc_id || '.example.com'
+                    ELSE '$sp'
+                  END AS host
+           FROM documents),
+         sk AS (
+           SELECT doc_id, host,
+                  ${Urls.homoglyphSkeletonSql("host")} AS skeleton
+           FROM h)
+         SELECT doc_id, host, skeleton,
+                (skeleton IN ('google.com', 'paypal.com')
+                 AND host NOT IN ('google.com', 'paypal.com')) AS spoof
+         FROM sk"""
+    },
 
     "q_canonical_dedup" ->
       """WITH pg AS (

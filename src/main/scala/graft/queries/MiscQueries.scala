@@ -53,6 +53,21 @@ object MiscQueries {
         x0 = 200, x1 = 400, y0 = 300, y1 = 600)
     },
 
+    // Rendezvous (HRW) shard routing with the stability property IN
+    // the result: assignment under 5 nodes, under 5+1, and the moved
+    // flag — every moved key must land on the ADDED node (asserted by
+    // spec; the oracle hash-checks all three columns).
+    "q_rendezvous" -> { (s, dir) =>
+      val urls = urlFrame(s, dir).select("url").distinct()
+      val n5 = (0 until 5).map(i => s"node$i")
+      val a5 = graft.operators.TableOps.rendezvousAssign(urls, "url", n5)
+        .withColumnRenamed("node", "node5")
+      val a6 = graft.operators.TableOps.rendezvousAssign(
+          a5, "url", n5 :+ "nodeX")
+        .withColumnRenamed("node", "node6")
+      a6.withColumn("moved", col("node5") =!= col("node6"))
+    },
+
     // MERGE upsert+delete: change batch (U on every 5th key, D on every
     // 15th, I on fresh keys) applied to the base table through the
     // anti-join + union plan; oracle replays with NOT IN / UNION ALL.
@@ -241,6 +256,27 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rendezvous" -> {
+      val n5 = (0 until 5).map(i => s"node$i")
+      val n6 = n5 :+ "nodeX"
+      def wSql(n: String) = s"md5('$n' || ':' || url)"
+      def pick(ns: Seq[String], g: String) =
+        ns.map(n => s"WHEN ${wSql(n)} = $g THEN '$n'")
+          .mkString("CASE ", " ", " END")
+      s"""WITH u AS (SELECT DISTINCT url FROM ($urlFrameSql)),
+          g AS (
+            SELECT url,
+                   ${n5.map(wSql).mkString("greatest(", ", ", ")")} AS g5,
+                   ${n6.map(wSql).mkString("greatest(", ", ", ")")} AS g6
+            FROM u),
+          a AS (
+            SELECT url,
+                   ${pick(n5, "g5")} AS node5,
+                   ${pick(n6, "g6")} AS node6
+            FROM g)
+          SELECT url, node5, node6, node5 <> node6 AS moved FROM a"""
+    },
+
     "q_merge_upsert" ->
       """WITH base AS (
            SELECT event_id AS k, CAST(floor(value * 100) AS BIGINT) AS cents

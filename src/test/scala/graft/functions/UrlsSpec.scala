@@ -84,4 +84,23 @@ class UrlsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (in, want) => assert(got(in) == want, in) }
   }
+
+  test("homoglyphSkeleton maps confusables; clean hosts unchanged") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val spoofG = "gооgle.com"        // Cyrillic о
+    val spoofP = "рауpal.com"   // Cyrillic р а у
+    val cases = Seq(
+      spoofG -> "google.com",
+      spoofP -> "paypal.com",
+      "GOOGLE.com" -> "google.com",            // lower-cased first
+      "example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Urls.homoglyphSkeletonCol(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+    // the fixture strings really are non-Latin before skeletoning
+    assert(spoofG != "google.com" && spoofP != "paypal.com")
+  }
 }

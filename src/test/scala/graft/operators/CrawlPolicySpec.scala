@@ -123,4 +123,26 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(got == Map("u1" -> "same", "u2" -> "changed",
       "u3" -> "removed", "u4" -> "added"))
   }
+
+  test("soft404Gate: 200-but-error flagged, real content and 404 not") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, 200, "<html><title>Welcome</title>body</html>"),
+      (2L, 200, "<html><title>404 - Page Not Found</title>x</html>"),
+      (3L, 200, "<html><h1>this page no longer exists</h1>x</html>"),
+      (4L, 404, "<html><title>gone</title></html>"),
+      (5L, 200, "<html><p>mentions 404 in body text only</p></html>"),
+      (6L, 200, "<html><title>my page does not exist yet :)</title></html>")
+    ).toDF("page_id", "status", "html")
+    val got = CrawlPolicy.soft404Gate(pages)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got(1L) == (false, false))
+    assert(got(2L) == (true, true))
+    assert(got(3L) == (true, true))
+    assert(got(4L) == (false, true)) // hard 404: gone, not soft
+    assert(got(5L) == (false, false)) // body mention without title/h1
+    assert(got(6L) == (true, true))   // pattern is heuristic by design
+  }
 }

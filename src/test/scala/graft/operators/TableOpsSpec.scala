@@ -40,6 +40,26 @@ class TableOpsSpec extends AnyFunSuite {
     assert(got(("B", 2L)) == 2L, "oversized first file pushes cum past 2 bins")
   }
 
+  test("rendezvousAssign: minimal movement, moved keys land on the " +
+       "added node, balance is sane") {
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val n5 = (0 until 5).map(i => s"n$i")
+    val a5 = TableOps.rendezvousAssign(keys, "k", n5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a6 = TableOps.rendezvousAssign(keys, "k", n5 :+ "n5")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = a5.keys.filter(k => a5(k) != a6(k)).toSeq
+    // the HRW property: a key moves ONLY to the newly added node
+    moved.foreach(k => assert(a6(k) == "n5", s"key $k moved to ${a6(k)}"))
+    // expected 1/6 of keys move; allow generous slack
+    assert(moved.size > 2000 / 12 && moved.size < 2000 / 3)
+    // balance: each of the 5 nodes holds a sane share
+    val byNode = a5.values.groupBy(identity).view.mapValues(_.size)
+    assert(byNode.size == 5 && byNode.values.forall(n => n > 200 && n < 600))
+  }
+
   test("scd2Intervals: exclusive valid_to chain, single current per key") {
     val s = spark
     import s.implicits._
