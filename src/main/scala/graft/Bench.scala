@@ -192,11 +192,13 @@ object Bench {
         s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    val ladder =
-      Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4), (1, 3), (1, 2))
+    // last resort (0, 2): integer seconds — attribution and ordering
+    // survive; the full-precision map always lives in bench_full.json
+    val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4),
+      (1, 3), (1, 2), (0, 2))
     ladder.iterator.map { case (dp, w) => render(dp, w) }
       .find(_.length <= 1900)
-      .getOrElse(render(1, 2))
+      .getOrElse(render(0, 2))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

@@ -234,6 +234,54 @@ object TextQueries {
           =!= raw).as("changed"))
     },
 
+    // De-hyphenation (print/PDF-lineage text repair): a word broken as
+    // 'exam-\nple' rejoins; a legitimate hyphenated compound followed
+    // by a space survives. Same regex both engines.
+    "q_dehyphenate" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(3L))
+      val raw = when(m === 0, col("text"))
+        .when(m === 1, concat(lit("exam-\nple broken li-\n  ne "),
+          col("text")))
+        .otherwise(concat(lit("well-known multi-\nword "), col("text")))
+      val fixed = regexp_replace(raw,
+        "(\\p{L})-\\n\\s*(\\p{L})", "$1$2")
+      table(s, dir, "documents").select(col("doc_id"),
+        fixed.as("fixed"), (fixed =!= raw).as("changed"))
+    },
+
+    // Title + meta-description extraction — the two indexing fields
+    // every search/snippet pipeline reads; both meta attribute orders,
+    // entity-decoded, missing -> empty. Pure RE2 columns.
+    "q_title_meta" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(4L))
+      val html = when(m === 0, concat(
+          lit("<html><title>Doc &amp; co "), id,
+          lit("</title><meta name=\"description\" content=\"sum "),
+          id, lit("\">"), col("text")))
+        .when(m === 1, concat(
+          lit("<html><meta content=\"rev "), id,
+          lit("\" name=\"description\"><title> padded "), id,
+          lit(" </title>"), col("text")))
+        .when(m === 2, concat(lit("<html><title>only title "), id,
+          lit("</title>"), col("text")))
+        .otherwise(concat(lit("<html>"), col("text")))
+      val title = regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
+      val descr = {
+        val nf = regexp_extract(html,
+          "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"']" +
+            "[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+        val cf = regexp_extract(html,
+          "(?i)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']" +
+            "[^>]*name\\s*=\\s*[\"']description[\"']", 1)
+        when(nf =!= "", nf).otherwise(cf)
+      }
+      table(s, dir, "documents").select(col("doc_id"),
+        trim(graft.sources.Sitemaps.xmlUnescape(title)).as("title"),
+        descr.as("descr"))
+    },
+
     // Mojibake repair (ftfy lineage): classes 1/2 are REAL corruptions
     // built by re-decoding UTF-8 bytes as latin-1 (the classic
     // 'cafÃ©'/'donâ€™t' web damage); class 3 is clean accented text the
@@ -1134,6 +1182,56 @@ object TextQueries {
                                        AS BIGINT)) / 1000000.0, 6) AS proj
          FROM e JOIN s USING (i)
          GROUP BY 1, 2""",
+
+    "q_dehyphenate" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE doc_id % 3
+                    WHEN 0 THEN text
+                    WHEN 1 THEN 'exam-' || chr(10) || 'ple broken li-'
+                                || chr(10) || '  ne ' || text
+                    ELSE 'well-known multi-' || chr(10) || 'word '
+                         || text
+                  END AS raw
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(raw, '(\p{L})-\n\s*(\p{L})', '\1\2', 'g')
+                  AS fixed,
+                regexp_replace(raw, '(\p{L})-\n\s*(\p{L})', '\1\2', 'g')
+                  <> raw AS changed
+         FROM w""",
+
+    "q_title_meta" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><title>Doc &amp; co ' || doc_id ||
+                           '</title><meta name="description" content="sum '
+                           || doc_id || '">' || text
+               WHEN 1 THEN '<html><meta content="rev ' || doc_id ||
+                           '" name="description"><title> padded ' ||
+                           doc_id || ' </title>' || text
+               WHEN 2 THEN '<html><title>only title ' || doc_id ||
+                           '</title>' || text
+               ELSE '<html>' || text
+             END AS html
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             regexp_extract(html, '(?i)<title>([^<]*)</title>', 1) AS t,
+             regexp_extract(html,
+               '(?i)<meta\s[^>]*name\s*=\s*["'']description["''][^>]*content\s*=\s*["'']([^"'']*)["'']',
+               1) AS nf,
+             regexp_extract(html,
+               '(?i)<meta\s[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']description["'']',
+               1) AS cf
+           FROM h)
+         SELECT doc_id,
+                trim(replace(replace(replace(replace(replace(t,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&')) AS title,
+                CASE WHEN nf <> '' THEN nf ELSE cf END AS descr
+         FROM x""",
 
     "q_mojibake_fix" ->
       """SELECT doc_id,
