@@ -160,6 +160,44 @@ object TextQueries {
         Seq("join", "scan", "window"))
     },
 
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
+    // the per-doc keyword signal (BM25 is per-QUERY scoring; this is
+    // its corpus-indexing twin). Identical double shape both engines;
+    // (score, term) tie-break makes the per-doc top-k deterministic.
+    "q_tfidf_topk" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val n = docs.count().toDouble
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("w").asc)
+      tf.join(df, "w")
+        .withColumn("tfidf", round(
+          col("tf").cast("double") * log(lit(n) / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "w", "tf", "tfidf", "rk")
+    },
+
+    // Keyword-in-context (KWIC) concordance: every occurrence of a
+    // term with its +/-2-token window — the corpus-inspection tool
+    // behind every "show me how this word is used" audit.
+    "q_kwic" -> { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"),
+          posexplode(toks).as(Seq("pos0", "w")))
+        .filter(col("w") === "spark")
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          concat_ws(" ", slice(col("t"),
+            greatest(col("pos0") - 1, lit(1)),
+            when(col("pos0") < 2, col("pos0") + 3)
+              .otherwise(lit(5)))).as("context"))
+    },
+
     // PMI collocations: top bigrams by pointwise mutual information,
     // both engines evaluating the identical ln((cxy*Nu*Nu)/((cx*cy)*Nb))
     // double shape (the BM25 idf discipline).
@@ -897,6 +935,37 @@ object TextQueries {
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "q_bm25_search" -> bm25Sql,
     "q_bm25_incremental" -> bm25Sql,
+
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.w, tf.tf,
+                  round(CAST(tf.tf AS DOUBLE) * ln(n / df.df), 6) AS tfidf
+           FROM tf JOIN df USING (w) CROSS JOIN nn),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, w ASC)::BIGINT AS rk
+           FROM sc)
+         SELECT doc_id, w, tf, tfidf, rk FROM r WHERE rk <= 3""",
+
+    "q_kwic" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS t,
+                  unnest(string_split_regex(trim(text), '\s+')) AS w,
+                  generate_subscripts(
+                    string_split_regex(trim(text), '\s+'), 1) AS pos
+           FROM documents)
+         SELECT doc_id, pos,
+                array_to_string(t[greatest(pos - 2, 1):(pos + 2)], ' ')
+                  AS context
+         FROM tok WHERE w = 'spark'""",
 
     "q_pmi_bigrams" ->
       """WITH tok AS (
