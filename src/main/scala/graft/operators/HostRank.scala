@@ -189,6 +189,39 @@ object HostRank {
         round(col("hub_mu").cast("double") / scale, 6).as("hub"))
   }
 
+  /** Depth-limited BFS from a seed set: min link-hops from any seed,
+    * nodes beyond `maxDepth` absent — the crawl-depth assignment every
+    * production crawler runs (depth caps ARE the crawl-scope contract;
+    * frontier priority usually folds depth in). One hash-join +
+    * min-groupBy per level — the frontier for level d is exactly the
+    * nodes whose FINAL depth is d−1 (a min over rounds ≤ d−1 cannot
+    * drop later), so each edge expands at most once per endpoint
+    * level; per-level localCheckpoint keeps lineage O(1) like
+    * pageRank/hits, previous levels released when superseded.
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+               srcCol: String = "src", dstCol: String = "dst",
+               idCol: String = "host"): DataFrame = {
+    require(maxDepth >= 0)
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var depths = seeds.select(col(idCol).as("host")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    (1 to maxDepth).foreach { d =>
+      val frontier = depths.filter(col("depth") === (d - 1).toLong)
+        .select(col("host").as("__f"))
+      val next = ed.join(frontier, ed("src") === col("__f"))
+        .select(col("dst").as("host"), lit(d.toLong).as("depth"))
+      val merged = depths.unionByName(next)
+        .groupBy("host").agg(min("depth").as("depth"))
+        .localCheckpoint()
+      UrlDedup.releaseOrderCache(depths)
+      depths = merged
+    }
+    UrlDedup.releaseOrderCache(ed)
+    depths.select(col("host").as(idCol), col("depth"))
+  }
+
   /** Exact per-node triangle counts over the UNDIRECTED host graph —
     * the classic link-farm signal (spam rings are near-cliques; organic
     * neighborhoods are sparse). The scale device is degree orientation:

@@ -191,6 +191,17 @@ object CrawlQueries {
       graft.operators.Links.canonicalDedup(pages)
     },
 
+    // Crawl-depth assignment: min link-hops from the seed hosts over
+    // the fixture graph, capped at 4 (the crawl-scope contract);
+    // oracle = bounded recursive CTE with min-depth fold.
+    "q_bfs_depth" -> { (s, dir) =>
+      graft.operators.HostRank.bfsDepth(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200),
+        s.range(200).toDF("host").filter(pmod(col("host"), lit(37L)) === 0),
+        maxDepth = 4)
+    },
+
     // Exact triangle counts per host (link-farm near-clique signal):
     // production plan is degree-oriented wedge closing; the oracle is
     // the plain canonical triple join — same result by construction.
@@ -1020,6 +1031,24 @@ object CrawlQueries {
            FROM canon)
          SELECT canonical, page_id AS winner_id, n_members
          FROM ranked WHERE rn = 1""",
+
+    "q_bfs_depth" ->
+      """WITH RECURSIVE
+           ed AS (
+             SELECT DISTINCT user_id % 200 AS src,
+                    ((user_id % 200) * 17 + (event_id % 5) * 31 + 7) % 200
+                      AS dst
+             FROM events),
+           seeds AS (
+             SELECT unnest(range(200)) AS host),
+           walk AS (
+             SELECT host, CAST(0 AS BIGINT) AS depth
+             FROM seeds WHERE host % 37 = 0
+             UNION ALL
+             SELECT e.dst, w.depth + 1
+             FROM walk w JOIN ed e ON e.src = w.host
+             WHERE w.depth < 4)
+         SELECT host, min(depth) AS depth FROM walk GROUP BY 1""",
 
     "q_triangle_hosts" ->
       """WITH raw AS (

@@ -151,6 +151,36 @@ class HostRankSpec extends AnyFunSuite {
     assert(got2 == want.toMap)
   }
 
+  test("bfsDepth: min hops from seeds, cap honored, random-graph parity") {
+    val s = spark
+    import s.implicits._
+    // chain 0->1->2->3->4->5, shortcut 0->3, cycle 2<->1, island 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (2L, 1L), (8L, 9L))
+    val got = HostRank.bfsDepth(edges.toDF("src", "dst"),
+        Seq(0L).toDF("host"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L)) // 9 unreachable, island absent; 5 via the shortcut
+
+    val rnd = new scala.util.Random(21)
+    val re = (0 until 400).map(_ => (rnd.nextLong(60), rnd.nextLong(60)))
+    val seeds = Seq(0L, 7L, 13L)
+    val got2 = HostRank.bfsDepth(re.toDF("src", "dst"),
+        seeds.toDF("host"), maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: proper BFS
+    val adj = re.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ref = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    (1 to 5).foreach { d =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(ref.contains)
+      frontier.foreach(n => ref(n) = d.toLong)
+    }
+    assert(got2 == ref.toMap)
+  }
+
   test("linkSignals: degrees and reciprocal counts") {
     val s = spark
     import s.implicits._
