@@ -198,4 +198,47 @@ object CrawlPolicy {
       .withColumn("soft404",
         col(statusCol) === 200 && col(htmlCol).rlike(Soft404Pattern))
       .withColumn("gone", col(statusCol) >= 400 || col("soft404"))
+
+  /** Mirror-host detection (the Bharat/Broder 1999 problem): host pairs
+    * whose document sets overlap by content digest — a crawler that
+    * recognizes mirrors fetches each corpus once and maps the rest,
+    * instead of paying bandwidth for every replica. Output: one row per
+    * unordered host pair with >= `minShared` shared digests, the pair's
+    * shared count, each host's digest count, and
+    * `mirror_score = shared / min(|A|, |B|)` (1.0 = one side is a full
+    * mirror of the other).
+    *
+    * Scale shape: (host, digest) distinct is ONE shuffle; the pair
+    * self-join is keyed by digest, and its blowup is bounded by the
+    * `maxHostsPerDigest` guard — a digest on more hosts than that is
+    * boilerplate (empty pages, error bodies, shared banners), not
+    * mirror evidence, and would otherwise contribute k*(k-1)/2 pairs.
+    * Dropped digests leave BOTH the pair join and the per-host
+    * denominators, so the score stays a ratio over one universe.
+    */
+  def mirrorHosts(docs: DataFrame, minShared: Long = 2,
+                  maxHostsPerDigest: Int = 8,
+                  hostCol: String = "host",
+                  digestCol: String = "digest"): DataFrame = {
+    require(minShared >= 1 && maxHostsPerDigest >= 2)
+    val hd = docs.select(col(hostCol).as("host"),
+      col(digestCol).as("digest")).distinct()
+    val keep = hd.groupBy("digest").agg(count(lit(1)).as("__nh"))
+      .where(col("__nh") <= maxHostsPerDigest)
+      .select("digest")
+    val k = hd.join(keep, Seq("digest"), "left_semi")
+    val sz = k.groupBy("host").agg(count(lit(1)).as("n"))
+    val pairs = k.select(col("digest"), col("host").as("host_a"))
+      .join(k.select(col("digest"), col("host").as("host_b")), Seq("digest"))
+      .where(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sz.select(col("host").as("host_a"), col("n").as("n_a")), "host_a")
+      .join(sz.select(col("host").as("host_b"), col("n").as("n_b")), "host_b")
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")),
+          6).as("mirror_score"))
+  }
 }

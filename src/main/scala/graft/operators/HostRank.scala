@@ -84,6 +84,69 @@ object HostRank {
       round(col("r").cast("double") / scale, 6).as("rank"))
   }
 
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank with the
+    * teleport mass restricted to a hand-verified SEED set — trust flows
+    * out from known-good hosts, so spam farms unreachable from the seeds
+    * converge to 0 regardless of how densely they interlink. The
+    * anti-spam companion to [[pageRank]] (which a farm can inflate) and
+    * the standard crawl-frontier demotion signal.
+    *
+    * Same determinism contract: fixed iterations, all-integer micro-unit
+    * arithmetic — the teleport term is `(scale*(1-d))/|S|` for seed
+    * hosts and 0 otherwise, each edge contribution
+    * `((r*dampNum) DIV dampDen) DIV outdeg`, so the DuckDB oracle
+    * replays unrolled iterations with `//`. Same scale shape too: one
+    * hash-join + partial-agg shuffle per iteration; the seed flag rides
+    * the checkpointed node universe (no per-iteration seed join).
+    */
+  def trustRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                iters: Int = 5,
+                scale: Long = 1000000000000L,
+                dampNum: Long = 85L, dampDen: Long = 100L,
+                srcCol: String = "src", dstCol: String = "dst",
+                idCol: String = "host"): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    val base = nodes.select(col(idCol).as("host")).distinct()
+      .join(seeds.select(col(idCol).as("host")).distinct()
+          .withColumn("__s", lit(true)),
+        Seq("host"), "left")
+      .select(col("host"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nSeeds = base.where(col("is_seed")).count()
+    require(nSeeds > 0, "trustRank needs at least one seed inside nodes")
+    val telSeed = (scale * (dampDen - dampNum) / dampDen) / nSeeds
+    val teleport = when(col("is_seed"), lit(telSeed)).otherwise(lit(0L))
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val outdeg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = base.select(col("host"), col("is_seed"),
+      when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("r"))
+    var prevCheckpointed: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val contrib = ed.join(ranks, ed("src") === ranks("host"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          expr(s"((r * $dampNum) DIV $dampDen) DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = base.join(contrib, base("host") === contrib("dst"), "left")
+        .select(col("host"), col("is_seed"),
+          (teleport + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+      prevCheckpointed.foreach(UrlDedup.releaseOrderCache)
+      prevCheckpointed = Some(next)
+      ranks = next
+    }
+    if (iters > 0) {
+      UrlDedup.releaseOrderCache(base)
+      UrlDedup.releaseOrderCache(ed)
+      UrlDedup.releaseOrderCache(outdeg)
+    }
+    ranks.select(col("host").as(idCol), col("r").as("trust_mu"),
+      round(col("r").cast("double") / scale, 6).as("trust"))
+  }
+
   /** The deterministic host-link fixture shared with the oracle: hosts
     * 0..nHosts-1, out-degree capped at 5 per src (dst depends only on
     * src and event_id mod 5) so the graph is sparse and the rank
@@ -220,6 +283,52 @@ object HostRank {
     }
     UrlDedup.releaseOrderCache(ed)
     depths.select(col("host").as(idCol), col("depth"))
+  }
+
+  /** k-core peeling over the UNDIRECTED host graph: repeatedly remove
+    * hosts with fewer than `k` distinct neighbors until only the k-core
+    * remains — with [[triangles]] the other classic link-farm density
+    * signal (spam rings sit in deep cores; organic hosts peel early).
+    * Runs a FIXED `rounds` peel iterations so the DuckDB oracle can
+    * replay them as unrolled CTEs; at fixpoint (survivors stop
+    * changing — on real graphs a handful of rounds) the survivor set IS
+    * the k-core, and the spec asserts fixpoint against a brute-force
+    * peel. Output: surviving hosts with their within-core degree.
+    *
+    * Scale shape per round: two semi-joins to restrict the live edge
+    * set + one explode/partial-agg degree count — all keyed by host; the
+    * live edge set shrinks monotonically, and a localCheckpoint per
+    * round keeps lineage O(1) like the other iterative operators here.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 6,
+                srcCol: String = "src", dstCol: String = "dst",
+                idCol: String = "host"): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(explode(array(col("a"), col("b"))).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("deg"))
+    var live = canon
+    var out = degrees(live).where(col("deg") >= k).localCheckpoint()
+    (2 to rounds).foreach { _ =>
+      val keep = out.select("host")
+      val nextLive = live
+        .join(keep.withColumnRenamed("host", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("host", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val nextOut = degrees(nextLive).where(col("deg") >= k)
+        .localCheckpoint()
+      UrlDedup.releaseOrderCache(live)
+      UrlDedup.releaseOrderCache(out)
+      live = nextLive
+      out = nextOut
+    }
+    UrlDedup.releaseOrderCache(live)
+    out.select(col("host").as(idCol), col("deg"))
   }
 
   /** Exact per-node triangle counts over the UNDIRECTED host graph —

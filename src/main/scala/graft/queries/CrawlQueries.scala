@@ -242,6 +242,47 @@ object CrawlQueries {
         iters = 5)
     },
 
+    // k-core peeling (k=6, 6 rounds = past fixpoint on this graph):
+    // hosts surviving iterated degree-6 peel, with within-core degree.
+    "q_kcore_hosts" -> { (s, dir) =>
+      graft.operators.HostRank.kCorePeel(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200),
+        k = 6, rounds = 6)
+    },
+
+    // Mirror-host detection: twin docs (2p, 2p+1) share content 'm'||p
+    // when p % 4 = 0, landing on hosts a(p%6) / b(p%6) — so (a0,b0),
+    // (a2,b2), (a4,b4) are partial mirrors; every 13th doc carries a
+    // shared 'common' banner whose digest sits on all 12 hosts and must
+    // be dropped by the maxHostsPerDigest guard on BOTH engines.
+    "q_mirror_hosts" -> { (s, dir) =>
+      val id = col("doc_id")
+      val p = expr("doc_id DIV 2")
+      val host = concat(
+        when(pmod(id, lit(2L)) === 0, lit("a")).otherwise(lit("b")),
+        pmod(p, lit(6L)).cast("string"))
+      val content = when(pmod(id, lit(13L)) === 0, lit("common"))
+        .when(pmod(p, lit(4L)) === 0, concat(lit("m"), p.cast("string")))
+        .otherwise(concat(lit("u"), id.cast("string")))
+      graft.operators.CrawlPolicy.mirrorHosts(
+        table(s, dir, "documents").select(host.as("host"),
+          md5(encode(content, "UTF-8")).as("digest")))
+    },
+
+    // TrustRank: same fixture graph, teleport restricted to the 7 seed
+    // hosts (host % 29 = 0) — the anti-spam demotion signal; oracle is
+    // the unrolled integer iteration with a CASE teleport.
+    "q_trustrank" -> { (s, dir) =>
+      graft.operators.HostRank.trustRank(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200),
+        s.range(200).toDF("host"),
+        s.range(200).toDF("host")
+          .filter(pmod(col("host"), lit(29L)) === 0),
+        iters = 4)
+    },
+
     // Charset sniff + transcode over synthesized payload bytes: five
     // modes per doc_id — plain UTF-8, BOM'd UTF-8, UTF-16LE BOM,
     // declared iso-8859-1 with a true latin-1 byte, and undeclared
@@ -792,7 +833,99 @@ object CrawlQueries {
        FROM r5"""
   }
 
+  private val trustOracle: String = {
+    val h = 200L
+    val scale = 1000000000000L
+    val nSeeds = 7L // hosts 0,29,58,87,116,145,174
+    val telSeed = (scale * 15L / 100L) / nSeeds
+    val init = scale / nSeeds
+    def iter(in: String, out: String): String =
+      s"""$out AS (
+           SELECT n.host,
+                  CASE WHEN n.host % 29 = 0 THEN $telSeed ELSE 0 END
+                  + coalesce(sum(((c.r * 85) // 100) // c.deg), 0) AS r
+           FROM n LEFT JOIN (
+             SELECT ed.dst, p.r, od.deg
+             FROM ed JOIN $in p ON p.host = ed.src
+             JOIN od ON od.src = ed.src) c ON c.dst = n.host
+           GROUP BY 1)"""
+    s"""WITH ed AS MATERIALIZED (
+         SELECT DISTINCT user_id % $h AS src,
+                ((user_id % $h) * 17 + (event_id % 5) * 31 + 7) % $h AS dst
+         FROM events
+         WHERE user_id % $h
+               <> ((user_id % $h) * 17 + (event_id % 5) * 31 + 7) % $h),
+       od AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       n AS (SELECT unnest(range($h)) AS host),
+       r0 AS (SELECT host,
+                     CASE WHEN host % 29 = 0 THEN $init ELSE 0 END AS r
+              FROM n),
+       ${iter("r0", "r1")},
+       ${iter("r1", "r2")},
+       ${iter("r2", "r3")},
+       ${iter("r3", "r4")}
+       SELECT host, CAST(r AS BIGINT) AS trust_mu,
+              round(CAST(r AS DOUBLE) / $scale, 6) AS trust
+       FROM r4"""
+  }
+
+  private val kcoreOracle: String = {
+    val k = 6
+    def round(i: Int): String =
+      s"""e$i AS MATERIALIZED (
+           SELECT e.a, e.b FROM e${i - 1} e
+           JOIN k${i - 1} x ON x.host = e.a
+           JOIN k${i - 1} y ON y.host = e.b),
+         k$i AS MATERIALIZED (
+           SELECT host, count(*) AS deg FROM (
+             SELECT a AS host FROM e$i
+             UNION ALL SELECT b AS host FROM e$i)
+           GROUP BY 1 HAVING count(*) >= $k)"""
+    s"""WITH raw AS (
+         SELECT user_id % 200 AS src,
+                ((user_id % 200) * 17 + (event_id % 5) * 31 + 7) % 200
+                  AS dst
+         FROM events),
+       e1 AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM raw WHERE src <> dst),
+       k1 AS MATERIALIZED (
+         SELECT host, count(*) AS deg FROM (
+           SELECT a AS host FROM e1 UNION ALL SELECT b AS host FROM e1)
+         GROUP BY 1 HAVING count(*) >= $k),
+       ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}, ${round(6)}
+       SELECT host, deg FROM k6"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_trustrank" -> trustOracle,
+    "q_kcore_hosts" -> kcoreOracle,
+
+    "q_mirror_hosts" ->
+      """WITH d AS (
+           SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                    || ((doc_id // 2) % 6) AS host,
+                  md5(CASE WHEN doc_id % 13 = 0 THEN 'common'
+                           WHEN (doc_id // 2) % 4 = 0
+                             THEN 'm' || (doc_id // 2)
+                           ELSE 'u' || doc_id END) AS digest
+           FROM documents),
+         hd AS (SELECT DISTINCT host, digest FROM d),
+         keep AS (SELECT digest FROM hd GROUP BY 1 HAVING count(*) <= 8),
+         k AS (SELECT hd.host, hd.digest FROM hd JOIN keep USING (digest)),
+         sz AS (SELECT host, count(*) AS n FROM k GROUP BY 1),
+         pairs AS (
+           SELECT x.host AS host_a, y.host AS host_b,
+                  count(*) AS n_shared
+           FROM k x JOIN k y ON x.digest = y.digest AND x.host < y.host
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.host_a, p.host_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+                round(CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
+                  AS mirror_score
+         FROM pairs p
+         JOIN sz sa ON sa.host = p.host_a
+         JOIN sz sb ON sb.host = p.host_b""",
+
     "q_dump_diff" ->
       """WITH e AS (
            SELECT 'u' || event_id AS url, event_id AS eid, props

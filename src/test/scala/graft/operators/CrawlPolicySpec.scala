@@ -145,4 +145,35 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(got(5L) == (false, false)) // body mention without title/h1
     assert(got(6L) == (true, true))   // pattern is heuristic by design
   }
+
+  test("mirrorHosts: score, minShared cut, boilerplate-digest guard") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // A={1,2,3,4}, B={1,2,5}: 2 shared -> score 2/3
+      ("A", "d1"), ("A", "d2"), ("A", "d3"), ("A", "d4"),
+      ("B", "d1"), ("B", "d2"), ("B", "d5"),
+      // C shares only d3 with A -> below minShared=2, pair absent
+      ("C", "d3"), ("C", "d6"),
+      // duplicate rows collapse before counting
+      ("A", "d1"), ("B", "d2"),
+      // boilerplate digest on 4 hosts: dropped at maxHostsPerDigest=3,
+      // so it feeds neither pairs nor denominators
+      ("A", "x"), ("B", "x"), ("C", "x"), ("D", "x"), ("D", "d9")
+    ).toDF("host", "digest")
+    val got = CrawlPolicy.mirrorHosts(docs, minShared = 2,
+        maxHostsPerDigest = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got == Map(("A", "B") -> (2L, 4L, 3L, 0.666667)))
+
+    // full mirror scores 1.0 even when the other side is larger
+    val full = Seq(("A", "d1"), ("A", "d2"), ("A", "d3"),
+      ("B", "d1"), ("B", "d2")).toDF("host", "digest")
+    val g2 = CrawlPolicy.mirrorHosts(full, minShared = 2,
+        maxHostsPerDigest = 3)
+      .collect().map(r => r.getDouble(5)).toSeq
+    assert(g2 == Seq(1.0))
+  }
 }

@@ -181,6 +181,77 @@ class HostRankSpec extends AnyFunSuite {
     assert(got2 == ref.toMap)
   }
 
+  test("trustRank: seed-restricted teleport, spam farm demoted, replay") {
+    val s = spark
+    import s.implicits._
+    // good cluster 0<->1, 1->2; spam farm 3<->4 densely interlinked but
+    // unreachable from the seed 0
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (3L, 4L), (4L, 3L))
+    val nodes = (0L to 4L).toDF("host")
+    val scale = 1000000L
+    val got = HostRank.trustRank(edges.toDF("src", "dst"), nodes,
+        Seq(0L).toDF("host"), iters = 3, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent JVM replay of the integer iterations
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = out.view.mapValues(_.size.toLong).toMap
+    val tel = (scale * 15L / 100L) / 1L
+    var r = (0L to 4L).map(n => n -> (if (n == 0L) scale else 0L)).toMap
+    (1 to 3).foreach { _ =>
+      r = (0L to 4L).map { n =>
+        val in = edges.filter(_._2 == n)
+          .map(e => ((r(e._1) * 85L) / 100L) / deg(e._1)).sum
+        n -> ((if (n == 0L) tel else 0L) + in)
+      }.toMap
+    }
+    assert(got == r)
+    assert(got(3L) == 0L && got(4L) == 0L, "farm gets zero trust")
+    assert(got(2L) > 0L, "host reachable from the seed keeps trust")
+
+    // seeds outside the node universe don't count; inside-seed required
+    assertThrows[IllegalArgumentException] {
+      HostRank.trustRank(edges.toDF("src", "dst"), nodes,
+        Seq(99L).toDF("host"), iters = 1, scale = scale).collect()
+    }
+  }
+
+  test("kCorePeel: K5+chain hand case, brute parity, fixpoint") {
+    val s = spark
+    import s.implicits._
+    // K5 on 0..4; chain 4-5-6-7 peels off round by round at k=3
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val edges = k5 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = HostRank.kCorePeel(edges.toDF("src", "dst"), k = 3,
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3-core = the K5; node 4's chain edge is gone, so deg 4 everywhere
+    assert(got == (0L to 4L).map(_ -> 4L).toMap)
+
+    // brute-force peel to fixpoint on a random graph; operator at a
+    // rounds budget past fixpoint must agree, and stay stable +1 round
+    val rnd = new scala.util.Random(5)
+    val re = (0 until 250).map(_ => (rnd.nextLong(50), rnd.nextLong(50)))
+    var canon = re.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = canon.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 4).keySet
+      val next = canon.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != canon.size
+      canon = next
+    }
+    val wantDeg = canon.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 4)
+    val g6 = HostRank.kCorePeel(re.toDF("src", "dst"), k = 4, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g7 = HostRank.kCorePeel(re.toDF("src", "dst"), k = 4, rounds = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g6 == wantDeg && g7 == wantDeg)
+  }
+
   test("linkSignals: degrees and reciprocal counts") {
     val s = spark
     import s.implicits._
