@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-level statistical profiling for training-data triage:
+  * per-document readability / lexical-diversity signals and per-group
+  * Zipf rank-frequency fits. Readability is a map-only column pass
+  * (composes with the C4/Gopher gates for free); the Zipf fit is one
+  * partial-agg word-count shuffle + one per-group rank window — the
+  * group key (source/domain/language) bounds every window task, and the
+  * regression itself reduces to six scalar sums, so the fit costs
+  * nothing beyond the term count.
+  */
+object CorpusStats {
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Vowel-group syllable estimate: runs of [aeiouy] in the lowered
+    * word, floored at 1 (the classic hyphenation-free heuristic —
+    * exact CMUdict syllables need a dictionary a 100 TB scan cannot
+    * afford, and Flesch only needs the estimate to be consistent).
+    */
+  def syllablesCol(word: Column): Column =
+    greatest(size(regexp_extract_all(lower(word), lit("[aeiouy]+"), lit(0))),
+      lit(1))
+
+  /** Flesch reading-ease + type-token ratio per document. Sentences =
+    * terminal-punctuation runs ([.!?]+, floored at 1); words =
+    * whitespace tokens; syllables = vowel-group runs with
+    * vowel-less words counting 1. Appends n_words, n_sentences,
+    * n_syllables, flesch (206.835 − 1.015·W/S − 84.6·Y/W, 4dp) and
+    * ttr (distinct lowered words / words, 4dp). Pure columns — no
+    * shuffle, no explode.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = toks(t)
+    val nWords = size(words).cast(LongType)
+    val nSents = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+      .cast(LongType)
+    // text-level vowel-group count == sum of per-word counts (the class
+    // cannot cross whitespace); words with no vowel group add 1 each
+    val nSyll = (size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      + size(filter(words, w => !lower(w).rlike("[aeiouy]")))).cast(LongType)
+    df.withColumn("n_words", nWords)
+      .withColumn("n_sentences", nSents)
+      .withColumn("n_syllables", nSyll)
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")),
+          4))
+      .withColumn("ttr",
+        round(size(array_distinct(transform(words, lower(_))))
+          * lit(1.0) / col("n_words"), 4))
+  }
+
+  /** Zipf rank-frequency fit per `groupCol`: lowered-whitespace term
+    * frequencies, ranked (freq desc, term asc — deterministic ties),
+    * then ordinary least squares of ln(freq) on ln(rank). Returns one
+    * row per group: (groupCol, n_terms, n_tokens, zipf_slope,
+    * zipf_intercept), slope/intercept at 6dp. A healthy natural-language
+    * corpus fits slope ≈ −1; template farms and spam skew shallower —
+    * the triage signal. Plan: one (group, term) partial-agg count, one
+    * rank window bounded by the group, one scalar-agg per group.
+    */
+  def zipfStats(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val terms = df
+      .select(col(groupCol), explode(toks(lower(col(textCol)))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("freq").desc, col("term"))
+    val xy = terms
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    xy.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("freq")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col(groupCol),
+        col("n_terms"),
+        col("n_tokens"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("n_terms") * col("sxy")
+            - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+          * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
+  }
+}

@@ -402,4 +402,43 @@ object Curation {
       .filter(col("__rk") <= (col("__ns") * num + (den - 1)) / den)
       .drop("__rk", "__ns")
   }
+
+  /** C4-style page + line cleaning (Raffel et al. 2020 §2.2, the
+    * canonical web-corpus pass): keep only lines that end in a terminal
+    * punctuation mark AND carry at least `minLineWords` whitespace
+    * words AND contain none of `lineBadWords`; kill the whole page when
+    * it contains any of `pageBadPhrases` (literal, case-insensitive —
+    * C4 uses "lorem ipsum" and the code-smell "{") or when fewer than
+    * `minSentences` lines survive. Everything is array columns over
+    * split(text, "\n") — a map-only scan with no shuffle at any scale,
+    * so it composes in front of the dedup stages for free.
+    *
+    * Appends: n_lines, n_kept, has_bad_phrase, keep, clean_text
+    * (kept lines re-joined with "\n"; "" when the page is dropped).
+    */
+  def c4Filter(docs: DataFrame, textCol: String,
+               minLineWords: Int = 3, minSentences: Int = 5,
+               pageBadPhrases: Seq[String] = Seq("lorem ipsum", "{"),
+               lineBadWords: Seq[String] = Seq("javascript")): DataFrame = {
+    require(lineBadWords.nonEmpty, "need at least one line-level bad word")
+    val lines = split(col(textCol), "\n")
+    val badWordRe = "\\b(" + lineBadWords.map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")\\b"
+    val keptLine = (l: Column) =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).rlike(badWordRe)
+    val kept = filter(lines, keptLine)
+    val hasBad = pageBadPhrases
+      .map(p => lower(col(textCol)).contains(p.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    docs
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_kept", size(kept).cast(LongType))
+      .withColumn("has_bad_phrase", hasBad)
+      .withColumn("keep",
+        !col("has_bad_phrase") && col("n_kept") >= minSentences)
+      .withColumn("clean_text",
+        when(col("keep"), array_join(kept, "\n")).otherwise(lit("")))
+  }
 }

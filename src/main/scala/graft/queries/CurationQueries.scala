@@ -155,6 +155,36 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // C4 page/line cleaning (Raffel et al. 2020 §2.2): the fixture soup
+    // (no newlines, no punctuation) is deterministically re-lined —
+    // doc_id%4+2 words per line, terminal punctuation on lines where
+    // (doc_id+i)%3 < 2 — plus three planted hazards: a javascript line
+    // (doc_id%7), a brace page (doc_id%23), a lorem-ipsum page
+    // (doc_id%31). The oracle builds the identical page and replays the
+    // line predicate and both page gates.
+    "q_c4_filter" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val lWords = (pmod(id, lit(4L)) + 2).cast("int")
+      val toks = split(trim(col("text")), "\\s+")
+      val nLines = ceil(size(toks) / lWords.cast("double")).cast("int")
+      val base = transform(sequence(lit(0), nLines - 1), i =>
+        concat(concat_ws(" ", slice(toks, i * lWords + 1, lWords)),
+          element_at(array(lit("."), lit("?"), lit("")),
+            (pmod(id + i, lit(3L)) + 1).cast("int"))))
+      def planted(m: Long, line: String) =
+        when(pmod(id, lit(m)) === 0, array(lit(line)))
+          .otherwise(array().cast("array<string>"))
+      val lines = concat(base,
+        planted(7, "please enable javascript to continue."),
+        planted(23, "function f() { return 0; }"),
+        planted(31, "standard lorem ipsum placeholder text here."))
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"), array_join(lines, "\n").as("text"))
+      Curation.c4Filter(docs, "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("has_bad_phrase"), col("keep"), col("clean_text"))
+    },
+
     // BPE tokenizer training: ONE corpus-wide word-count shuffle, then
     // 8 merge iterations over the vocabulary table (pair-count partial
     // agg + one-row argmax, ties (cnt desc, a, b)). The oracle replays
@@ -391,6 +421,55 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_c4_filter" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS t,
+                  CAST(doc_id AS BIGINT) % 4 + 2 AS L
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_transform(
+                    range(CAST(ceil(len(t) / (L * 1.0)) AS BIGINT)),
+                    i -> array_to_string(t[(i*L+1):(i*L+L)], ' ') ||
+                         CASE (doc_id + i) % 3 WHEN 0 THEN '.'
+                              WHEN 1 THEN '?' ELSE '' END) AS ls
+           FROM d),
+         f AS (
+           SELECT doc_id,
+                  ls || CASE WHEN doc_id % 7 = 0
+                          THEN ['please enable javascript to continue.']
+                          ELSE []::VARCHAR[] END
+                     || CASE WHEN doc_id % 23 = 0
+                          THEN ['function f() { return 0; }']
+                          ELSE []::VARCHAR[] END
+                     || CASE WHEN doc_id % 31 = 0
+                          THEN ['standard lorem ipsum placeholder text here.']
+                          ELSE []::VARCHAR[] END AS ls
+           FROM b),
+         k AS (
+           SELECT doc_id, ls, array_to_string(ls, chr(10)) AS page,
+                  list_filter(ls, l ->
+                    regexp_matches(l, '[.!?"]\s*$')
+                    AND len(string_split_regex(trim(l), '\s+')) >= 3
+                    AND NOT regexp_matches(lower(l), '\bjavascript\b'))
+                    AS kl
+           FROM f),
+         g AS (
+           SELECT doc_id, ls, kl,
+                  (contains(lower(page), 'lorem ipsum')
+                   OR contains(page, '{')) AS bad
+           FROM k)
+         SELECT doc_id,
+                len(ls)::BIGINT AS n_lines,
+                len(kl)::BIGINT AS n_kept,
+                bad AS has_bad_phrase,
+                (NOT bad AND len(kl) >= 5) AS keep,
+                CASE WHEN NOT bad AND len(kl) >= 5
+                     THEN array_to_string(kl, chr(10))
+                     ELSE '' END AS clean_text
+         FROM g""",
 
     "q_bpe_merges" ->
       (bpeBaseSql + "\n         " +

@@ -53,6 +53,16 @@ object LmQueries {
         .select(col("prev"), col("w"), col("c").cast(LongType).as("c"))
         .orderBy(desc("c"), asc("prev"), asc("w"))
         .limit(25)
+    },
+
+    // Zipf rank-frequency fit per source: OLS of ln(freq) on ln(rank)
+    // over the (source, term) count table — the corpus-health triage
+    // signal (natural language ≈ −1, template spam shallower). Rank
+    // ties break (freq desc, term asc) on both engines, so the fit is
+    // fully deterministic; slope/intercept at 6dp.
+    "q_zipf_stats" -> { (s, dir) =>
+      graft.operators.CorpusStats
+        .zipfStats(table(s, dir, "documents"), "source", "text")
     }
   )
 
@@ -152,6 +162,36 @@ object LmQueries {
          SELECT prev, w, CAST(c AS BIGINT) AS c
          FROM bigp
          ORDER BY c DESC, prev ASC, w ASC
-         LIMIT 25"""
+         LIMIT 25""",
+
+    "q_zipf_stats" ->
+      """WITH t AS (
+           SELECT source,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents),
+         f AS (
+           SELECT source, term, count(*)::BIGINT AS freq
+           FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT source, freq,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY freq DESC, term) AS rk
+           FROM f),
+         a AS (
+           SELECT source,
+                  count(*)::BIGINT AS n_terms,
+                  sum(freq)::BIGINT AS n_tokens,
+                  sum(ln(rk)) AS sx, sum(ln(freq)) AS sy,
+                  sum(ln(rk) * ln(freq)) AS sxy,
+                  sum(ln(rk) * ln(rk)) AS sxx
+           FROM r GROUP BY 1)
+         SELECT source, n_terms, n_tokens,
+                round((n_terms * sxy - sx * sy)
+                      / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+                round((sy - ((n_terms * sxy - sx * sy)
+                             / (n_terms * sxx - sx * sx)) * sx)
+                      / n_terms, 6) AS zipf_intercept
+         FROM a"""
   )
 }

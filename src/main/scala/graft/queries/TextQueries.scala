@@ -104,6 +104,27 @@ object TextQueries {
         array_join(kept, " ").as("kept_text"))
     },
 
+    // Flesch reading-ease + type-token ratio: the fixture soup has no
+    // punctuation, so it is re-sentenced deterministically (doc_id%5+5
+    // words per sentence, '. ' separators + trailing '.') on both
+    // engines, then the operator's word / sentence / vowel-group
+    // syllable counts and the 4dp Flesch and TTR formulas must
+    // hash-match.
+    "q_readability" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val sWords = (pmod(id, lit(5L)) + 5).cast("int")
+      val t0 = split(trim(col("text")), "\\s+")
+      val nS = ceil(size(t0) / sWords.cast("double")).cast("int")
+      val sents = transform(sequence(lit(0), nS - 1), i =>
+        concat_ws(" ", slice(t0, i * sWords + 1, sWords)))
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(array_join(sents, ". "), lit(".")).as("text"))
+      graft.operators.CorpusStats.readability(docs, "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"), col("ttr"))
+    },
+
     "q_quality_score" -> { (s, dir) =>
       val words = TextAnalysis.tokenCountCol(col("text")).cast(LongType)
       val stops = TextAnalysis.wordCountCol(col("text"), "the") +
@@ -915,6 +936,41 @@ object TextQueries {
          FROM pl JOIN dl USING (doc_id)
          GROUP BY 1, 2"""
     },
+    "q_readability" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+                  CAST(doc_id AS BIGINT) % 5 + 5 AS S
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(
+                      range(CAST(ceil(len(t) / (S * 1.0)) AS BIGINT)),
+                      i -> array_to_string(t[(i*S+1):(i*S+S)], ' ')),
+                    '. ') || '.' AS text
+           FROM d),
+         w AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS wl
+           FROM x),
+         m AS (
+           SELECT doc_id,
+                  len(wl)::BIGINT AS n_words,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')),
+                           1)::BIGINT AS n_sentences,
+                  (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   + len(list_filter(wl, w ->
+                       NOT regexp_matches(lower(w), '[aeiouy]'))))::BIGINT
+                    AS n_syllables,
+                  len(list_distinct(list_transform(wl, w -> lower(w))))
+                    AS nd
+           FROM w)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                              - 84.6 * (n_syllables * 1.0 / n_words), 4)
+                  AS flesch,
+                round(nd * 1.0 / n_words, 4) AS ttr
+         FROM m""",
+
     "q_quality_score" ->
       """WITH s AS (
            SELECT doc_id, text,

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  test("readability: word/sentence/syllable counts and Flesch on a " +
+      "hand-counted page") {
+    val s = spark
+    import s.implicits._
+    // "the cat sat on the mat." -> 6 words, 1 sentence, 6 syllables
+    // "rhythm gym!" -> no-vowel-group words still count 1 syllable each
+    val df = Seq(
+      (1L, "the cat sat on the mat."),
+      (2L, "rhythm gym crwth!"),
+      (3L, "is this readable? yes. truly great stuff!")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.readability(df, "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch",
+        "ttr")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L)._1 == 6L && out(1L)._2 == 1L && out(1L)._3 == 6L)
+    // flesch = 206.835 - 1.015*(6/1) - 84.6*(6/6) = 116.145
+    assert(math.abs(out(1L)._4 - 116.145) < 1e-9)
+    // "the" repeats -> 5 distinct of 6
+    assert(math.abs(out(1L)._5 - 0.8333) < 1e-9)
+    // rhythm=1 (y group), gym=1 (y), crwth=1 (floored) -> 3 syllables
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L && out(2L)._3 == 3L)
+    // three terminal runs: "?", ".", "!"
+    assert(out(3L)._2 == 3L)
+  }
+
+  test("readability: punctuation-free text counts one sentence") {
+    val s = spark
+    import s.implicits._
+    val r = CorpusStats.readability(
+        Seq((1L, "no terminal punctuation at all")).toDF("doc_id", "text"),
+        "text")
+      .select("n_sentences").head()
+    assert(r.getLong(0) == 1L)
+  }
+
+  test("zipfStats: OLS fit matches the closed-form sums, per group, " +
+      "layout-invariant") {
+    val s = spark
+    import s.implicits._
+    // group g: freqs 8,4,2,1 over ranks 1..4; group h: uniform freqs
+    val g = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")
+    val rows = g.map(("g", _)) ++ Seq("x", "y", "z").map(("h", _))
+    val df = rows.zipWithIndex
+      .map { case ((src, w), i) => (src, s"$w") }
+      .toDF("source", "text")
+    val out = CorpusStats.zipfStats(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val (xs, ys) = (Seq(1, 2, 3, 4).map(i => math.log(i.toDouble)),
+      Seq(8, 4, 2, 1).map(f => math.log(f.toDouble)))
+    val (n, sx, sy) = (4.0, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(out("g")._1 == 4L && out("g")._2 == 15L)
+    assert(math.abs(out("g")._3 - math.rint(slope * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out("g")._4 - math.rint(icept * 1e6) / 1e6) < 1e-9)
+    // uniform frequencies -> slope 0
+    assert(out("h")._1 == 3L && math.abs(out("h")._3) < 1e-9)
+    val repart = CorpusStats.zipfStats(df.repartition(7), "source", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(repart("g") == out("g")._3,
+      "fit must not depend on partition layout")
+  }
+}

@@ -330,4 +330,59 @@ class CurationSpec extends AnyFunSuite {
     val quota = a.groupBy(_._1).view.mapValues(_.size).toMap
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
+
+  test("c4Filter: line predicate, page gates, clean_text rebuild") {
+    val s = spark
+    import s.implicits._
+    val goodPage = Seq(
+      "this line ends with a period.",   // kept
+      "does this line survive too?",     // kept
+      "short one.",                      // 2 words -> dropped
+      "no terminal punctuation here",    // dropped
+      "she said \"keep the quote line.\"", // ends in quote -> kept
+      "please enable javascript to proceed.", // bad word -> dropped
+      "three more words kept!",          // kept
+      "yet another sentence stays."      // kept -> 5 kept total
+    ).mkString("\n")
+    val loremPage = "a full sentence right here.\n" * 6 + "lorem ipsum."
+    val bracePage = ("good sentence number one two three.\n" * 6) +
+      "var x = { a: 1 }"
+    val thinPage = "only one surviving sentence here.\nnope\nnah"
+    val df = Seq((1L, goodPage), (2L, loremPage), (3L, bracePage),
+      (4L, thinPage)).toDF("doc_id", "text")
+    val out = Curation.c4Filter(df, "text")
+      .select("doc_id", "n_lines", "n_kept", "has_bad_phrase", "keep",
+        "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4),
+          r.getString(5))))
+      .toMap
+    assert(out(1L)._1 == 8L && out(1L)._2 == 5L)
+    assert(out(1L)._4, "5 kept lines, no bad phrase -> page kept")
+    assert(out(1L)._5 == Seq(
+      "this line ends with a period.",
+      "does this line survive too?",
+      "she said \"keep the quote line.\"",
+      "three more words kept!",
+      "yet another sentence stays.").mkString("\n"))
+    assert(out(2L)._3 && !out(2L)._4 && out(2L)._5 == "",
+      "lorem ipsum kills the page even with enough sentences")
+    assert(out(3L)._3 && !out(3L)._4,
+      "a brace anywhere on the page kills it")
+    assert(!out(4L)._3 && !out(4L)._4 && out(4L)._2 == 1L,
+      "clean page below minSentences is dropped, not flagged")
+  }
+
+  test("c4Filter: thresholds and word lists are parameters") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "tracking pixel ads everywhere today.\nfine line."))
+      .toDF("doc_id", "text")
+    val strict = Curation.c4Filter(df, "text", minLineWords = 2,
+        minSentences = 1, pageBadPhrases = Seq("malware"),
+        lineBadWords = Seq("tracking", "ads"))
+      .select("n_kept", "keep", "clean_text").head()
+    assert(strict.getLong(0) == 1L && strict.getBoolean(1))
+    assert(strict.getString(2) == "fine line.")
+  }
 }
