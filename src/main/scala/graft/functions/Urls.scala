@@ -209,4 +209,73 @@ object Urls {
     Confusables.foldLeft(s"lower($expr)") { case (e, (from, to)) =>
       s"replace($e, '$from', '$to')"
     }
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path (the
+    * only kind a crawler's merge step produces): segments fold left —
+    * "." skipped, ".." pops, anything else (incl. "..g", "g.") pushed.
+    * Empty segments ("a//b") collapse, the usual crawler
+    * canonicalization. A trailing "/", "/." or "/.." keeps the
+    * trailing slash, per the RFC's output examples; the empty path
+    * resolves to "/".
+    */
+  def removeDotSegmentsCol(path: Column): Column = {
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val out = aggregate(segs, array().cast("array<string>"),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..",
+          slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(concat(acc, array(s))))
+    val trailing = path.rlike("(/|/\\.|/\\.\\.)$")
+    when(size(out) === 0, lit("/"))
+      .otherwise(concat(lit("/"), array_join(out, "/"),
+        when(trailing, lit("/")).otherwise(lit(""))))
+  }
+
+  /** Resolve an outlink `href` against an absolute hierarchical `base`
+    * (RFC 3986 §5.2; download-side link discovery feeding the
+    * frontier). Fragments are always dropped — a crawler's URL space is
+    * fragment-free — which is the one documented deviation from the
+    * RFC's reference results (it keeps them). Handles: empty href
+    * (base sans fragment, path untouched), opaque schemes (mailto:,
+    * javascript: — returned verbatim), absolute URLs, protocol-relative
+    * (//host/p), root-relative, query-only and path-relative forms;
+    * every hierarchical result gets remove_dot_segments and an empty
+    * path becomes "/". Pure columns (one fold HOF) — no UDF, no
+    * shuffle.
+    */
+  def resolveUrlCol(base: Column, href: Column): Column = {
+    val h = regexp_replace(href, "#.*$", "")
+    val bNoF = regexp_replace(base, "#.*$", "")
+    val scheme = regexp_extract(bNoF, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val auth = regexp_extract(bNoF, SchemeRe + "//([^/?#]*)", 1)
+    val bPath = regexp_extract(bNoF, SchemeRe + "//[^/?#]*([^?#]*)", 1)
+    val root = concat(scheme, lit("://"), auth)
+    val hPath = regexp_extract(h, "^([^?#]*)", 1)
+    val hQuery = regexp_extract(h, "^[^?]*(\\?.*)$", 1)
+    val isAbs = h.rlike(SchemeRe + "//")
+    val isOpaque = h.rlike(SchemeRe) && !isAbs
+    val isProtoRel = h.startsWith("//")
+    val isRooted = h.startsWith("/") && !isProtoRel
+    val isQueryOnly = h.startsWith("?")
+    val dir = when(bPath === "", lit("/"))
+      .otherwise(regexp_replace(bPath, "[^/]*$", ""))
+    val absAuth = regexp_extract(h, SchemeRe + "//([^/?#]*)", 1)
+    val absScheme = regexp_extract(h, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val absPath = regexp_extract(h, SchemeRe + "//[^/?#]*([^?#]*)", 1)
+    val prAuth = regexp_extract(h, "^//([^/?#]*)", 1)
+    val prPath = regexp_extract(h, "^//[^/?#]*([^?#]*)", 1)
+    when(h === "", bNoF)
+      .when(isOpaque, h)
+      .when(isAbs, concat(absScheme, lit("://"), absAuth,
+        removeDotSegmentsCol(absPath), hQuery))
+      .when(isProtoRel, concat(scheme, lit("://"), prAuth,
+        removeDotSegmentsCol(prPath), hQuery))
+      .when(isRooted, concat(root, removeDotSegmentsCol(hPath), hQuery))
+      .when(isQueryOnly, concat(root,
+        when(bPath === "", lit("/")).otherwise(bPath), h))
+      .otherwise(concat(root,
+        removeDotSegmentsCol(concat(dir, hPath)), hQuery))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Sessions.table
 import graft.functions.Urls
-import graft.operators.{Frontier, UrlDedup}
+import graft.operators.{Frontier, PublicSuffix, UrlDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.LongType
 object CrawlQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** PSL fixture rules for q_registered_domain (real publicsuffix.org
+    * syntax: normal, `*.` wildcard, `!` exception).
+    */
+  private val PslFixtureRules = Seq(
+    "com", "uk", "co.uk", "github.io", "*.ck", "!www.ck",
+    "jp", "*.kawasaki.jp", "!city.kawasaki.jp")
 
   /** Synthetic index frame derived deterministically from `events`:
     * url collides across records (the dedup has real work), length/ord
@@ -541,6 +548,58 @@ object CrawlQueries {
         .otherwise(lit("?a=1#utm_inside=keep")))
       table(s, dir, "events").select(col("event_id"), url.as("url"),
         graft.functions.Urls.stripTrackingCol(url).as("clean_url"))
+    },
+
+    // RFC 3986 outlink resolution against a per-doc base: nine href
+    // shapes (empty, path-relative, ../, ./ with query, rooted,
+    // protocol-relative, absolute with dot-segments + fragment, opaque
+    // mailto:, query-only) selected by doc_id%9. The oracle states each
+    // case's resolved form in closed form; the generic algorithm (incl.
+    // the RFC §5.4 reference vectors) is spec-verified in UrlsSpec.
+    "q_url_resolve" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val base = concat(lit("https://www."), col("source"),
+        lit(".example.com/a/b/index.html?x=1"))
+      val href = element_at(array(
+        lit(""),
+        lit("img/photo.png"),
+        lit("../up.html"),
+        lit("./here.html?q=2"),
+        lit("/rooted/x.html"),
+        lit("//cdn.example.net/lib.js"),
+        lit("https://other.org/p/../q.html#frag"),
+        lit("mailto:admin@example.com"),
+        lit("?only=query")), (pmod(id, lit(9L)) + 1).cast("int"))
+      table(s, dir, "documents").select(col("doc_id"), base.as("base"),
+        href.as("href"), Urls.resolveUrlCol(base, href).as("resolved"))
+    },
+
+    // Public-Suffix-List registered-domain extraction: eight host
+    // shapes exercise normal rules, multi-label suffixes, wildcard
+    // *.ck / *.kawasaki.jp zones, both ! exceptions, the no-rule TLD
+    // fallback and the host-IS-a-suffix null case. The oracle replays
+    // the full PSL algorithm (suffix candidates, wildcard-as-parent
+    // match, exception-over-longest prevail) generically in SQL.
+    "q_registered_domain" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val k = pmod(id, lit(20L)).cast("string")
+      val host = element_at(array(
+        concat(lit("www.foo"), k, lit(".com")),
+        concat(lit("a.b.site"), k, lit(".co.uk")),
+        concat(lit("user"), k, lit(".github.io")),
+        lit("www.ck"),
+        concat(lit("shop"), k, lit(".foo.ck")),
+        lit("city.kawasaki.jp"),
+        lit("x.y.z.kawasaki.jp"),
+        when(pmod(id, lit(16L)) === 7, lit("co.uk"))
+          .otherwise(concat(lit("unknown"), k, lit(".test")))),
+        (pmod(id, lit(8L)) + 1).cast("int"))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+      val rules = PublicSuffix.rulesDf(s, PslFixtureRules)
+      PublicSuffix.registeredDomain(docs, "host", rules)
+        .select(col("doc_id"), col("host"), col("public_suffix"),
+          col("reg_domain"))
     },
 
     // Anchor-text aggregation: per link target, in-link totals and the
@@ -1446,6 +1505,89 @@ object CrawlQueries {
                     '/[^/.][^/]*/\\.\\./', '/', 'g') AS link
            FROM j WHERE link0 IS NOT NULL)
          SELECT DISTINCT event_id, url, link FROM r""",
+
+    "q_url_resolve" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  'https://www.' || source || '.example.com' AS r,
+                  'https://www.' || source ||
+                    '.example.com/a/b/index.html?x=1' AS base,
+                  CAST(doc_id AS BIGINT) % 9 AS c
+           FROM documents)
+         SELECT doc_id, base,
+                CASE c WHEN 0 THEN ''
+                       WHEN 1 THEN 'img/photo.png'
+                       WHEN 2 THEN '../up.html'
+                       WHEN 3 THEN './here.html?q=2'
+                       WHEN 4 THEN '/rooted/x.html'
+                       WHEN 5 THEN '//cdn.example.net/lib.js'
+                       WHEN 6 THEN 'https://other.org/p/../q.html#frag'
+                       WHEN 7 THEN 'mailto:admin@example.com'
+                       ELSE '?only=query' END AS href,
+                CASE c WHEN 0 THEN base
+                       WHEN 1 THEN r || '/a/b/img/photo.png'
+                       WHEN 2 THEN r || '/a/up.html'
+                       WHEN 3 THEN r || '/a/b/here.html?q=2'
+                       WHEN 4 THEN r || '/rooted/x.html'
+                       WHEN 5 THEN 'https://cdn.example.net/lib.js'
+                       WHEN 6 THEN 'https://other.org/q.html'
+                       WHEN 7 THEN 'mailto:admin@example.com'
+                       ELSE r || '/a/b/index.html?only=query' END
+                  AS resolved
+         FROM d""",
+
+    "q_registered_domain" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id AS BIGINT) % 8
+                    WHEN 0 THEN 'www.foo' || (doc_id % 20) || '.com'
+                    WHEN 1 THEN 'a.b.site' || (doc_id % 20) || '.co.uk'
+                    WHEN 2 THEN 'user' || (doc_id % 20) || '.github.io'
+                    WHEN 3 THEN 'www.ck'
+                    WHEN 4 THEN 'shop' || (doc_id % 20) || '.foo.ck'
+                    WHEN 5 THEN 'city.kawasaki.jp'
+                    WHEN 6 THEN 'x.y.z.kawasaki.jp'
+                    ELSE CASE WHEN doc_id % 16 = 7 THEN 'co.uk'
+                              ELSE 'unknown' || (doc_id % 20) || '.test'
+                         END
+                  END AS host
+           FROM documents),
+         rules(key, kind) AS (
+           VALUES ('com','n'),('uk','n'),('co.uk','n'),('github.io','n'),
+                  ('ck','w'),('www.ck','e'),('jp','n'),
+                  ('kawasaki.jp','w'),('city.kawasaki.jp','e')),
+         l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+         c AS (SELECT doc_id, ls, len(ls) AS nl,
+                      unnest(range(1, len(ls) + 1)) AS i
+               FROM l),
+         sx AS (SELECT doc_id, i,
+                       array_to_string(ls[(nl-i+1):nl], '.') AS sfx,
+                       CASE WHEN i > 1
+                            THEN array_to_string(ls[(nl-i+2):nl], '.')
+                            ELSE '' END AS par
+                FROM c),
+         m AS (
+           SELECT doc_id,
+                  CASE WHEN r.kind = 'e' THEN 1 ELSE 0 END AS exc,
+                  CASE WHEN r.kind = 'e' THEN i - 1 ELSE i END AS psn,
+                  CASE WHEN r.kind = 'e' THEN par ELSE sfx END AS ps
+           FROM sx JOIN rules r
+             ON (r.kind IN ('n','e') AND sfx = r.key)
+             OR (r.kind = 'w' AND par = r.key)),
+         b AS (
+           SELECT doc_id, psn, ps,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY exc DESC, psn DESC, ps DESC) AS rn
+           FROM m)
+         SELECT l.doc_id, l.host,
+                coalesce(b.ps, l.ls[len(l.ls)]) AS public_suffix,
+                CASE WHEN len(l.ls) > coalesce(b.psn, 1)
+                     THEN array_to_string(
+                       l.ls[(len(l.ls) - coalesce(b.psn, 1)):len(l.ls)],
+                       '.')
+                     ELSE NULL END AS reg_domain
+         FROM l LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+           USING (doc_id)""",
 
     "q_url_strip_tracking" ->
       s"""WITH u AS (

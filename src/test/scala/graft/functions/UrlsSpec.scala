@@ -103,4 +103,64 @@ class UrlsSpec extends AnyFunSuite {
     // the fixture strings really are non-Latin before skeletoning
     assert(spoofG != "google.com" && spoofP != "paypal.com")
   }
+
+  test("resolveUrlCol: RFC 3986 §5.4 reference vectors (fragments " +
+      "dropped by design)") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = "http://a/b/c/d;p?q"
+    // §5.4.1 normal + §5.4.2 abnormal examples; expectations match the
+    // RFC except that fragments are stripped (crawler URL space)
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g/",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal: .. past root stays at root
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // query is never path-normalized
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      // fragment-bearing forms: ours drop the fragment (documented)
+      "#s" -> "http://a/b/c/d;p?q",
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      // strict-parser absolute forms
+      "http:g" -> "http:g",
+      "https://other.org/p/../q.html#f" -> "https://other.org/q.html",
+      "mailto:x@y.z" -> "mailto:x@y.z")
+    val got = cases.map(_._1).toDF("href")
+      .select(col("href"),
+        Urls.resolveUrlCol(lit(base), col("href")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (href, want) =>
+      assert(got(href) == want, s"href=<$href>")
+    }
+  }
 }
