@@ -403,6 +403,66 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Token-budget water-filling across sources (the data-mixing
+    * allocator): split a `target` token budget over sources
+    * proportionally to `wCol`, capping each source at `capCol` and
+    * re-distributing the overflow to the others — the exact
+    * capacity-constrained proportional fill, solved in CLOSED FORM
+    * rather than by iteration. In cap/weight ratio order the saturated
+    * set is a prefix (the classic water-filling monotonicity), so one
+    * cumulative window finds it: source j saturates iff
+    * cap_j·(W − cumw_j) ≤ (target − cumcap_j)·w_j. Unsaturated sources
+    * get floor(rem·w/W_rest) plus largest-remainder +1s — all int64,
+    * so the result is bit-exact on any engine/partitioning.
+    *
+    * The allocation table is per-source (domains at worst — orders of
+    * magnitude below row scale), so the global-ordered windows are one
+    * small task; the corpus itself is never touched here.
+    *
+    * Returns (keyCol, cap, w, alloc, saturated) with
+    * Σalloc = min(target, Σcap).
+    */
+  def allocateBudget(df: DataFrame, keyCol: String, capCol: String,
+                     wCol: String, target: Long): DataFrame = {
+    require(target >= 0, "target must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol), col(capCol).cast(LongType).as("cap"),
+      col(wCol).cast(LongType).as("w"))
+    val ord = Window.orderBy(col("cap") * lit(1.0) / col("w"), col(keyCol))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val c = base
+      .crossJoin(broadcast(base.agg(sum(col("w")).as("wt"))))
+      .withColumn("cumcap", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("cumw", coalesce(sum(col("w")).over(pre), lit(0L)))
+      .withColumn("sat",
+        col("cap") * (col("wt") - col("cumw")) <=
+          (lit(target) - col("cumcap")) * col("w"))
+    val sums = c.agg(
+      sum(when(col("sat"), col("cap")).otherwise(0L)).as("satcap"),
+      sum(when(!col("sat"), col("w")).otherwise(0L)).as("w_rest"))
+    val d = c.crossJoin(broadcast(sums))
+      .withColumn("rem", greatest(lit(target) - col("satcap"), lit(0L)))
+      .withColumn("base_alloc",
+        when(col("sat"), col("cap"))
+          .when(col("w_rest") === 0, lit(0L))
+          .otherwise(expr("(rem * w) div w_rest")))
+      .withColumn("frac",
+        when(col("sat") || col("w_rest") === 0, lit(-1L))
+          .otherwise(pmod(col("rem") * col("w"), col("w_rest"))))
+    val fs = d.agg(
+      sum(when(!col("sat"), greatest(col("frac"), lit(0L))).otherwise(0L))
+        .as("fs"))
+    val rkW = Window.orderBy(col("frac").desc, col(keyCol))
+    d.crossJoin(broadcast(fs))
+      .withColumn("rk", row_number().over(rkW))
+      .withColumn("alloc",
+        col("base_alloc") +
+          when(!col("sat") && col("w_rest") > 0 &&
+            col("rk") <= expr("fs div w_rest"), 1L).otherwise(0L))
+      .select(col(keyCol), col("cap"), col("w"), col("alloc"),
+        col("sat").as("saturated"))
+  }
+
   /** C4-style page + line cleaning (Raffel et al. 2020 §2.2, the
     * canonical web-corpus pass): keep only lines that end in a terminal
     * punctuation mark AND carry at least `minLineWords` whitespace

@@ -469,4 +469,82 @@ object Similarity {
       .select(col(idCol), col("j"),
         round(col("micro") / lit(1000000.0), 6).as("proj"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus recipe): score every candidate
+    * (a, b) pair by cosine normalized by both sides' mean top-`k`
+    * neighborhood similarity — margin(a,b) = cos(a,b) /
+    * ((mean_kNN(a) + mean_kNN(b)) / 2) — then keep pairs that are each
+    * other's best margin match (mutual top-1) above `threshold`. The
+    * margin cancels hubness: a vector that is "close to everything"
+    * gets its raw cosines deflated by its own dense neighborhood.
+    *
+    * `candidates` restricts the pair space (the production path: feed
+    * LSH/IVF bucket pairs from hyperplaneBuckets/ivfBuild, so the
+    * margin is computed over the ANN shortlist exactly as CCMatrix
+    * does); None = exact all-pairs, guarded by `maxSide` against
+    * silent quadratic blowup.
+    *
+    * Float discipline: cosines quantize to int64 MICRO-UNITS once, and
+    * every downstream quantity (top-k rank, neighborhood mean, margin)
+    * is integer arithmetic until the final display division — a mean
+    * of k 6dp-rounded doubles has 10⁻⁶/k granularity, so it lands
+    * EXACTLY on rounding boundaries where summation order would decide
+    * the digit; integer sums cannot. Ranking ties break on the partner
+    * id.
+    *
+    * Returns (a_id, b_id, sim, margin) for the mined pairs.
+    */
+  def mineBitext(a: DataFrame, b: DataFrame, k: Int, threshold: Double,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 candidates: Option[DataFrame] = None,
+                 maxSide: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.VectorExpressions.register(a.sparkSession)
+    import graft.expressions.VectorExpressions.dotCol
+    def side(df: DataFrame, n: String) = df
+      .select(col(idCol).as(s"${n}_id"),
+        col(embCol).cast("array<double>").as(s"${n}_v"))
+      .withColumn(s"${n}_nrm", sqrt(dotCol(col(s"${n}_v"), col(s"${n}_v"))))
+    val ea = side(a, "a")
+    val eb = side(b, "b")
+    val raw = candidates match {
+      case Some(c) => ea.join(c, "a_id").join(eb, "b_id")
+      case None =>
+        require(a.count() <= maxSide && b.count() <= maxSide,
+          s"mineBitext: exact all-pairs above maxSide=$maxSide — pass " +
+            "ANN bucket candidates (hyperplaneBuckets/ivfBuild) instead")
+        ea.crossJoin(eb)
+    }
+    val pairs = raw.select(col("a_id"), col("b_id"),
+      round(dotCol(col("a_v"), col("b_v"))
+        / (col("a_nrm") * col("b_nrm")) * 1000000.0, 0)
+        .cast(org.apache.spark.sql.types.LongType).as("micro"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("micro").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("micro").desc, col("a_id"))
+    val mkA = pairs.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k).groupBy("a_id")
+      .agg(sum(col("micro")).as("mka"))
+    val mkB = pairs.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k).groupBy("b_id")
+      .agg(sum(col("micro")).as("mkb"))
+    // sim/((mka/k + mkb/k)/2) == micro·2k/(mka+mkb): exact integers in,
+    // one double division out
+    val scored = pairs.join(mkA, "a_id").join(mkB, "b_id")
+      .withColumn("margin",
+        round(col("micro") * lit(2L * k) / (col("mka") + col("mkb")), 6))
+    val ba = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin").desc, col("b_id"))
+    val bb = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin").desc, col("a_id"))
+    scored
+      .withColumn("ra", row_number().over(ba))
+      .withColumn("rb", row_number().over(bb))
+      .filter(col("ra") === 1 && col("rb") === 1 &&
+        col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (col("micro") / 1000000.0).as("sim"), col("margin"))
+  }
 }

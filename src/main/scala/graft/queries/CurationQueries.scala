@@ -155,6 +155,23 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Token-budget water-filling over the 20 fixture sources: caps =
+    // per-source whitespace-token totals, weights = the q_source_mix
+    // formula, target 12000 — high enough that high-weight sources
+    // saturate at their caps, so the saturated prefix, the proportional
+    // fill AND the largest-remainder +1s all exercise. Pure int64 —
+    // the oracle replays the closed-form fill with the same windows.
+    "q_mixture_alloc" -> { (s, dir) =>
+      val src = table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast(LongType))
+          .as("cap"))
+        .withColumn("w",
+          (pmod(col("source").substr(lit(4), lit(10)).cast(LongType),
+            lit(5L)) + 1) * 2)
+      Curation.allocateBudget(src, "source", "cap", "w", target = 12000L)
+    },
+
     // C4 page/line cleaning (Raffel et al. 2020 §2.2): the fixture soup
     // (no newlines, no punctuation) is deterministically re-lined —
     // doc_id%4+2 words per line, terminal punctuation on lines where
@@ -421,6 +438,56 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_mixture_alloc" ->
+      """WITH src AS (
+           SELECT source,
+                  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+                    AS cap,
+                  (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 2 AS w
+           FROM documents GROUP BY source),
+         t AS (
+           SELECT *,
+                  sum(w) OVER () AS wt,
+                  coalesce(sum(cap) OVER (
+                    ORDER BY cap * 1.0 / w, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumcap,
+                  coalesce(sum(w) OVER (
+                    ORDER BY cap * 1.0 / w, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumw
+           FROM src),
+         s AS (
+           SELECT *,
+                  cap * (wt - cumw) <= (12000 - cumcap) * w AS sat
+           FROM t),
+         g AS (
+           SELECT *,
+                  sum(CASE WHEN sat THEN cap ELSE 0 END) OVER () AS satcap,
+                  sum(CASE WHEN sat THEN 0 ELSE w END) OVER () AS w_rest
+           FROM s),
+         d AS (SELECT *, greatest(12000 - satcap, 0) AS rem FROM g),
+         e AS (
+           SELECT *,
+                  CASE WHEN sat THEN cap
+                       WHEN w_rest = 0 THEN 0
+                       ELSE (rem * w) // w_rest END AS base_alloc,
+                  CASE WHEN sat OR w_rest = 0 THEN -1
+                       ELSE (rem * w) % w_rest END AS frac
+           FROM d),
+         f AS (
+           SELECT *,
+                  sum(CASE WHEN sat THEN 0
+                           ELSE greatest(frac, 0) END) OVER () AS fs,
+                  row_number() OVER (ORDER BY frac DESC, source) AS rk
+           FROM e)
+         SELECT source, cap::BIGINT AS cap, w::BIGINT AS w,
+                (base_alloc + CASE WHEN NOT sat AND w_rest > 0
+                                    AND rk <= fs // w_rest
+                                   THEN 1 ELSE 0 END)::BIGINT AS alloc,
+                sat AS saturated
+         FROM f""",
 
     "q_c4_filter" ->
       """WITH d AS (

@@ -448,6 +448,23 @@ object TextQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 20)
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): side A =
+    // even vec_ids, side B = odd; margin = cos / mean-top-4
+    // neighborhood sim, mined pairs = mutual best-margin above 1.02.
+    // Cosines quantize to int64 micro-units ONCE; ranks, k-NN sums and
+    // the margin stay integer until one final division — a mean of
+    // 6dp-rounded doubles lands exactly on rounding boundaries where
+    // engine summation order decides the digit (hard-won: the avg form
+    // diverged on exactly one fixture pair). The oracle replays the
+    // integer pipeline.
+    "q_bitext_mine" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.mineBitext(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+        k = 4, threshold = 1.02)
+    },
+
     // MinHash+LSH band table: (doc_id, ord, band, bhash) straight off the
     // codegen'd signature expression. Fully oracled: the base-131 shingle
     // hash keeps every intermediate BIGINT/HUGEINT-exact in DuckDB.
@@ -1540,6 +1557,54 @@ object TextQueries {
                          sqrt(list_dot_product(b.v, b.v))), 4) AS sim
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
          SELECT a_id, b_id, sim FROM p WHERE sim >= 0.99""",
+    "q_bitext_mine" ->
+      """WITH av AS (
+           SELECT vec_id AS a_id, generate_subscripts(embedding, 1) AS idx,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE vec_id % 2 = 0),
+         bv AS (
+           SELECT vec_id AS b_id, generate_subscripts(embedding, 1) AS idx,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+         an AS (SELECT a_id, sqrt(sum(v*v)) AS nrm FROM av GROUP BY 1),
+         bn AS (SELECT b_id, sqrt(sum(v*v)) AS nrm FROM bv GROUP BY 1),
+         dots AS (
+           SELECT av.a_id, bv.b_id, sum(av.v * bv.v) AS dp
+           FROM av JOIN bv ON av.idx = bv.idx
+           GROUP BY 1, 2),
+         p AS (
+           SELECT d.a_id, d.b_id,
+                  CAST(round(d.dp / (an.nrm * bn.nrm) * 1000000, 0)
+                       AS BIGINT) AS micro
+           FROM dots d
+           JOIN an ON d.a_id = an.a_id
+           JOIN bn ON d.b_id = bn.b_id),
+         ra AS (
+           SELECT *, row_number() OVER (PARTITION BY a_id
+                       ORDER BY micro DESC, b_id) AS rn
+           FROM p),
+         ma AS (SELECT a_id, sum(micro)::BIGINT AS mka
+                FROM ra WHERE rn <= 4 GROUP BY 1),
+         rb AS (
+           SELECT *, row_number() OVER (PARTITION BY b_id
+                       ORDER BY micro DESC, a_id) AS rn
+           FROM p),
+         mb AS (SELECT b_id, sum(micro)::BIGINT AS mkb
+                FROM rb WHERE rn <= 4 GROUP BY 1),
+         sc AS (
+           SELECT p.a_id, p.b_id, p.micro,
+                  round(p.micro * 8 / (ma.mka + mb.mkb), 6) AS margin
+           FROM p JOIN ma USING (a_id) JOIN mb USING (b_id)),
+         mm AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY a_id
+                    ORDER BY margin DESC, b_id) AS ka,
+                  row_number() OVER (PARTITION BY b_id
+                    ORDER BY margin DESC, a_id) AS kb
+           FROM sc)
+         SELECT a_id, b_id, micro / 1000000.0 AS sim, margin FROM mm
+         WHERE ka = 1 AND kb = 1 AND margin >= 1.02""",
+
     "q_ann_cosine" ->
       """WITH q AS (
            SELECT generate_subscripts(embedding, 1) AS idx,

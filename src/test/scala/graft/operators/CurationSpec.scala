@@ -331,6 +331,52 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("allocateBudget: saturated prefix, proportional fill, " +
+      "largest-remainder, conservation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 10L, 1L), ("b", 100L, 2L), ("c", 100L, 1L))
+      .toDF("src", "cap", "w")
+    val out = Curation.allocateBudget(df, "src", "cap", "w", 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // a saturates at 10; remaining 90 splits 2:1 -> b 60, c 30
+    assert(out("a") == ((10L, true)))
+    assert(out("b") == ((60L, false)))
+    assert(out("c") == ((30L, false)))
+  }
+
+  test("allocateBudget: remainder +1s, degenerate targets, cap ceiling") {
+    val s = spark
+    import s.implicits._
+    val eq = Seq(("a", 100L, 1L), ("b", 100L, 1L), ("c", 100L, 1L))
+      .toDF("src", "cap", "w")
+    // 100/3: floors 33 each, one +1 by (frac desc, key) -> 'a'
+    val r1 = Curation.allocateBudget(eq, "src", "cap", "w", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r1 == Map("a" -> 34L, "b" -> 33L, "c" -> 33L))
+    // target above total capacity: everyone saturates at cap
+    val r2 = Curation.allocateBudget(eq, "src", "cap", "w", 10000L)
+      .collect().map(r => (r.getLong(3), r.getBoolean(4)))
+    assert(r2.forall(_ == ((100L, true))))
+    // zero target: zero allocations
+    val r3 = Curation.allocateBudget(eq, "src", "cap", "w", 0L)
+      .collect().map(_.getLong(3))
+    assert(r3.forall(_ == 0L))
+    // conservation + cap ceiling on a lumpier instance
+    val lumpy = Seq(("a", 7L, 10L), ("b", 500L, 1L), ("c", 40L, 6L),
+      ("d", 3L, 9L), ("e", 90L, 2L)).toDF("src", "cap", "w")
+    for (t <- Seq(1L, 17L, 100L, 333L, 639L, 640L, 641L, 2000L)) {
+      val rows = Curation.allocateBudget(lumpy, "src", "cap", "w", t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      assert(rows.map(_._3).sum == math.min(t, 640L), s"target=$t")
+      rows.foreach { case (k, cap, alloc) =>
+        assert(alloc >= 0L && alloc <= cap, s"target=$t src=$k")
+      }
+    }
+  }
+
   test("c4Filter: line predicate, page gates, clean_text rebuild") {
     val s = spark
     import s.implicits._

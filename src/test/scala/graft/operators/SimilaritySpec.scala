@@ -152,4 +152,49 @@ class SimilaritySpec extends AnyFunSuite {
     val signs = for (j <- 0 until 4; i <- 1 to dim) yield sign(j.toLong, i)
     assert(signs.contains(1L) && signs.contains(-1L))
   }
+
+  test("mineBitext: mutual best-margin pairs, threshold gates, hub " +
+      "deflation arithmetic") {
+    val s = spark
+    import s.implicits._
+    // 2-D fixture, hand-checked: A0~B1, A2~B3, A4~B5 are the true
+    // alignments; B7 points away from everything
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0.995f, 0.1f)), (3L, Seq(0.08f, 0.997f)),
+      (5L, Seq(0.707f, 0.707f)), (7L, Seq(-1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.mineBitext(a, b, k = 2, threshold = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(all.keySet == Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    // hand-computed (same 6dp-then-rank discipline)
+    assert(math.abs(all((0L, 1L))._2 - 1.179569) < 2e-6)
+    assert(math.abs(all((2L, 3L))._2 - 1.124377) < 2e-6)
+    assert(math.abs(all((4L, 5L))._2 - 1.120983) < 2e-6)
+    assert(math.abs(all((0L, 1L))._1 - 0.994988) < 2e-6)
+    // a higher bar keeps only the sharpest alignment
+    val strict = Similarity.mineBitext(a, b, k = 2, threshold = 1.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((0L, 1L)))
+    // B7 is nobody's mutual best at any positive threshold
+    assert(!all.keySet.exists(_._2 == 7L))
+  }
+
+  test("mineBitext: candidate restriction skips the cross join and " +
+      "bounds the pair space") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0.99f, 0.14f)), (3L, Seq(0.05f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    // only the (0,1) pair is a candidate: (2,3) cannot be mined
+    val cands = Seq((0L, 1L)).toDF("a_id", "b_id")
+    val out = Similarity.mineBitext(a, b, k = 2, threshold = 0.5,
+        candidates = Some(cands))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
 }
