@@ -241,4 +241,60 @@ object CrawlPolicy {
         round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")),
           6).as("mirror_score"))
   }
+
+  /** Per-URL change-rate estimation (Cho & Garcia-Molina 2003, the
+    * bias-corrected Poisson estimator): from a URL's fetch history of
+    * (epoch, version-fingerprint) observations, estimate changes/day
+    * λ̂ = −ln((n − x + 0.5)/(n + 0.5)) / Ī  (n revisits, x of them
+    * changed, Ī mean inter-fetch gap) and derive the λ-optimal revisit
+    * interval 1/λ̂ clamped to [minIntervalS, maxIntervalS]. This is
+    * the PRINCIPLED companion to [[refreshSchedule]]'s reactive
+    * halving/doubling: the AIMD walk adapts with no model; this one
+    * estimates the underlying rate, which a frontier uses to rank
+    * whole hosts by expected staleness.
+    *
+    * History rows order by (epoch, orderCol) — supply a unique
+    * orderCol so equal-epoch observations compare identically on any
+    * engine. URLs with fewer than 2 fetches carry no rate evidence and
+    * are dropped. One window + one groupBy, both keyed by URL.
+    *
+    * Output: (urlCol, n_revisits, n_changes, mean_gap_s, lambda_day
+    * 6dp, next_s, due_epoch).
+    */
+  def changeRate(fetches: DataFrame, urlCol: String = "url",
+                 epochCol: String = "fetch_epoch",
+                 versionCol: String = "version",
+                 orderCol: String = "ord",
+                 minIntervalS: Long = 3600L,
+                 maxIntervalS: Long = 1209600L): DataFrame = {
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy(col(epochCol), col(orderCol))
+    val seq0 = fetches.withColumn("__prev",
+      lag(col(versionCol), 1).over(w))
+    val agg = seq0.groupBy(col(urlCol)).agg(
+      (count(lit(1)) - 1).as("n_revisits"),
+      sum(when(col("__prev").isNotNull &&
+        col(versionCol) =!= col("__prev"), 1L).otherwise(0L))
+        .as("n_changes"),
+      min(col(epochCol)).as("__e0"),
+      max(col(epochCol)).as("__e1"))
+      // <2 fetches or zero elapsed time carry no rate evidence
+      .filter(col("n_revisits") >= 1 && col("__e1") > col("__e0"))
+    val n = col("n_revisits")
+    val x = col("n_changes")
+    val ibar = (col("__e1") - col("__e0")) * lit(1.0) / n
+    val lam = -log((n - x + lit(0.5)) / (n + lit(0.5))) / ibar
+    agg
+      .withColumn("mean_gap_s", round(ibar, 4))
+      .withColumn("lambda_day", round(lam * lit(86400.0), 6))
+      .withColumn("next_s",
+        when(x === 0, lit(maxIntervalS))
+          .otherwise(least(lit(maxIntervalS),
+            greatest(lit(minIntervalS),
+              floor(lit(1.0) / lam).cast("long")))))
+      .withColumn("due_epoch", col("__e1") + col("next_s"))
+      .select(col(urlCol), col("n_revisits"), col("n_changes"),
+        col("mean_gap_s"), col("lambda_day"), col("next_s"),
+        col("due_epoch"))
+  }
 }

@@ -403,6 +403,53 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Corpus-wide duplicate n-gram fraction (the RefinedWeb/Gopher
+    * CROSS-document repetition signal — [[repetitionSignals]] measures
+    * repeats inside one doc; this measures how much of a doc's n-gram
+    * mass exists in OTHER documents, the template/boilerplate smell
+    * that survives within-doc checks). Per doc: the fraction of its
+    * n-gram OCCURRENCES whose gram appears in ≥2 distinct documents.
+    *
+    * Plan: one (doc, gram) partial-agg count, one gram-keyed corpus
+    * count (uniform key — a gram shared by everything is exactly what
+    * the signal detects, and its count row is still one row), join
+    * back, one per-doc agg. No gram list ever materializes per row.
+    *
+    * Returns (idCol, n_grams, dup_frac) — n_grams counts occurrences,
+    * dup_frac at 4dp, 0.0 for docs too short for any gram.
+    */
+  def crossDupGramFraction(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int = 5): DataFrame = {
+    val occ = ngramOccurrences(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"))
+    val joined = occ.join(corpus, "gram")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("dup"))
+    docs.select(col(idCol)).join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("dup") * lit(1.0) / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** ALL word n-gram occurrences (not distinct) of `textCol` per row:
+    * (idCol, gram).
+    */
+  private def ngramOccurrences(df: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame = {
+    val toks = toksCol(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+  }
+
   /** Token-budget water-filling across sources (the data-mixing
     * allocator): split a `target` token budget over sources
     * proportionally to `wCol`, capping each source at `capCol` and

@@ -72,4 +72,58 @@ object Layout {
     stats.withColumn("candidate",
       !(col("max_x") < x0 || col("min_x") > x1 ||
         col("max_y") < y0 || col("min_y") > y1))
+
+  /** Shuffle-key skew report — the diagnostic you run BEFORE keying a
+    * 100 TB join/agg on a column: per-key row counts reduced to one
+    * row of distribution shape. `skew_ratio` = max/mean is the direct
+    * straggler bound (the biggest partition does skew_ratio× the
+    * average task's work); `gini` summarizes whole-distribution
+    * imbalance (0 uniform → 1 one-key-takes-all); `suggested_salt` =
+    * ceil(max_cnt · parallelism / total) is the salt factor that
+    * brings the hottest key back to one task's fair share (1 = no salt
+    * needed — exactly the Frontier/O10 salting rule, derived from data
+    * instead of guessed).
+    *
+    * Exact discrete stats, no sampling: p50/p90/p99 are the counts at
+    * ceil(q·n_keys) in ascending order (type-7-free, engine-exact),
+    * gini via the rank-weighted form 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n on
+    * ascending (count, key) order. One partial-agg count per key +
+    * one rank window over KEYS (not rows) — the report costs one scan
+    * however wide the data.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 parallelism: Int): DataFrame = {
+    require(keyCols.nonEmpty && parallelism > 0)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt"),
+      concat_ws("", keyCols.map(c => col(c).cast("string")): _*))
+    val ranked = keyed.withColumn("__i", row_number().over(ord))
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      sum(col("cnt") * col("__i")).as("__iw"))
+      .crossJoin(broadcast(
+        ranked.crossJoin(broadcast(
+          ranked.agg(max(col("__i")).as("__n"))))
+          .agg(
+            max(when(col("__i") ===
+              ceil(col("__n") * 0.5).cast("long"), col("cnt"))).as("p50"),
+            max(when(col("__i") ===
+              ceil(col("__n") * 0.9).cast("long"), col("cnt"))).as("p90"),
+            max(when(col("__i") ===
+              ceil(col("__n") * 0.99).cast("long"), col("cnt"))).as("p99"))))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50"), col("p90"), col("p99"),
+        round(col("max_cnt") * col("n_keys") * lit(1.0) / col("n_rows"), 4)
+          .as("skew_ratio"),
+        round(lit(2.0) * col("__iw") / (col("n_keys") * col("n_rows"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"),
+        greatest(lit(1L),
+          ceil(col("max_cnt") * lit(parallelism.toLong) * lit(1.0)
+            / col("n_rows")).cast("long")).as("suggested_salt"))
+  }
 }

@@ -161,4 +161,39 @@ object SetSimilarity {
       .select(col("a_id"), col("b_id"),
         round(col("i") * lit(1.0) / col("na"), 4).as("containment"))
   }
+
+  /** Edit-distance near-duplicate pairs over short strings (titles,
+    * product names, citation keys — the fuzzy-dedup staple): within a
+    * caller-chosen block, all (a < b) pairs at levenshtein ≤ `maxDist`.
+    * Codegen'd builtin on both the Spark side and any SQL oracle —
+    * unit insert/delete/substitute costs, the classic definition.
+    *
+    * Blocking carries ALL the scale: the join is quadratic within a
+    * block by design, so block on something that bounds group size
+    * (normalized first token, sorted-key prefix, an LSH bucket) and
+    * the loud `maxBucket` guard rejects skewed blockings instead of
+    * melting a stage. Spark 3.5+'s thresholded levenshtein short-
+    * circuits, so each comparison is O(len·maxDist), not O(len²).
+    */
+  def editNearDupPairs(df: DataFrame, idCol: String, strCol: String,
+                       blockCol: String, maxDist: Int,
+                       maxBucket: Long = 1000L): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val e = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      col(blockCol).as("blk"))
+    val biggest = e.groupBy("blk").count().agg(max("count")).head()
+    val big = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
+    require(big <= maxBucket,
+      s"editNearDupPairs: largest block has $big rows (> maxBucket=" +
+        s"$maxBucket); choose a finer blocking key or raise maxBucket")
+    e.alias("a")
+      .join(e.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("dist",
+        levenshtein(col("a.s"), col("b.s"), maxDist + 1)
+          .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("dist") <= maxDist && col("dist") >= 0)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("dist"))
+  }
 }

@@ -358,6 +358,36 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Cho/Garcia-Molina bias-corrected Poisson change-rate estimation
+    // over the same synthetic fetch history as q_recrawl_schedule:
+    // λ̂ = −ln((n−x+0.5)/(n+0.5))/Ī in changes/day plus the λ-optimal
+    // clamped revisit interval. The oracle replays the lag-window
+    // change detection and the estimator arithmetic (shared ln +
+    // round-6 discipline).
+    "q_recrawl_lambda" -> { (s, dir) =>
+      val fetches = table(s, dir, "events").select(
+        concat(lit("u"), pmod(col("user_id"), lit(20L)), lit("/"),
+          pmod(col("event_id"), lit(25L))).as("url"),
+        unix_timestamp(col("ts")).as("fetch_epoch"),
+        pmod(col("event_id"), lit(4L)).as("version"),
+        col("event_id").as("ord"))
+      graft.operators.CrawlPolicy.changeRate(fetches)
+    },
+
+    // Shuffle-key skew report over a deliberately skewed host column
+    // (one hot host takes ~1/3 of all rows): exact per-key counts
+    // reduced to max/p50/p90/p99/gini/skew-ratio and the derived salt
+    // factor — the pre-flight diagnostic for keying any big shuffle.
+    "q_skew_report" -> { (s, dir) =>
+      val rows = table(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(3L)) === 0,
+          lit("hot.example.com"))
+          .otherwise(concat(lit("h"), pmod(col("user_id"), lit(50L)),
+            lit(".example.com"))).as("host"))
+      graft.operators.Layout.skewReport(rows, Seq("host"),
+        parallelism = 32)
+    },
+
     // Self-built cluster index + the reference's acquisition flow run
     // against it: 10k captures sort into 40-line gzip cdx blocks (4 per
     // file), cluster.idx carries each block's first key + range; then
@@ -1656,6 +1686,71 @@ object CrawlQueries {
           FROM t LEFT JOIN f
             ON t.host = f.host AND t.template = f.template
           WHERE f.host IS NULL""",
+
+    "q_recrawl_lambda" ->
+      """WITH src AS (
+           SELECT 'u' || (user_id % 20) || '/' || (event_id % 25) AS url,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                  event_id % 4 AS v, event_id AS ord
+           FROM events),
+         w AS (
+           SELECT url, e, v,
+                  lag(v) OVER (PARTITION BY url ORDER BY e, ord) AS pv
+           FROM src),
+         a AS (
+           SELECT url, count(*) - 1 AS n_revisits,
+                  sum(CASE WHEN pv IS NOT NULL AND v <> pv
+                           THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                  min(e) AS e0, max(e) AS e1
+           FROM w GROUP BY 1),
+         f AS (
+           SELECT url, n_revisits, n_changes, e1,
+                  (e1 - e0) * 1.0 / n_revisits AS ibar,
+                  -ln((n_revisits - n_changes + 0.5) / (n_revisits + 0.5))
+                    / ((e1 - e0) * 1.0 / n_revisits) AS lam
+           FROM a WHERE n_revisits >= 1 AND e1 > e0),
+         g AS (
+           SELECT url, n_revisits, n_changes, ibar, lam, e1,
+                  CASE WHEN n_changes = 0 THEN 1209600
+                       ELSE least(1209600, greatest(3600,
+                         CAST(floor(1.0 / lam) AS BIGINT))) END AS next_s
+           FROM f)
+         SELECT url, n_revisits::BIGINT AS n_revisits, n_changes,
+                round(ibar, 4) AS mean_gap_s,
+                round(lam * 86400.0, 6) AS lambda_day,
+                next_s::BIGINT AS next_s,
+                (e1 + next_s)::BIGINT AS due_epoch
+         FROM g""",
+
+    "q_skew_report" ->
+      """WITH r AS (
+           SELECT CASE WHEN event_id % 3 = 0 THEN 'hot.example.com'
+                       ELSE 'h' || (user_id % 50) || '.example.com'
+                  END AS host
+           FROM events),
+         k AS (SELECT host, count(*)::BIGINT AS cnt FROM r GROUP BY 1),
+         i AS (SELECT cnt,
+                      row_number() OVER (ORDER BY cnt, host) AS ix,
+                      count(*) OVER () AS nk
+               FROM k),
+         a AS (
+           SELECT max(nk) AS n_keys, sum(cnt)::BIGINT AS n_rows,
+                  max(cnt) AS max_cnt,
+                  sum(cnt * ix)::BIGINT AS iw,
+                  max(CASE WHEN ix = CAST(ceil(nk * 0.5) AS BIGINT)
+                           THEN cnt END) AS p50,
+                  max(CASE WHEN ix = CAST(ceil(nk * 0.9) AS BIGINT)
+                           THEN cnt END) AS p90,
+                  max(CASE WHEN ix = CAST(ceil(nk * 0.99) AS BIGINT)
+                           THEN cnt END) AS p99
+           FROM i)
+         SELECT n_keys::BIGINT AS n_keys, n_rows, max_cnt, p50, p90, p99,
+                round(max_cnt * n_keys * 1.0 / n_rows, 4) AS skew_ratio,
+                round(2.0 * iw / (n_keys * n_rows)
+                      - (n_keys + 1.0) / n_keys, 6) AS gini,
+                greatest(1, CAST(ceil(max_cnt * 32 * 1.0 / n_rows)
+                                 AS BIGINT))::BIGINT AS suggested_salt
+         FROM a""",
 
     "q_recrawl_schedule" ->
       """WITH RECURSIVE src AS (

@@ -155,6 +155,21 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Cross-document duplicate 5-gram fraction (RefinedWeb signal,
+    // distinct from q_quality_repetition's within-doc form): 2/3 of
+    // docs get one of two 12-token banners PREPENDED, so banner grams
+    // are corpus-duplicated while the soup grams stay unique. The
+    // oracle replays gram explosion, per-doc-gram counts, the corpus
+    // doc-count join and the occurrence-weighted fraction.
+    "q_dup_ngram_cross" -> { (s, dir) =>
+      val sel = pmod(col("doc_id").cast(LongType), lit(3L))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(sel === 1, concat(lit(BannerA), lit(" "), col("text")))
+          .when(sel === 2, concat(lit(BannerB), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Curation.crossDupGramFraction(docs, "doc_id", "text", n = 5)
+    },
+
     // Token-budget water-filling over the 20 fixture sources: caps =
     // per-source whitespace-token totals, weights = the q_source_mix
     // formula, target 12000 — high enough that high-weight sources
@@ -438,6 +453,38 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_dup_ngram_cross" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id AS BIGINT) % 3
+                    WHEN 1 THEN '$BannerA ' || text
+                    WHEN 2 THEN '$BannerB ' || text
+                    ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM d),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(len(tk) - 4),
+                    i -> array_to_string(tk[(i+1):(i+5)], ' '))) AS gram
+           FROM t WHERE len(tk) >= 5),
+         o AS (
+           SELECT doc_id, gram, count(*)::BIGINT AS cnt
+           FROM g GROUP BY 1, 2),
+         c AS (SELECT gram, count(*) AS nd FROM o GROUP BY 1),
+         j AS (
+           SELECT o.doc_id, sum(o.cnt)::BIGINT AS n_grams,
+                  sum(CASE WHEN c.nd > 1 THEN o.cnt ELSE 0 END)::BIGINT
+                    AS dup
+           FROM o JOIN c USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(j.n_grams, 0)::BIGINT AS n_grams,
+                CASE WHEN coalesce(j.n_grams, 0) > 0
+                     THEN round(j.dup * 1.0 / j.n_grams, 4)
+                     ELSE 0.0 END AS dup_frac
+         FROM d LEFT JOIN j USING (doc_id)""",
 
     "q_mixture_alloc" ->
       """WITH src AS (

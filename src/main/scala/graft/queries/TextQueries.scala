@@ -448,6 +448,24 @@ object TextQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 20)
     },
 
+    // Edit-distance fuzzy dedup over synthesized titles: docs sharing
+    // doc_id%40 get near-identical titles differing in a rev digit and
+    // a source tag, blocked by the page number (the scale lever), all
+    // in-block pairs at levenshtein <= 3. Both engines run their
+    // builtin classic Levenshtein, so any blocking/pairing/threshold
+    // drift breaks the hash.
+    "q_edit_dedup" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("page "), pmod(id, lit(40L)), lit(" rev "),
+          pmod(id, lit(3L)), lit(" "),
+          substring(col("source"), 1, 4)).as("title"),
+        concat(lit("b"), pmod(id, lit(40L))).as("blk"))
+      graft.operators.SetSimilarity.editNearDupPairs(docs, "doc_id",
+        "title", "blk", maxDist = 3)
+    },
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019): side A =
     // even vec_ids, side B = odd; margin = cos / mean-top-4
     // neighborhood sim, mined pairs = mutual best-margin above 1.02.
@@ -1557,6 +1575,18 @@ object TextQueries {
                          sqrt(list_dot_product(b.v, b.v))), 4) AS sim
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
          SELECT a_id, b_id, sim FROM p WHERE sim >= 0.99""",
+    "q_edit_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  'page ' || (doc_id % 40) || ' rev ' || (doc_id % 3)
+                    || ' ' || substr(source, 1, 4) AS title,
+                  'b' || (doc_id % 40) AS blk
+           FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                levenshtein(a.title, b.title)::BIGINT AS dist
+         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 3""",
+
     "q_bitext_mine" ->
       """WITH av AS (
            SELECT vec_id AS a_id, generate_subscripts(embedding, 1) AS idx,

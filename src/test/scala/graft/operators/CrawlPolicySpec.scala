@@ -176,4 +176,39 @@ class CrawlPolicySpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(5)).toSeq
     assert(g2 == Seq(1.0))
   }
+
+  test("changeRate: bias-corrected Poisson estimator, clamps, and " +
+      "no-evidence URLs dropped") {
+    val s = spark
+    import s.implicits._
+    // u1: 5 fetches over 4 days, 2 changes (v 1->1->2->2->3)
+    val day = 86400L
+    val u1 = (0 to 4).map(i =>
+      ("u1", i * day, Seq(1L, 1L, 2L, 2L, 3L)(i), i.toLong))
+    // u2: never changes -> lambda 0, interval capped at max
+    val u2 = (0 to 3).map(i => ("u2", i * day * 2, 7L, i.toLong))
+    // u3: single fetch -> dropped; u4: all same epoch -> dropped
+    val rest = Seq(("u3", 0L, 1L, 0L), ("u4", 5L, 1L, 0L),
+      ("u4", 5L, 2L, 1L))
+    val df = (u1 ++ u2 ++ rest)
+      .toDF("url", "fetch_epoch", "version", "ord")
+    val out = CrawlPolicy.changeRate(df, minIntervalS = 3600L,
+        maxIntervalS = 1209600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out.keySet == Set("u1", "u2"))
+    val (n1, x1, lam1, next1, due1) = out("u1")
+    assert(n1 == 4L && x1 == 2L)
+    // lambda_day = -ln((4-2+0.5)/(4+0.5)) / 86400 * 86400 = ln(4.5/2.5)
+    val want = BigDecimal(math.log(4.5 / 2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lam1 - want) < 1e-9)
+    // optimal interval 1/lam ~ 146958 s, inside the clamp
+    assert(next1 == math.floor(86400.0 / math.log(4.5 / 2.5)).toLong)
+    assert(due1 == 4 * 86400L + next1)
+    val (n2, x2, lam2, next2, _) = out("u2")
+    assert(n2 == 3L && x2 == 0L && lam2 == 0.0)
+    assert(next2 == 1209600L, "no observed change -> max interval")
+  }
 }

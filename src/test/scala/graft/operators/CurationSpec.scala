@@ -331,6 +331,33 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("crossDupGramFraction: shared passages count, within-doc " +
+      "repeats alone do not") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      // docs 1 and 2 share a 5-token passage -> 1 dup occurrence each
+      (1L, s"$shared unique one two three four"),
+      (2L, s"zz yy $shared ww vv"),
+      // doc 3 repeats ITS OWN gram twice: both occurrences of the
+      // repeated gram live in one doc -> nd == 1 -> not cross-dup
+      (3L, "p q r s t p q r s t"),
+      // doc 4: all-unique soup
+      (4L, "k l m n o j i h g f"),
+      // doc 5: too short for any 5-gram
+      (5L, "just four words here")).toDF("doc_id", "text")
+    val out = Curation.crossDupGramFraction(df, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 6L && out(1L)._2 == 0.1667)
+    assert(out(2L)._1 == 5L && out(2L)._2 == 0.2)
+    assert(out(3L)._1 == 6L && out(3L)._2 == 0.0,
+      "self-repeats are not cross-document duplication")
+    assert(out(4L) == ((6L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+  }
+
   test("allocateBudget: saturated prefix, proportional fill, " +
       "largest-remainder, conservation") {
     val s = spark

@@ -52,4 +52,30 @@ class LayoutSpec extends AnyFunSuite {
         assert(candSet.contains(bucket), s"point ($x,$y) bucket $bucket")
       }
   }
+
+  test("skewReport: exact shape stats and the salt rule on a known " +
+      "distribution") {
+    val s = spark
+    import s.implicits._
+    // counts: a=6, b=2, c=1, d=1 -> total 10, 4 keys
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Layout.skewReport(rows, Seq("k"), parallelism = 8).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L &&
+      r.getLong(2) == 6L)
+    // ascending (cnt, key): c=1(i1), d=1(i2), b=2(i3), a=6(i4)
+    // p50 at ceil(2)=2 -> 1; p90 at ceil(3.6)=4 -> 6; p99 at 4 -> 6
+    assert(r.getLong(3) == 1L && r.getLong(4) == 6L && r.getLong(5) == 6L)
+    // skew_ratio = 6*4/10 = 2.4
+    assert(r.getDouble(6) == 2.4)
+    // gini = 2*(1*1+1*2+2*3+6*4)/(4*10) - 5/4 = 2*33/40 - 1.25 = 0.4
+    assert(math.abs(r.getDouble(7) - 0.4) < 1e-9)
+    // salt = ceil(6*8/10) = 5
+    assert(r.getLong(8) == 5L)
+    // uniform distribution: gini 0, salt 1
+    val uni = (0 until 8).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    val u = Layout.skewReport(uni, Seq("k"), parallelism = 8).head()
+    assert(math.abs(u.getDouble(7)) < 1e-9 && u.getLong(8) == 1L &&
+      u.getDouble(6) == 1.0)
+  }
 }

@@ -152,4 +152,32 @@ class SetSimilaritySpec extends AnyFunSuite {
     }
     assert(runContain(sets) == bruteContain(sets))
   }
+
+  test("editNearDupPairs: in-block pairs at classic Levenshtein, " +
+      "threshold and blocking respected") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "kitten", "k"), (2L, "sitting", "k"), (3L, "kitchen", "k"),
+      (4L, "mitten", "k"),
+      // same string, different block: never paired
+      (5L, "kitten", "x"), (6L, "kitten", "x2")).toDF("id", "s", "blk")
+    val out = SetSimilarity.editNearDupPairs(df, "id", "s", "blk",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // classic distances: kitten-sitting 3, kitten-kitchen 2,
+    // kitten-mitten 1, sitting-kitchen 5 (out), sitting-mitten 3,
+    // kitchen-mitten 3
+    assert(out == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (1L, 4L) -> 1L,
+      (2L, 4L) -> 3L, (3L, 4L) -> 3L))
+    // oversized block fails loudly
+    val big = (0L until 50L).map(i => (i, s"s$i", "one"))
+      .toDF("id", "s", "blk")
+    val e = intercept[IllegalArgumentException] {
+      SetSimilarity.editNearDupPairs(big, "id", "s", "blk", 1,
+        maxBucket = 10L).count()
+    }
+    assert(e.getMessage.contains("maxBucket"))
+  }
 }
