@@ -136,6 +136,116 @@ object Multimodal {
   val decodeImageUdf = udf((b: Array[Byte]) =>
     decodeImage(b).map { case (w, h, hist) => (w, h, hist) })
 
+  /** 64-bit average perceptual hash (aHash) of an image, in EXACT
+    * integer arithmetic so an oracle can replay it from a pixel
+    * formula: pixel (x,y) maps to 8×8 grid cell (x·8 div w, y·8 div h);
+    * cell bit = 1 iff cellSum·(w·h) > totalSum·cellN (cell mean above
+    * global mean, compared cross-multiplied — no float mean anywhere).
+    * Bit index = (by·8+bx); returned as two non-negative 32-bit halves
+    * (lo = bits 0–31, hi = bits 32–63) so downstream SQL needs no
+    * signed-64 shift games. Luminance matches [[decodeImage]]:
+    * gray raster sample, or (r+g+b)/3 truncated.
+    */
+  def aHash(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val raster = if (gray) img.getRaster else null
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val lum =
+          if (gray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+        val c = by * 8 + x * 8 / w
+        sums(c) += lum
+        cnts(c) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hi = 0L
+    var lo = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * n > total * cnts(c)) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    Some((w, h, hi, lo))
+  }
+
+  val aHashUdf = udf((b: Array[Byte]) => aHash(b))
+
+  /** Per-image aHash table: (refCol, width, height, hash_hi, hash_lo);
+    * undecodable payloads drop (they carry no visual identity).
+    */
+  def imageAHashes(media: DataFrame, refCol: String = "media_ref",
+                   bytesCol: String = "bytes"): DataFrame =
+    media
+      .withColumn("__ah", aHashUdf(col(bytesCol)))
+      .filter(col("__ah").isNotNull)
+      .select(col(refCol),
+        col("__ah._1").cast(org.apache.spark.sql.types.LongType)
+          .as("width"),
+        col("__ah._2").cast(org.apache.spark.sql.types.LongType)
+          .as("height"),
+        col("__ah._3").as("hash_hi"), col("__ah._4").as("hash_lo"))
+
+  /** Perceptual near-duplicate image pairs: aHash + the simhash
+    * playbook — 4×16-bit band blocking (exact for maxDist ≤ 3 by
+    * pigeonhole), then codegen'd bit_count(xor) Hamming verification.
+    * The resize/crop/re-encode copies that byte-digest dedup misses
+    * land within a few aHash bits; the decode UDF runs once per image,
+    * everything after is integer columns.
+    */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 3,
+                        refCol: String = "media_ref",
+                        bytesCol: String = "bytes"): DataFrame = {
+    require(maxDist <= 3, "4-band blocking is only exact for maxDist <= 3")
+    val hashed = imageAHashes(media, refCol, bytesCol)
+    val banded = hashed.select(
+      col(refCol), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        struct(lit(0).as("band"),
+          col("hash_lo").bitwiseAND(lit(0xffffL)).as("bh")),
+        struct(lit(1).as("band"),
+          shiftright(col("hash_lo"), 16).as("bh")),
+        struct(lit(2).as("band"),
+          col("hash_hi").bitwiseAND(lit(0xffffL)).as("bh")),
+        struct(lit(3).as("band"),
+          shiftright(col("hash_hi"), 16).as("bh")))).as("bb"))
+      .select(col(refCol), col("hash_hi"), col("hash_lo"),
+        col("bb.band"), col("bb.bh"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$refCol") < col(s"b.$refCol"))
+      .select(col(s"a.$refCol").as("a_ref"), col(s"b.$refCol").as("b_ref"),
+        (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+          bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo"))))
+          .cast(org.apache.spark.sql.types.LongType).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   val resizeImageUdf = udf((b: Array[Byte], maxDim: Int) =>
     resizeImage(b, maxDim))
 

@@ -37,6 +37,21 @@ object PipelineQueries {
              lit(".png\">")).as("chunk_body"),
       lit("text/html").as("mime"))
 
+  /** Real 16x16 gray PNGs for the perceptual-hash queries: doc_id div 2
+    * picks the pixel base (even/odd twins), odd twins get pixel (15,15)
+    * shifted +180 mod 256. The oracle replays the identical formula.
+    */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((id: Long) =>
+      Multimodal.encodeGrayPng(16, 16, (x, y) =>
+        (((x * 31 + y * 17 + (id / 2) * 7) % 256 +
+          (if (id % 2 == 1 && x == 15 && y == 15) 180L else 0L))
+          % 256).toInt))
+    table(s, dir, "documents").select(
+      concat(lit("media://img/"), col("doc_id")).as("media_ref"),
+      pngUdf(col("doc_id").cast(LongType)).as("bytes"))
+  }
+
   val defs: Map[String, Q] = Map(
     // S4/F13–F15/F20 + A7: html -> spans -> word/char counts through the
     // full production spanize chain.
@@ -400,6 +415,27 @@ object PipelineQueries {
     // decoded dimensions + the luminance-histogram energy. PNG is
     // lossless, so the oracle predicts the features straight from the
     // pixel formula — any decode defect breaks the match.
+    // 64-bit average perceptual hash over REAL 16x16 gray PNGs: docs
+    // pair up (doc_id div 2 shares a pixel base), odd twins get one
+    // corner pixel shifted +180 — the resized/re-encoded-copy shape
+    // byte digests miss. Integer cross-multiplied cell-vs-global mean
+    // bits, two 32-bit halves; the oracle replays pixels -> cells ->
+    // bits -> halves from the same formula.
+    "q_image_phash" -> { (s, dir) =>
+      Multimodal.imageAHashes(phashMedia(s, dir))
+        .select(col("media_ref"), col("width"), col("height"),
+          col("hash_hi"), col("hash_lo"))
+    },
+
+    // Perceptual near-dup image pairs: aHash + 4x16-bit band blocking
+    // (exact for Hamming <= 3) + codegen'd bit_count(xor) verification.
+    // The planted odd twins land within a few bits of their even base;
+    // the oracle replays hashing, banding, the string-ref pair order
+    // and the Hamming filter.
+    "q_image_neardup" -> { (s, dir) =>
+      Multimodal.imageNearDupPairs(phashMedia(s, dir), maxDist = 3)
+    },
+
     "q_media_decode" -> { (s, dir) =>
       val pngUdf = udf((ord: Long, w: Int, h: Int) =>
         Multimodal.encodeGrayPng(w, h,
@@ -600,6 +636,39 @@ object PipelineQueries {
   )
 
   /** StopwordsEn as a DuckDB list literal — must match Boilerplate. */
+  /** SQL replay of the phashMedia pixel formula through cell sums to
+    * the two aHash halves (shared by q_image_phash / q_image_neardup).
+    * (A % 256 + 180) % 256 == (A + 180) % 256 for non-negative A, so
+    * the perturbation composes into one modulus.
+    */
+  private val phashBaseSql =
+    """px AS MATERIALIZED (
+         SELECT d.doc_id, t.range % 16 AS x, t.range // 16 AS y,
+                ((t.range % 16) * 31 + (t.range // 16) * 17
+                 + (CAST(d.doc_id AS BIGINT) // 2) * 7
+                 + CASE WHEN d.doc_id % 2 = 1 AND t.range % 16 = 15
+                         AND t.range // 16 = 15
+                        THEN 180 ELSE 0 END) % 256 AS p
+         FROM documents d, range(256) t),
+       c AS (
+         SELECT doc_id, (y * 8 // 16) * 8 + (x * 8 // 16) AS cell,
+                sum(p)::BIGINT AS cs, count(*)::BIGINT AS cn
+         FROM px GROUP BY 1, 2),
+       tot AS (SELECT doc_id, sum(p)::BIGINT AS ts FROM px GROUP BY 1),
+       bits AS (
+         SELECT c.doc_id, c.cell,
+                CASE WHEN c.cs * 256 > t.ts * c.cn THEN 1 ELSE 0 END AS b
+         FROM c JOIN tot t USING (doc_id)),
+       hh AS MATERIALIZED (
+         SELECT doc_id,
+                sum(CASE WHEN cell >= 32
+                         THEN b * (1::BIGINT << (cell - 32))
+                         ELSE 0 END)::BIGINT AS hash_hi,
+                sum(CASE WHEN cell < 32
+                         THEN b * (1::BIGINT << cell)
+                         ELSE 0 END)::BIGINT AS hash_lo
+         FROM bits GROUP BY 1)"""
+
   private val stopListSql = graft.functions.Boilerplate.StopwordsEn
     .toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -937,6 +1006,36 @@ object PipelineQueries {
                  CAST(sum(np_left + 1) AS BIGINT) AS n_spans
           FROM surv WHERE np_left > 0 GROUP BY domain"""
     },
+    "q_image_phash" ->
+      s"""WITH $phashBaseSql
+         SELECT 'media://img/' || doc_id AS media_ref,
+                16::BIGINT AS width, 16::BIGINT AS height,
+                hash_hi, hash_lo
+         FROM hh""",
+
+    "q_image_neardup" ->
+      s"""WITH $phashBaseSql,
+         bands AS (
+           SELECT doc_id, hash_hi, hash_lo, 0 AS band,
+                  hash_lo % 65536 AS bh FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 1, hash_lo // 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 3, hash_hi // 65536 FROM hh),
+         pr AS (
+           SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi,
+                  (bit_count(xor(a.hash_hi, b.hash_hi))
+                   + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT
+                    AS dist
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh
+            AND 'media://img/' || a.doc_id < 'media://img/' || b.doc_id)
+         SELECT 'media://img/' || ai AS a_ref,
+                'media://img/' || bi AS b_ref, dist
+         FROM pr WHERE dist <= 3""",
+
     "q_media_decode" ->
       """WITH d AS (
            SELECT doc_id, CAST(doc_id AS BIGINT) AS ord FROM documents),

@@ -402,4 +402,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(al.sum_sq == sumSq(Multimodal.alawToLinear))
     assert(mu.sum_sq != al.sum_sq) // the two codecs must not alias
   }
+
+  test("aHash: scale-invariant blocks, perturbation locality, " +
+      "undecodable dropped") {
+    def px(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val base = Multimodal.aHash(Multimodal.encodeGrayPng(16, 16, px)).get
+    // nearest-neighbour 2x upscale preserves every cell mean exactly
+    val up = Multimodal.aHash(
+      Multimodal.encodeGrayPng(32, 32, (x, y) => px(x / 2, y / 2))).get
+    assert((base._3, base._4) == ((up._3, up._4)),
+      "aHash must be resolution-invariant under exact upscaling")
+    // halves are non-negative 32-bit values
+    assert(base._3 >= 0L && base._3 < (1L << 32) &&
+      base._4 >= 0L && base._4 < (1L << 32))
+    // one corner pixel shifted: Hamming stays tiny
+    val pert = Multimodal.aHash(Multimodal.encodeGrayPng(16, 16,
+      (x, y) => if (x == 15 && y == 15) (px(x, y) + 180) % 256
+                else px(x, y))).get
+    val dist = java.lang.Long.bitCount(base._3 ^ pert._3) +
+      java.lang.Long.bitCount(base._4 ^ pert._4)
+    assert(dist <= 3, s"one-pixel change moved $dist bits")
+    // a wholly different image is far
+    val other = Multimodal.aHash(Multimodal.encodeGrayPng(16, 16,
+      (x, y) => (y * 16 + (15 - x)) % 256)).get
+    val far = java.lang.Long.bitCount(base._3 ^ other._3) +
+      java.lang.Long.bitCount(base._4 ^ other._4)
+    assert(far > 3)
+    assert(Multimodal.aHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.aHash(null).isEmpty)
+  }
+
+  test("imageNearDupPairs: planted twin found, blocking exact at " +
+      "Hamming <= 3") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    def mk(f: (Int, Int) => Int) = Multimodal.encodeGrayPng(16, 16, f)
+    val rows = Seq(
+      ("img/a", mk((x, y) => (x * 31 + y * 17) % 256)),
+      ("img/b", mk((x, y) => // a's corner twin
+        if (x == 15 && y == 15) ((15 * 31 + 15 * 17) % 256 + 180) % 256
+        else (x * 31 + y * 17) % 256)),
+      ("img/c", mk((x, y) => (y * 16 + (15 - x)) % 256)),
+      ("img/junk", Array[Byte](1, 2, 3)))
+      .toDF("media_ref", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(rows, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(("img/a", "img/b")))
+    assert(pairs.head._3 <= 3)
+  }
 }
