@@ -403,6 +403,36 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Overlapping sliding-window chunking (the long-document →
+    * embedding/context-window prep): token windows of `window` words
+    * every `stride` words, so consecutive chunks share window−stride
+    * words of context. Chunk starts run 0, stride, … through
+    * ceil(max(n−window,0)/stride)·stride — every token is covered, the
+    * final chunk may be short, and a doc shorter than one window is
+    * one chunk. Map-only (transform + posexplode); chunk ids are
+    * per-doc positions, so downstream joins key on (id, chunk_id).
+    *
+    * Output: (idCol, chunk_id, tok_offset, n_toks, chunk_text).
+    */
+  def chunkWithStride(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = toksCol(col(textCol))
+    val n = size(toks)
+    val nChunks =
+      (ceil(greatest(n - window, lit(0)) / lit(stride.toDouble)) + 1)
+        .cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
+      (i * stride).cast(LongType).as("tok_offset"),
+      least(n - i * stride, lit(window)).cast(LongType).as("n_toks"),
+      concat_ws(" ", slice(toks, i * stride + 1, lit(window)))
+        .as("chunk_text")))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("c.tok_offset"), col("c.n_toks"), col("c.chunk_text"))
+  }
+
   /** Corpus-wide duplicate n-gram fraction (the RefinedWeb/Gopher
     * CROSS-document repetition signal — [[repetitionSignals]] measures
     * repeats inside one doc; this measures how much of a doc's n-gram

@@ -73,6 +73,45 @@ object Layout {
       !(col("max_x") < x0 || col("min_x") > x1 ||
         col("max_y") < y0 || col("min_y") > y1))
 
+  /** Exact equi-join size estimation + strategy advice, from per-key
+    * counts alone (two partial aggs over the key — never the join
+    * itself): join_rows = Σ_k cnt_a(k)·cnt_b(k), max_key_out = the
+    * largest single key's output. Strategy rule: `broadcast` when the
+    * smaller side fits `broadcastRowLimit`; else `salted_shuffle` when
+    * one key's output exceeds its fair share of `parallelism` tasks by
+    * 4× (the AQE-skew-style bound, derived not guessed); else
+    * `shuffle`. This is the pre-flight you run before keying a 100 TB
+    * join — the estimate costs two scans of the KEYS, not a trial
+    * join.
+    */
+  def joinEstimate(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                   parallelism: Int,
+                   broadcastRowLimit: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty && parallelism > 0)
+    val ka = a.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("ca"))
+    val kb = b.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cb"))
+    val j = ka.join(kb, keyCols)
+      .agg(
+        count(lit(1)).as("keys_common"),
+        sum(col("ca") * col("cb")).as("join_rows"),
+        max(col("ca") * col("cb")).as("max_key_out"))
+    val totals = ka.agg(sum(col("ca")).as("rows_a"),
+        count(lit(1)).as("keys_a"))
+      .crossJoin(kb.agg(sum(col("cb")).as("rows_b"),
+        count(lit(1)).as("keys_b")))
+    totals.crossJoin(j)
+      .select(
+        col("rows_a"), col("rows_b"), col("keys_a"), col("keys_b"),
+        coalesce(col("keys_common"), lit(0L)).as("keys_common"),
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        coalesce(col("max_key_out"), lit(0L)).as("max_key_out"),
+        when(least(col("rows_a"), col("rows_b")) <= broadcastRowLimit,
+          lit("broadcast"))
+          .when(col("max_key_out") * parallelism >
+            col("join_rows") * 4, lit("salted_shuffle"))
+          .otherwise(lit("shuffle")).as("strategy"))
+  }
+
   /** Shuffle-key skew report — the diagnostic you run BEFORE keying a
     * 100 TB join/agg on a column: per-key row counts reduced to one
     * row of distribution shape. `skew_ratio` = max/mean is the direct

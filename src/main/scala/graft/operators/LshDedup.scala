@@ -189,6 +189,28 @@ object LshDedup {
       .withColumn("comp", coalesce($"comp", $"ord"))
   }
 
+  /** Quality-argmax representative selection over the near-dup
+    * components: where [[selfDedup]] keeps the FIRST-seen doc of every
+    * conflict set (the reference's insert/query replay), this keeps
+    * the BEST one — per component, the row maximizing (`qCol` desc,
+    * ord asc) survives. This is the curation-grade variant: when a
+    * boilerplate family has one clean long copy and ten truncated
+    * mirrors, first-wins keeps whichever crawled first; this keeps the
+    * clean one. `quality` is any (ord, qCol) frame — chars, Gopher
+    * score, model LLR. One join + one window, both keyed by
+    * component/ord.
+    *
+    * Output: components(ord, comp) ⋈ quality + `kept`.
+    */
+  def dedupRepresentatives(mh: DataFrame, quality: DataFrame,
+                           qCol: String = "q"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(qCol).desc, col("ord"))
+    components(mh).join(quality, "ord")
+      .withColumn("kept", row_number().over(w) === 1)
+  }
+
   private case class ReplayDoc(doc_id: String, ord: Long, bands: Seq[Long])
 
   /** A1 self-dedup: survivors of the first-wins insert/query replay.

@@ -155,6 +155,15 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Overlapping sliding-window chunking (window 12, stride 8): every
+    // token covered, consecutive chunks share 4 words, short final
+    // chunks and shorter-than-window docs exact. The oracle replays
+    // chunk counts, offsets and slices.
+    "q_chunk_stride" -> { (s, dir) =>
+      Curation.chunkWithStride(table(s, dir, "documents"), "doc_id",
+        "text", window = 12, stride = 8)
+    },
+
     // Cross-document duplicate 5-gram fraction (RefinedWeb signal,
     // distinct from q_quality_repetition's within-doc form): 2/3 of
     // docs get one of two 12-token banners PREPENDED, so banner grams
@@ -453,6 +462,21 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_chunk_stride" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, tk,
+                  unnest(range(CAST(ceil(greatest(len(tk) - 12, 0) / 8.0)
+                               AS BIGINT) + 1)) AS i
+           FROM t)
+         SELECT doc_id, i::BIGINT AS chunk_id,
+                (i * 8)::BIGINT AS tok_offset,
+                least(len(tk) - i * 8, 12)::BIGINT AS n_toks,
+                array_to_string(tk[(i*8+1):(i*8+12)], ' ') AS chunk_text
+         FROM c""",
 
     "q_dup_ngram_cross" ->
       s"""WITH d AS (

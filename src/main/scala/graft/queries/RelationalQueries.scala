@@ -101,6 +101,20 @@ object RelationalQueries {
     },
 
     // Broadcast-join chain: dims are tiny -> broadcast, fact aggregated.
+    // Exact join-size pre-flight from per-key counts (never running
+    // the join): customer⋈orders cardinality, the hottest key's
+    // output, and the broadcast/salted/shuffle verdict under a tiny
+    // broadcast limit so the salted-vs-plain branch is the one the
+    // fixture exercises.
+    "q_join_estimate" -> { (s, dir) =>
+      graft.operators.Layout.joinEstimate(
+        table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey")),
+        table(s, dir, "orders")
+          .select(col("o_custkey").as("custkey")),
+        Seq("custkey"), parallelism = 32, broadcastRowLimit = 10L)
+    },
+
     "q_join_region_sales" -> { (s, dir) =>
       val cust = table(s, dir, "customer")
       val nat  = table(s, dir, "nation")
@@ -310,8 +324,36 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
          FROM events GROUP BY event_type
          ORDER BY n DESC, event_type ASC LIMIT 5""",
+    "q_join_estimate" ->
+      """WITH ka AS (
+           SELECT c_custkey AS k, count(*)::BIGINT AS ca
+           FROM customer GROUP BY 1),
+         kb AS (
+           SELECT o_custkey AS k, count(*)::BIGINT AS cb
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT count(*)::BIGINT AS keys_common,
+                  sum(ca * cb)::BIGINT AS join_rows,
+                  max(ca * cb)::BIGINT AS max_key_out
+           FROM ka JOIN kb USING (k)),
+         t AS (
+           SELECT (SELECT sum(ca)::BIGINT FROM ka) AS rows_a,
+                  (SELECT count(*)::BIGINT FROM ka) AS keys_a,
+                  (SELECT sum(cb)::BIGINT FROM kb) AS rows_b,
+                  (SELECT count(*)::BIGINT FROM kb) AS keys_b)
+         SELECT t.rows_a, t.rows_b, t.keys_a, t.keys_b,
+                coalesce(j.keys_common, 0)::BIGINT AS keys_common,
+                coalesce(j.join_rows, 0)::BIGINT AS join_rows,
+                coalesce(j.max_key_out, 0)::BIGINT AS max_key_out,
+                CASE WHEN least(t.rows_a, t.rows_b) <= 10
+                       THEN 'broadcast'
+                     WHEN j.max_key_out * 32 > j.join_rows * 4
+                       THEN 'salted_shuffle'
+                     ELSE 'shuffle' END AS strategy
+         FROM t, j""",
+
     "q_join_region_sales" ->
-      """SELECT r_name, count(*) AS n_orders,
+"""SELECT r_name, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey

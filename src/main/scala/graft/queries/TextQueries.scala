@@ -521,6 +521,21 @@ object TextQueries {
       LshDedup.components(LshDedup.minhashed(lshDocs(s, dir), b))
     },
 
+    // Quality-argmax representative per near-dup component: same band
+    // graph as q_lsh_components, but the survivor is the LONGEST doc
+    // of each conflict set ((n_chars desc, ord) argmax) instead of the
+    // first seen — the curation-grade dedup. The oracle extends the
+    // transitive-closure replay with the same argmax window.
+    "q_dedup_representatives" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      val quality = table(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("ord"),
+          col("n_chars").as("q"))
+      LshDedup.dedupRepresentatives(
+          LshDedup.minhashed(lshDocs(s, dir), b), quality)
+        .select(col("ord"), col("comp"), col("q"), col("kept"))
+    },
+
     // MinHash+LSH self-dedup survivors over the documents table, via the
     // production first-wins replay (b bands for t=0.9). Oracle: the same
     // greedy replay as a DuckDB recursive CTE over the conflict-pair
@@ -1190,6 +1205,28 @@ object TextQueries {
             UNION
             SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b)
           SELECT a AS ord, min(b) AS comp FROM reach GROUP BY a""",
+
+    "q_dedup_representatives" ->
+      s"""WITH RECURSIVE $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+          $lshPairsCte,
+          conf AS MATERIALIZED (
+            SELECT a_ord, b_ord FROM pairs
+            UNION
+            SELECT x.ord, y.ord FROM docs x JOIN docs y
+            ON x.doc_id = y.doc_id AND x.ord < y.ord),
+          sym AS MATERIALIZED (
+            SELECT a_ord AS x, b_ord AS y FROM conf
+            UNION SELECT b_ord, a_ord FROM conf),
+          reach(a, b) AS (
+            SELECT ord, ord FROM docs
+            UNION
+            SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b),
+          cc AS (SELECT a AS ord, min(b) AS comp FROM reach GROUP BY a)
+          SELECT cc.ord, cc.comp, d.n_chars AS q,
+                 row_number() OVER (PARTITION BY cc.comp
+                   ORDER BY d.n_chars DESC, cc.ord) = 1 AS kept
+          FROM cc JOIN documents d ON d.doc_id = cc.ord""",
     // First-wins replay as a sequential state machine: one recursion step
     // per doc in ord order, the kept set carried as a LIST; a doc is
     // dropped iff it conflicts (shared band bucket, or same doc_id) with

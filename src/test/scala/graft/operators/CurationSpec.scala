@@ -331,6 +331,31 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("chunkWithStride: coverage, overlap, short tails, sub-window " +
+      "docs") {
+    val s = spark
+    import s.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunkWithStride(df, "doc_id", "text",
+        window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // n=10, W=4, S=3 -> ceil(6/3)+1 = 3 chunks at offsets 0,3,6
+    assert(out((1L, 0L)) == ((0L, 4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((3L, 4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((6L, 4L, "w7 w8 w9 w10")))
+    // shorter than one window: single whole-doc chunk
+    assert(out((2L, 0L)) == ((0L, 3L, "a b c")))
+    assert(out.size == 4)
+    // stride == window -> disjoint cover with a short tail
+    val disj = Curation.chunkWithStride(df, "doc_id", "text", 4, 4)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(3), r.getString(4)))
+    assert(disj.map(_._1).sum == 10L, "disjoint chunks partition tokens")
+  }
+
   test("crossDupGramFraction: shared passages count, within-doc " +
       "repeats alone do not") {
     val s = spark

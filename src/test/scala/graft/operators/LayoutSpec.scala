@@ -53,6 +53,32 @@ class LayoutSpec extends AnyFunSuite {
       }
   }
 
+  test("joinEstimate: exact cardinality and the strategy ladder") {
+    val s = spark
+    import s.implicits._
+    // a: k1 x2, k2 x1, k3 x1; b: k1 x3, k2 x2, k9 x5 (k9 never joins)
+    val a = Seq("k1", "k1", "k2", "k3").toDF("k")
+    val b = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq.fill(5)("k9"))
+      .toDF("k")
+    // join rows = 2*3 + 1*2 = 8, hottest key k1 -> 6
+    val r = Layout.joinEstimate(a, b, Seq("k"), parallelism = 4,
+      broadcastRowLimit = 2L).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L)  // rows
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)   // keys
+    assert(r.getLong(4) == 2L)                         // common keys
+    assert(r.getLong(5) == 8L && r.getLong(6) == 6L)
+    // max_key_out*par = 24 > join_rows*4 = 32? no -> plain shuffle
+    assert(r.getString(7) == "shuffle")
+    // tiny side under the limit -> broadcast wins
+    val br = Layout.joinEstimate(a, b, Seq("k"), 4,
+      broadcastRowLimit = 100L).head()
+    assert(br.getString(7) == "broadcast")
+    // one key dominating the output -> salted
+    val hot = (Seq.fill(20)("k1") ++ Seq("k2")).toDF("k")
+    val sr = Layout.joinEstimate(hot, hot, Seq("k"), 8, 2L).head()
+    assert(sr.getString(7) == "salted_shuffle")
+  }
+
   test("skewReport: exact shape stats and the salt rule on a known " +
       "distribution") {
     val s = spark

@@ -128,4 +128,27 @@ class LshParitySpec extends AnyFunSuite {
       LshDedup.connectedComponents(edges, maxIter = 1, localThreshold = 0)
     }
   }
+
+  test("dedupRepresentatives: best-quality doc survives its component, " +
+       "first-wins does not decide") {
+    val dup = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      // ords 1,2,3 are one near-dup family; 2 is the LONGEST
+      (1L, dup), (2L, dup + " extra"), (3L, dup),
+      // 9 is a singleton
+      (9L, "a completely different document about nothing shared at all"))
+      .map { case (o, t) => (s"d$o", o, t) }.toDF("doc_id", "ord", "text")
+    val quality = docs.select(col("ord"),
+      length(col("text")).cast("long").as("q"))
+    val out = LshDedup.dedupRepresentatives(
+        LshDedup.minhashed(docs, b = 16), quality)
+      .collect()
+      .map(r => r.getAs[Long]("ord") ->
+        ((r.getAs[Long]("comp"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(2L)._2, "longest member must be the representative")
+    assert(!out(1L)._2 && !out(3L)._2,
+      "first-seen must lose to a better-quality later doc")
+    assert(out(9L)._2, "singletons keep themselves")
+  }
 }
