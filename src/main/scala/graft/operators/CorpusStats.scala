@@ -59,6 +59,39 @@ object CorpusStats {
           * lit(1.0) / col("n_words"), 4))
   }
 
+  /** Unicode-script mix per document: letter counts for the five
+    * highest-volume web scripts + ASCII digits, the dominant script
+    * (priority-ordered tie-break) and a mixed-script flag — the
+    * cheap pre-langID routing signal, and the page-level complement
+    * of the host-level homoglyph gate (mixed Latin/Cyrillic inside
+    * one page is the same spoof smell). Pure regex-count columns.
+    */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast(LongType)
+    val out = df
+      .withColumn("n_latin", cnt("\\p{IsLatin}"))
+      .withColumn("n_cyrillic", cnt("\\p{IsCyrillic}"))
+      .withColumn("n_greek", cnt("\\p{IsGreek}"))
+      .withColumn("n_han", cnt("\\p{IsHan}"))
+      .withColumn("n_arabic", cnt("\\p{IsArabic}"))
+      .withColumn("n_digit", cnt("[0-9]"))
+    val top = greatest(col("n_latin"), col("n_cyrillic"), col("n_greek"),
+      col("n_han"), col("n_arabic"))
+    val nz = Seq("n_latin", "n_cyrillic", "n_greek", "n_han", "n_arabic")
+      .map(c => when(col(c) > 0, 1).otherwise(0)).reduce(_ + _)
+    out
+      .withColumn("dominant",
+        when(top === 0, lit("none"))
+          .when(col("n_latin") === top, lit("latin"))
+          .when(col("n_cyrillic") === top, lit("cyrillic"))
+          .when(col("n_greek") === top, lit("greek"))
+          .when(col("n_han") === top, lit("han"))
+          .otherwise(lit("arabic")))
+      .withColumn("mixed", nz >= 2)
+  }
+
   /** Zipf rank-frequency fit per `groupCol`: lowered-whitespace term
     * frequencies, ranked (freq desc, term asc — deterministic ties),
     * then ordinary least squares of ln(freq) on ln(rank). Returns one
@@ -68,6 +101,32 @@ object CorpusStats {
     * the triage signal. Plan: one (group, term) partial-agg count, one
     * rank window bounded by the group, one scalar-agg per group.
     */
+  /** Vocabulary coverage under a frequency-top-`vocabSize` vocab: per
+    * doc, token count and the OOV fraction a tokenizer/embedding table
+    * of that size would see. Vocab rank ties break (freq desc, term) —
+    * deterministic. The vocab is model state (vocabSize rows,
+    * broadcast); the corpus pays one explode + one partial-agg.
+    *
+    * Output: (idCol, n_tokens, n_oov, oov_frac 4dp).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize > 0)
+    val terms = docs.select(col(idCol),
+      explode(toks(lower(col(textCol)))).as("term"))
+    val w = Window.orderBy(col("f").desc, col("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("f"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov") * lit(1.0) / col("n_tokens"), 4))
+  }
+
   def zipfStats(df: DataFrame, groupCol: String, textCol: String)
       : DataFrame = {
     val terms = df

@@ -403,6 +403,37 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Deterministic weighted sample without replacement
+    * (Efraimidis–Spirakis 2006, the one-pass weighted-reservoir rule):
+    * each row gets key ln(u)/w — u a content-derived "uniform" from
+    * the first 8 md5 hex digits of its id, w its weight — and the k
+    * LARGEST keys win. Inclusion probability follows the weights
+    * exactly as the ES scheme prescribes, yet everything is a pure
+    * function of (id, w): reproducible across engines, partitionings
+    * and reruns (a rand() sample is none of these). The key stays
+    * internal (keys near u→1 collapse to ±0 under display rounding —
+    * emitting them invites sign-of-zero drift); the ranking uses the
+    * raw double, which both engines derive from the same exact
+    * integers, with the id as tie-break. The rank is a global window
+    * over rows — at corpus scale swap in the per-partition top-k +
+    * merge decomposition (samplePerGroup's discipline); the semantics
+    * here are the contract.
+    *
+    * Output: df + kept.
+    */
+  def sampleWeighted(df: DataFrame, keyCol: String, wCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast(LongType)
+    val u = (h + 1) / lit(4294967296.0)
+    val w = Window.orderBy(col("__es").desc, col(keyCol))
+    df.withColumn("__es", log(u) / col(wCol))
+      .withColumn("kept", row_number().over(w) <= k)
+      .drop("__es")
+  }
+
   /** Overlapping sliding-window chunking (the long-document →
     * embedding/context-window prep): token windows of `window` words
     * every `stride` words, so consecutive chunks share window−stride

@@ -155,6 +155,18 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Efraimidis–Spirakis weighted sample: weights = n_chars, k = 100,
+    // "uniform" = first 8 md5 hex digits of doc_id. The oracle rebuilds
+    // u from the same digits (unicode-arithmetic hex decode), ranks
+    // ln(u)/w identically and emits the same kept set.
+    "q_weighted_sample" -> { (s, dir) =>
+      Curation.sampleWeighted(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").as("w")),
+        "doc_id", "w", k = 100)
+        .select(col("doc_id"), col("w"), col("kept"))
+    },
+
     // Overlapping sliding-window chunking (window 12, stride 8): every
     // token covered, consecutive chunks share 4 words, short final
     // chunks and shorter-than-window docs exact. The oracle replays
@@ -462,6 +474,23 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_weighted_sample" ->
+      s"""WITH m AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         k AS (
+           SELECT doc_id, w,
+                  ln(((${(2 to 8).foldLeft(
+                      s"CAST(${hexDigit(1)} AS BIGINT)")((acc, i) =>
+                    s"($acc * 16 + ${hexDigit(i)})")}) + 1)
+                     / 4294967296.0) / w AS es
+           FROM m)
+         SELECT doc_id, w,
+                row_number() OVER (ORDER BY es DESC, doc_id) <= 100
+                  AS kept
+         FROM k""",
 
     "q_chunk_stride" ->
       """WITH t AS (

@@ -448,6 +448,37 @@ object TextQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 20)
     },
 
+    // Unicode-script mix: per doc_id%5 a Cyrillic/Greek/Han/Arabic
+    // phrase is appended to the Latin soup plus the doc_id digits;
+    // script letter counts, dominant script and the mixed flag must
+    // match DuckDB's RE2 \p{Script} counts against Java's \p{IsScript}
+    // — two independent Unicode engines agreeing on the same classes.
+    "q_script_mix" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val suffix = element_at(array(
+        lit(""),
+        lit(" привет мир как дела"),
+        lit(" γεια σου κόσμε"),
+        lit(" 你好 世界 测试"),
+        lit(" مرحبا بالعالم")), (pmod(id, lit(5L)) + 1).cast("int"))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), suffix, lit(" "), id.cast("string"))
+          .as("text"))
+      graft.operators.CorpusStats.scriptMix(docs, "text")
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_greek"), col("n_han"), col("n_arabic"), col("n_digit"),
+          col("dominant"), col("mixed"))
+    },
+
+    // Vocabulary coverage: per-doc OOV fraction under the corpus
+    // frequency-top-64 vocabulary ((freq desc, term) rank ties). The
+    // oracle rebuilds the vocab with the same window and replays the
+    // join + fraction.
+    "q_vocab_coverage" -> { (s, dir) =>
+      graft.operators.CorpusStats.vocabCoverage(
+        table(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
+    },
+
     // Edit-distance fuzzy dedup over synthesized titles: docs sharing
     // doc_id%40 get near-identical titles differing in a rev digit and
     // a source tag, blocked by the page number (the scale lever), all
@@ -1612,6 +1643,74 @@ object TextQueries {
                          sqrt(list_dot_product(b.v, b.v))), 4) AS sim
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id)
          SELECT a_id, b_id, sim FROM p WHERE sim >= 0.99""",
+    "q_script_mix" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  text || CASE CAST(doc_id AS BIGINT) % 5
+                    WHEN 1 THEN ' привет мир как дела'
+                    WHEN 2 THEN ' γεια σου κόσμε'
+                    WHEN 3 THEN ' 你好 世界 测试'
+                    WHEN 4 THEN ' مرحبا بالعالم'
+                    ELSE '' END || ' ' || CAST(doc_id AS VARCHAR)
+                    AS text
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '\p{Latin}'))::BIGINT
+                    AS n_latin,
+                  len(regexp_extract_all(text, '\p{Cyrillic}'))::BIGINT
+                    AS n_cyrillic,
+                  len(regexp_extract_all(text, '\p{Greek}'))::BIGINT
+                    AS n_greek,
+                  len(regexp_extract_all(text, '\p{Han}'))::BIGINT
+                    AS n_han,
+                  len(regexp_extract_all(text, '\p{Arabic}'))::BIGINT
+                    AS n_arabic,
+                  len(regexp_extract_all(text, '[0-9]'))::BIGINT
+                    AS n_digit
+           FROM d),
+         g AS (
+           SELECT *,
+                  greatest(n_latin, n_cyrillic, n_greek, n_han,
+                           n_arabic) AS top
+           FROM c)
+         SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+                n_digit,
+                CASE WHEN top = 0 THEN 'none'
+                     WHEN n_latin = top THEN 'latin'
+                     WHEN n_cyrillic = top THEN 'cyrillic'
+                     WHEN n_greek = top THEN 'greek'
+                     WHEN n_han = top THEN 'han'
+                     ELSE 'arabic' END AS dominant,
+                ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN n_han > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END)) >= 2
+                  AS mixed
+         FROM g""",
+
+    "q_vocab_coverage" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents),
+         f AS (SELECT term, count(*) AS f FROM t GROUP BY 1),
+         v AS (
+           SELECT term FROM (
+             SELECT term,
+                    row_number() OVER (ORDER BY f DESC, term) AS r
+             FROM f) WHERE r <= 64)
+         SELECT t.doc_id,
+                count(*)::BIGINT AS n_tokens,
+                sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_oov,
+                round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      * 1.0 / count(*), 4) AS oov_frac
+         FROM t LEFT JOIN v ON t.term = v.term
+         GROUP BY 1""",
+
     "q_edit_dedup" ->
       """WITH t AS (
            SELECT doc_id,

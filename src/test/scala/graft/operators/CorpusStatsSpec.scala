@@ -45,6 +45,46 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
   }
 
+  test("scriptMix: counts, dominance priority, mixed flag") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello world 123"),              // latin + digits
+      (2L, "привет gооgle"),                // cyrillic-dominant mix
+      (3L, "你好世界"),                      // han only
+      (4L, "42 + 17 = 59"),                 // digits only -> none
+      (5L, "abcd абвг")                     // 4 vs 4 tie -> latin wins
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.scriptMix(df, "text")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_han", "n_digit",
+        "dominant", "mixed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, 3L, "latin", false)))
+    // "gооgle" has Cyrillic о twice -> latin 4, cyrillic 6+2=8
+    assert(out(2L)._1 == 4L && out(2L)._2 == 8L)
+    assert(out(2L)._5 == "cyrillic" && out(2L)._6)
+    assert(out(3L) == ((0L, 0L, 4L, 0L, "han", false)))
+    assert(out(4L)._5 == "none" && !out(4L)._6)
+    assert(out(5L)._5 == "latin", "ties resolve by priority order")
+  }
+
+  test("vocabCoverage: OOV fraction under a rank-tied vocab cut") {
+    val s = spark
+    import s.implicits._
+    // freqs: a=4, b=3, c=2, d=1, e=1 -> vocab(3) = {a, b, c}
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b d"), (3L, "a b c e")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.vocabCoverage(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((4L, 1L, 0.25)))
+  }
+
   test("zipfStats: OLS fit matches the closed-form sums, per group, " +
       "layout-invariant") {
     val s = spark

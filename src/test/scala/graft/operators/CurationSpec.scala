@@ -331,6 +331,25 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("sampleWeighted: exact k kept, heavier rows win in expectation, " +
+      "layout-invariant") {
+    val s = spark
+    import s.implicits._
+    // 200 light rows (w=1) + 200 heavy rows (w=50)
+    val rows = (0L until 200L).map(i => (i, 1L)) ++
+      (200L until 400L).map(i => (i, 50L))
+    val df = rows.toDF("doc_id", "w")
+    val run = (parts: Int) => Curation.sampleWeighted(
+        df.repartition(parts), "doc_id", "w", k = 80)
+      .filter(col("kept")).collect().map(_.getLong(0)).sorted.toSeq
+    val a = run(1)
+    assert(a.size == 80)
+    assert(a == run(13), "sample must not depend on partition layout")
+    val heavy = a.count(_ >= 200L)
+    // ES with w=50 vs w=1 makes heavy rows overwhelmingly likely
+    assert(heavy > 60, s"expected heavy rows to dominate, got $heavy/80")
+  }
+
   test("chunkWithStride: coverage, overlap, short tails, sub-window " +
       "docs") {
     val s = spark
