@@ -242,6 +242,60 @@ object CrawlPolicy {
           6).as("mirror_score"))
   }
 
+  /** Post-hoc politeness audit of a fetch log: per host, the
+    * inter-request gap profile and how many gaps violated
+    * `minDelayS` — the compliance check you run over yesterday's crawl
+    * before believing the scheduler. Rows order by (epoch, orderCol)
+    * inside each host (supply a unique orderCol for engine-exact
+    * ordering under equal epochs). One lag window + one agg, both
+    * keyed by host.
+    *
+    * Output: (hostCol, n_fetches, n_gaps, min_gap_s, mean_gap_s 4dp,
+    * n_violations).
+    */
+  def politenessAudit(fetches: DataFrame, hostCol: String = "host",
+                      epochCol: String = "fetch_epoch",
+                      orderCol: String = "ord",
+                      minDelayS: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(epochCol), col(orderCol))
+    fetches
+      .withColumn("__gap", col(epochCol) - lag(col(epochCol), 1).over(w))
+      .groupBy(col(hostCol))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        count(col("__gap")).as("n_gaps"),
+        min(col("__gap")).as("min_gap_s"),
+        round(avg(col("__gap")), 4).as("mean_gap_s"),
+        sum(when(col("__gap") < minDelayS, 1L).otherwise(0L))
+          .as("n_violations"))
+  }
+
+  /** Exponentially-weighted fetch-volume forecast per key (capacity
+    * planning across dumps): fold e ← (num·x + (den−num)·e)/den over
+    * the per-`tCol` counts in time order, seeded with the first
+    * observation. The fold runs inside one array column per key
+    * (sort_array(collect_list) — a key's history is dumps, not rows,
+    * so the list is tiny at any corpus scale), and the oracle replays
+    * the identical IEEE op sequence as a recursive CTE.
+    *
+    * Output: (keyCol, n_points, forecast 4dp).
+    */
+  def ewmaForecast(counts: DataFrame, keyCol: String, tCol: String,
+                   xCol: String, num: Int = 1, den: Int = 4): DataFrame = {
+    require(num > 0 && den > num, "need 0 < num < den")
+    val seqd = counts.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"),
+        col(xCol).cast("double").as("x")))).as("xs"))
+    val e = aggregate(col("xs"), lit(null).cast("double"),
+      (acc, s) => when(acc.isNull, s("x"))
+        .otherwise((s("x") * num + acc * (den - num)) / den))
+    seqd.select(col(keyCol),
+      size(col("xs")).cast(org.apache.spark.sql.types.LongType)
+        .as("n_points"),
+      round(e, 4).as("forecast"))
+  }
+
   /** Per-URL change-rate estimation (Cho & Garcia-Molina 2003, the
     * bias-corrected Poisson estimator): from a URL's fetch history of
     * (epoch, version-fingerprint) observations, estimate changes/day

@@ -403,4 +403,53 @@ object HostRank {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
   }
+
+  /** Synchronous deterministic label propagation (Raghavan et al.
+    * 2007, the community detector that needs no parameter k): labels
+    * start as node ids; each round, EVERY node simultaneously takes
+    * the most frequent label among its (undirected) neighbours, ties
+    * to the smallest label; isolated nodes keep their own. `iters` is
+    * fixed (synchronous LPA oscillates on bipartite-ish structures —
+    * a bounded budget with deterministic ties is the reproducible
+    * form; the async coin-flip variant cannot be oracled). Hosts in
+    * one mirror network / link farm converge to one label within a
+    * couple of rounds — the community complement of the pairwise
+    * [[graft.operators.CrawlPolicy.mirrorHosts]] evidence.
+    *
+    * Plan per round: one (node, label) count agg + one argmax window
+    * keyed by node — shuffles keyed on node ids, no collect; the
+    * round count bounds plan depth.
+    *
+    * Output: (node, label) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iters >= 1 && iters <= 10, "bounded synchronous rounds")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("nl"))
+    for (_ <- 1 to iters) {
+      val best = sym
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "nl"), "b")
+        .groupBy(col("a").as("node"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nl"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -358,6 +358,44 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Synchronous label propagation over 3 disconnected host clusters
+    // (cluster = event_id%3 offsets both endpoints): 3 rounds of
+    // most-frequent-neighbour-label with (count desc, label) ties.
+    // The oracle unrolls the identical rounds as CTEs.
+    "q_lpa_communities" -> { (s, dir) =>
+      val cluster = pmod(col("event_id"), lit(3L)) * 10
+      val e = table(s, dir, "events").select(
+        concat(lit("h"), (pmod(col("user_id"), lit(10L)) + cluster)
+          .cast("string")).as("src"),
+        concat(lit("h"), (pmod(col("event_id"), lit(10L)) + cluster)
+          .cast("string")).as("dst"))
+      graft.operators.HostRank.labelPropagation(e, iters = 3)
+    },
+
+    // Politeness compliance audit of a synthetic fetch log: per-host
+    // inter-request gaps (lag over (epoch, event_id)), min/mean and
+    // the count under the 3600 s floor.
+    "q_politeness_audit" -> { (s, dir) =>
+      val fetches = table(s, dir, "events").select(
+        concat(lit("h"), pmod(col("user_id"), lit(25L))).as("host"),
+        unix_timestamp(col("ts")).as("fetch_epoch"),
+        col("event_id").as("ord"))
+      graft.operators.CrawlPolicy.politenessAudit(fetches,
+        minDelayS = 3600L)
+    },
+
+    // EWMA fetch-volume forecast per host over 3 dumps (alpha = 1/4):
+    // the fold runs left-to-right inside one tiny array per host; the
+    // oracle replays the identical IEEE sequence as a recursive CTE.
+    "q_fetch_forecast" -> { (s, dir) =>
+      val counts = table(s, dir, "events").groupBy(
+        concat(lit("h"), pmod(col("user_id"), lit(25L))).as("host"),
+        pmod(col("event_id"), lit(3L)).as("dump"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.CrawlPolicy.ewmaForecast(counts, "host", "dump",
+        "x")
+    },
+
     // Cho/Garcia-Molina bias-corrected Poisson change-rate estimation
     // over the same synthetic fetch history as q_recrawl_schedule:
     // λ̂ = −ln((n−x+0.5)/(n+0.5))/Ī in changes/day plus the λ-optimal
@@ -1686,6 +1724,75 @@ object CrawlQueries {
           FROM t LEFT JOIN f
             ON t.host = f.host AND t.template = f.template
           WHERE f.host IS NULL""",
+
+    "q_lpa_communities" ->
+      (s"""WITH e0 AS (
+           SELECT 'h' || ((user_id % 10) + (event_id % 3) * 10) AS src,
+                  'h' || ((event_id % 10) + (event_id % 3) * 10) AS dst
+           FROM events),
+         sym AS MATERIALIZED (
+           SELECT DISTINCT a, b FROM (
+             SELECT src AS a, dst AS b FROM e0
+             UNION ALL SELECT dst, src FROM e0)
+           WHERE a <> b),
+         n AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+         l0 AS (SELECT node, node AS label FROM n),""" +
+        (1 to 3).map { i =>
+          s"""
+         r$i AS (
+           SELECT s.a AS node, l.label AS nl, count(*) AS cnt
+           FROM sym s JOIN l${i - 1} l ON l.node = s.b GROUP BY 1, 2),
+         b$i AS (
+           SELECT node, nl FROM (
+             SELECT *, row_number() OVER (PARTITION BY node
+               ORDER BY cnt DESC, nl) AS rn FROM r$i) WHERE rn = 1),
+         l$i AS (
+           SELECT n.node, coalesce(b$i.nl, n.node) AS label
+           FROM n LEFT JOIN b$i USING (node))"""
+        }.mkString(",") +
+        "\n         SELECT node, label FROM l3"),
+
+    "q_politeness_audit" ->
+      """WITH f AS (
+           SELECT 'h' || (user_id % 25) AS host,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                  event_id AS ord
+           FROM events),
+         g AS (
+           SELECT host, e,
+                  e - lag(e) OVER (PARTITION BY host
+                                   ORDER BY e, ord) AS gap
+           FROM f)
+         SELECT host,
+                count(*)::BIGINT AS n_fetches,
+                count(gap)::BIGINT AS n_gaps,
+                min(gap)::BIGINT AS min_gap_s,
+                round(avg(gap), 4) AS mean_gap_s,
+                sum(CASE WHEN gap < 3600 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_violations
+         FROM g GROUP BY host""",
+
+    "q_fetch_forecast" ->
+      """WITH RECURSIVE c AS (
+           SELECT 'h' || (user_id % 25) AS host, event_id % 3 AS dump,
+                  count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+         o AS MATERIALIZED (
+           SELECT host, x,
+                  row_number() OVER (PARTITION BY host
+                                     ORDER BY dump) AS rn,
+                  count(*) OVER (PARTITION BY host) AS np
+           FROM c),
+         f(host, rn, e) AS (
+           SELECT host, rn, CAST(x AS DOUBLE) FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.host, o.rn, (o.x * 1 + f.e * 3) / 4
+           FROM f JOIN o ON o.host = f.host AND o.rn = f.rn + 1),
+         m AS (SELECT host, max(rn) AS mr, max(np) AS np
+               FROM o GROUP BY 1)
+         SELECT f.host, m.np::BIGINT AS n_points,
+                round(f.e, 4) AS forecast
+         FROM f JOIN m ON m.host = f.host AND f.rn = m.mr""",
 
     "q_recrawl_lambda" ->
       """WITH src AS (

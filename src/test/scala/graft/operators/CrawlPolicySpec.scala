@@ -177,6 +177,39 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(g2 == Seq(1.0))
   }
 
+  test("politenessAudit: gaps, violations, single-fetch hosts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("h1", 0L, 0L), ("h1", 10L, 1L), ("h1", 12L, 2L), ("h1", 30L, 3L),
+      ("h2", 100L, 4L)).toDF("host", "fetch_epoch", "ord")
+    val rows = CrawlPolicy.politenessAudit(df, minDelayS = 5L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // gaps: 10, 2, 18 -> min 2, mean 10.0, one violation (2 < 5)
+    val h1 = rows("h1")
+    assert(h1.getLong(1) == 4L && h1.getLong(2) == 3L &&
+      h1.getLong(3) == 2L && h1.getDouble(4) == 10.0 &&
+      h1.getLong(5) == 1L)
+    // single fetch: no gaps -> null min/mean, zero violations
+    val h2 = rows("h2")
+    assert(h2.getLong(1) == 1L && h2.getLong(2) == 0L &&
+      h2.isNullAt(3) && h2.isNullAt(4) && h2.getLong(5) == 0L)
+  }
+
+  test("ewmaForecast: fold order, seed, and the alpha mix") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("h", 0L, 8L), ("h", 1L, 4L), ("h", 2L, 16L),
+      ("solo", 0L, 5L)).toDF("host", "dump", "x")
+    val out = CrawlPolicy.ewmaForecast(df, "host", "dump", "x",
+        num = 1, den = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // e0=8; e1=(4+3*8)/4=7; e2=(16+3*7)/4=9.25
+    assert(out("h") == ((3L, 9.25)))
+    assert(out("solo") == ((1L, 5.0)))
+  }
+
   test("changeRate: bias-corrected Poisson estimator, clamps, and " +
       "no-evidence URLs dropped") {
     val s = spark

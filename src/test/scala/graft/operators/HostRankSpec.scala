@@ -265,4 +265,28 @@ class HostRankSpec extends AnyFunSuite {
     assert(got(3L) == (1L, 1L, 0L))
     assert(got(4L) == (0L, 1L, 0L))
   }
+
+  test("labelPropagation: components converge to one label each, " +
+      "star centre wins, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    // component 1: star around "a" (a-b, a-c, a-d); component 2:
+    // triangle x-y-z; one isolated self-loop edge is filtered out
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("q", "q"))
+      .toDF("src", "dst")
+    val out = HostRank.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // leaves adopt the centre's label round 1 and keep it
+    assert(out("b") == "a" && out("c") == "a" && out("d") == "a")
+    // triangle: every node sees two neighbours with distinct labels ->
+    // min-label tie-break drives all to "x"
+    assert(out("x") == "x" && out("y") == "x" && out("z") == "x")
+    // self-loop-only node never enters the universe
+    assert(!out.contains("q"))
+    // star centre oscillates (bipartite sync-LPA), but only within its
+    // own component's labels — no cross-component leakage
+    assert(out("a") == "b")
+    assert(out.values.toSet.subsetOf(Set("a", "b", "x")))
+  }
 }
