@@ -479,6 +479,26 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
     },
 
+    // Jaro-Winkler record linkage over synthesized name records: three
+    // spelling variants per doc_id%40 family (typo, transposition,
+    // vowel swap), blocked by family. The Spark side runs OUR
+    // from-scratch JW (classic window/transposition/prefix-boost
+    // semantics); the oracle runs DuckDB's independent builtin — two
+    // implementations must agree to 6dp on every surviving pair.
+    "q_jw_linkage" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val variant = element_at(array(
+        lit("smith john"), lit("smith jhon"), lit("smyth john")),
+        (pmod(id, lit(3L)) + 1).cast("int"))
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("rec "), pmod(id, lit(40L)), lit(" "), variant)
+          .as("name"),
+        concat(lit("b"), pmod(id, lit(40L))).as("blk"))
+      graft.operators.SetSimilarity.jaroWinklerPairs(docs, "doc_id",
+        "name", "blk", minSim = 0.9)
+    },
+
     // Edit-distance fuzzy dedup over synthesized titles: docs sharing
     // doc_id%40 get near-identical titles differing in a rev digit and
     // a source tag, blocked by the page number (the scale lever), all
@@ -1710,6 +1730,21 @@ object TextQueries {
                       * 1.0 / count(*), 4) AS oov_frac
          FROM t LEFT JOIN v ON t.term = v.term
          GROUP BY 1""",
+
+    "q_jw_linkage" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  'rec ' || (doc_id % 40) || ' ' ||
+                  CASE CAST(doc_id AS BIGINT) % 3
+                    WHEN 0 THEN 'smith john'
+                    WHEN 1 THEN 'smith jhon'
+                    ELSE 'smyth john' END AS name,
+                  'b' || (doc_id % 40) AS blk
+           FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9""",
 
     "q_edit_dedup" ->
       """WITH t AS (

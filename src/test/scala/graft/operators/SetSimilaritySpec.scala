@@ -153,6 +153,43 @@ class SetSimilaritySpec extends AnyFunSuite {
     assert(runContain(sets) == bruteContain(sets))
   }
 
+  test("jaroWinkler: textbook vectors, boost threshold, empty-string " +
+      "convention") {
+    def jw(a: String, b: String) = SetSimilarity.jaroWinkler(a, b)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333) < 1e-9)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-9)
+    // no shared prefix -> boost is a no-op
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962963) < 1e-9)
+    assert(math.abs(jw("crate", "trace") - 0.7333333333) < 1e-9)
+    // prefix cap at 4
+    assert(math.abs(jw("aaaa", "aaaab") - 0.96) < 1e-9)
+    assert(math.abs(jw("prefix", "prefixxxxx") - 0.92) < 1e-9)
+    // below the 0.7 boost threshold the prefix must NOT help
+    assert(math.abs(jw("abqqqq", "abzzzzzzzz") - 0.5111111111) < 1e-9)
+    // window 0 -> transposed bigram has no matches at all
+    assert(jw("ab", "ba") == 0.0)
+    // DuckDB's empty-string convention (incl. both-empty)
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+  }
+
+  test("jaroWinklerPairs: blocked linkage keeps only close variants") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "smith john", "b"), (2L, "smith jhon", "b"),
+      (3L, "smyth john", "b"), (4L, "completely different", "b"),
+      (5L, "smith john", "other")).toDF("id", "s", "blk")
+    val out = SetSimilarity.jaroWinklerPairs(df, "id", "s", "blk",
+        minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.values.forall(v => v >= 0.9 && v <= 1.0))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("editNearDupPairs: in-block pairs at classic Levenshtein, " +
       "threshold and blocking respected") {
     val s = TestSpark.spark
