@@ -59,6 +59,41 @@ object CorpusStats {
           * lit(1.0) / col("n_words"), 4))
   }
 
+  /** Robust outlier flags via median absolute deviation, per group:
+    * |x − median| > k·MAD marks the row. Medians are EXACT discrete
+    * lower-medians (the value at rank ⌈n/2⌉ in ascending order — no
+    * interpolation, no approx-percentile, so any engine reproduces the
+    * flag bit-for-bit), and MAD is the same rule over |x − median|.
+    * The robust alternative to z-scores for length/score triage: one
+    * spam megadoc moves a mean, not a median. Two rank windows + two
+    * joins, all keyed by the group.
+    *
+    * Output: (groupCol, idCol, xCol, med, mad, outlier).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  xCol: String, k: Int = 3): DataFrame = {
+    require(k > 0)
+    def medianOf(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col(groupCol))))
+        .filter(col("__rn") === ceil(col("__n") / 2.0).cast("long"))
+        .select(col(groupCol), col(vCol).as(out))
+    }
+    val base = df.select(col(groupCol), col(idCol),
+      col(xCol).cast(LongType).as(xCol))
+    val med = medianOf(base, xCol, "med")
+    val dev = base.join(med, groupCol)
+      .withColumn("__d", abs(col(xCol) - col("med")))
+    val mad = medianOf(dev.select(col(groupCol), col("__d")), "__d",
+      "mad")
+    dev.join(mad, groupCol)
+      .select(col(groupCol), col(idCol), col(xCol), col("med"),
+        col("mad"),
+        (abs(col(xCol) - col("med")) > col("mad") * k).as("outlier"))
+  }
+
   /** Unicode-script mix per document: letter counts for the five
     * highest-volume web scripts + ASCII digits, the dominant script
     * (priority-ordered tie-break) and a mixed-script flag — the

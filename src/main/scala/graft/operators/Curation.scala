@@ -403,6 +403,40 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Pair-set evaluation (the dedup/blocking quality harness):
+    * predicted vs ground-truth pair sets → tp/fp/fn and
+    * precision/recall/F1 (4dp). The evaluation every approximate
+    * dedup (LSH bands, simhash blocks, aHash bands, ANN candidates)
+    * owes its user — and the executable form of an exactness CLAIM: a
+    * blocking scheme advertised as lossless under its distance bound
+    * must score P = R = 1 against the exhaustive pairs. One full
+    * outer join on the pair key; both inputs are pair tables (already
+    * reduced), so this costs nothing next to producing them.
+    */
+  def evalPairs(predicted: DataFrame, truth: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    val p = predicted.select(keyCols.map(col): _*).distinct()
+      .withColumn("__p", lit(1))
+    val t = truth.select(keyCols.map(col): _*).distinct()
+      .withColumn("__t", lit(1))
+    p.join(t, keyCols, "full_outer")
+      .agg(
+        sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fp")), 4)
+          .as("precision"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4)
+          .as("recall"),
+        round(col("tp") * lit(2.0) / (col("tp") * 2 + col("fp")
+          + col("fn")), 4).as("f1"))
+  }
+
   /** Deterministic weighted sample without replacement
     * (Efraimidis–Spirakis 2006, the one-pass weighted-reservoir rule):
     * each row gets key ln(u)/w — u a content-derived "uniform" from

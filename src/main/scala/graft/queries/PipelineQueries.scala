@@ -436,6 +436,29 @@ object PipelineQueries {
       Multimodal.imageNearDupPairs(phashMedia(s, dir), maxDist = 3)
     },
 
+    // Executable exactness claim: aHash 4x16 band blocking is lossless
+    // for Hamming <= 3 (pigeonhole), so evaluating the banded pairs
+    // against the EXHAUSTIVE all-pairs truth must score P = R = F1 = 1
+    // with fp = fn = 0. Both engines compute prediction, truth, the
+    // full-outer confusion counts and the metrics independently.
+    "q_dedup_eval" -> { (s, dir) =>
+      val media = phashMedia(s, dir)
+      val pred = graft.operators.Multimodal
+        .imageNearDupPairs(media, maxDist = 3)
+        .select(col("a_ref"), col("b_ref"))
+      val h = graft.operators.Multimodal.imageAHashes(media)
+      val truth = h.alias("a").join(h.alias("b"),
+          col("a.media_ref") < col("b.media_ref"))
+        .filter(
+          (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+            bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo"))))
+            <= 3)
+        .select(col("a.media_ref").as("a_ref"),
+          col("b.media_ref").as("b_ref"))
+      graft.operators.Curation.evalPairs(pred, truth,
+        Seq("a_ref", "b_ref"))
+    },
+
     "q_media_decode" -> { (s, dir) =>
       val pngUdf = udf((ord: Long, w: Int, h: Int) =>
         Multimodal.encodeGrayPng(w, h,
@@ -1006,6 +1029,46 @@ object PipelineQueries {
                  CAST(sum(np_left + 1) AS BIGINT) AS n_spans
           FROM surv WHERE np_left > 0 GROUP BY domain"""
     },
+    "q_dedup_eval" ->
+      s"""WITH $phashBaseSql,
+         bands AS (
+           SELECT doc_id, hash_hi, hash_lo, 0 AS band,
+                  hash_lo % 65536 AS bh FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 1, hash_lo // 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 3, hash_hi // 65536 FROM hh),
+         pred AS (
+           SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh
+            AND 'media://img/' || a.doc_id < 'media://img/' || b.doc_id
+           WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                 + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         truth AS (
+           SELECT a.doc_id AS ai, b.doc_id AS bi
+           FROM hh a JOIN hh b
+             ON 'media://img/' || a.doc_id < 'media://img/' || b.doc_id
+           WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                 + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         m AS (
+           SELECT
+             sum(CASE WHEN p.ai IS NOT NULL AND t.ai IS NOT NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN p.ai IS NOT NULL AND t.ai IS NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN p.ai IS NULL AND t.ai IS NOT NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS fn
+           FROM pred p FULL OUTER JOIN truth t
+             ON p.ai = t.ai AND p.bi = t.bi)
+         SELECT tp, fp, fn,
+                round(tp * 1.0 / (tp + fp), 4) AS precision,
+                round(tp * 1.0 / (tp + fn), 4) AS recall,
+                round(tp * 2.0 / (tp * 2 + fp + fn), 4) AS f1
+         FROM m""",
+
     "q_image_phash" ->
       s"""WITH $phashBaseSql
          SELECT 'media://img/' || doc_id AS media_ref,

@@ -479,6 +479,18 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
     },
 
+    // MAD outlier flags per source over document lengths (every 97th
+    // doc gets +500 chars planted so true outliers exist): exact
+    // discrete lower-medians, |x-med| > 3*MAD. All integers.
+    "q_mad_outliers" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("source"), col("doc_id"),
+        (col("n_chars") + when(pmod(col("doc_id").cast(LongType),
+          lit(97L)) === 0, 500L).otherwise(0L)).as("x"))
+      graft.operators.CorpusStats.madOutliers(docs, "source", "doc_id",
+        "x")
+    },
+
     // Jaro-Winkler record linkage over synthesized name records: three
     // spelling variants per doc_id%40 family (typo, transposition,
     // vowel swap), blocked by family. The Spark side runs OUR
@@ -1730,6 +1742,38 @@ object TextQueries {
                       * 1.0 / count(*), 4) AS oov_frac
          FROM t LEFT JOIN v ON t.term = v.term
          GROUP BY 1""",
+
+    "q_mad_outliers" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  n_chars + CASE WHEN CAST(doc_id AS BIGINT) % 97 = 0
+                                 THEN 500 ELSE 0 END AS x
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY x) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM d),
+         med AS (
+           SELECT source, x AS med FROM r
+           WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+         dev AS (
+           SELECT d.source, d.doc_id, d.x, m.med,
+                  abs(d.x - m.med) AS ad
+           FROM d JOIN med m USING (source)),
+         r2 AS (
+           SELECT source, ad,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ad) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM dev),
+         mad AS (
+           SELECT source, ad AS mad FROM r2
+           WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+         SELECT dev.source, dev.doc_id, dev.x::BIGINT AS x,
+                dev.med::BIGINT AS med, mad.mad::BIGINT AS mad,
+                abs(dev.x - dev.med) > mad.mad * 3 AS outlier
+         FROM dev JOIN mad USING (source)""",
 
     "q_jw_linkage" ->
       """WITH t AS (

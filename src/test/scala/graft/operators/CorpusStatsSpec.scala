@@ -45,6 +45,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
   }
 
+  test("madOutliers: exact lower-medians, the planted spike flagged, " +
+      "means would have been fooled") {
+    val s = spark
+    import s.implicits._
+    // group g: 1,2,3,4,100 -> med 3 (rank ceil(5/2)=3), deviations
+    // 2,1,0,1,97 -> MAD 1 -> only 100 is beyond 3*MAD
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L), ("g", 5L, 100L),
+      // group h: constant -> MAD 0, everything equal to med, no flags
+      ("h", 6L, 7L), ("h", 7L, 7L))
+    val out = CorpusStats.madOutliers(rows.toDF("src", "id", "x"),
+        "src", "id", "x")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((3L, 1L, false)))
+    assert(out(5L) == ((3L, 1L, true)), "the spike must be flagged")
+    assert(out(2L)._3 == false && out(4L)._3 == false)
+    assert(out(6L) == ((7L, 0L, false)) && out(7L) == ((7L, 0L, false)))
+  }
+
   test("scriptMix: counts, dominance priority, mixed flag") {
     val s = spark
     import s.implicits._

@@ -331,6 +331,19 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("evalPairs: confusion counts and metrics on a known overlap") {
+    val s = spark
+    import s.implicits._
+    val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L))
+      .toDF("a", "b")
+    val r = Curation.evalPairs(pred, truth, Seq("a", "b")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.6667 && r.getDouble(4) == 0.5)
+    // f1 = 2*2/(4+1+2) = 0.5714
+    assert(r.getDouble(5) == 0.5714)
+  }
+
   test("sampleWeighted: exact k kept, heavier rows win in expectation, " +
       "layout-invariant") {
     val s = spark
