@@ -404,6 +404,37 @@ object HostRank {
         coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
   }
 
+  /** Directed 2-hop neighbourhood profile: per node, the distinct
+    * 1-hop out-neighbours and the distinct nodes reachable in exactly
+    * two hops that are NEW (not self, not already 1-hop) — the
+    * link-discovery frontier a 2-level crawl expansion would add, and
+    * the classic "friend-of-friend" candidate count. One self-join on
+    * the edge table keyed by the middle node + distinct + anti
+    * conditions; at web scale the middle-node key is the shuffle and
+    * hub middles are the skew to salt (they are also exactly the
+    * nodes trapGate/budget caps would bound first).
+    *
+    * Output: (node, n_1hop, n_2hop_new).
+    */
+  def twoHopNeighbors(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val oneHop = e.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("n_1hop"))
+    val twoHop = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+      .select(col("a"), col("c")).distinct()
+      .filter(col("a") =!= col("c"))
+      .join(e.select(col("a"), col("b").as("c"))
+        .withColumn("__direct", lit(1)), Seq("a", "c"), "left_anti")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("n_2hop_new"))
+    oneHop.join(twoHop, Seq("node"), "left")
+      .select(col("node"), col("n_1hop"),
+        coalesce(col("n_2hop_new"), lit(0L)).as("n_2hop_new"))
+  }
+
   /** Synchronous deterministic label propagation (Raghavan et al.
     * 2007, the community detector that needs no parameter k): labels
     * start as node ids; each round, EVERY node simultaneously takes

@@ -249,6 +249,15 @@ object CrawlQueries {
         iters = 5)
     },
 
+    // Directed 2-hop expansion profile over the shared host-link
+    // fixture: distinct 1-hop out-neighbours vs NEW nodes at exactly
+    // two hops (not self, not direct) — the next crawl ring's size.
+    "q_two_hop" -> { (s, dir) =>
+      graft.operators.HostRank.twoHopNeighbors(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 200))
+    },
+
     // k-core peeling (k=6, 6 rounds = past fixpoint on this graph):
     // hosts surviving iterated degree-6 peel, with within-core degree.
     "q_kcore_hosts" -> { (s, dir) =>
@@ -1349,6 +1358,29 @@ object CrawlQueries {
 
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
+
+    "q_two_hop" ->
+      """WITH ed AS MATERIALIZED (
+           SELECT DISTINCT user_id % 200 AS a,
+                  ((user_id % 200) * 17 + (event_id % 5) * 31 + 7) % 200
+                    AS b
+           FROM events
+           WHERE user_id % 200
+                 <> ((user_id % 200) * 17 + (event_id % 5) * 31 + 7)
+                    % 200),
+         one AS (SELECT a AS node, count(*)::BIGINT AS n_1hop
+                 FROM ed GROUP BY 1),
+         two AS (
+           SELECT t.a AS node, count(*)::BIGINT AS n_2hop_new FROM (
+             SELECT DISTINCT e1.a, e2.b AS c
+             FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+             WHERE e1.a <> e2.b) t
+           LEFT JOIN ed d ON d.a = t.a AND d.b = t.c
+           WHERE d.a IS NULL
+           GROUP BY 1)
+         SELECT one.node, one.n_1hop,
+                coalesce(two.n_2hop_new, 0)::BIGINT AS n_2hop_new
+         FROM one LEFT JOIN two USING (node)""",
 
     "q_charset_decode" ->
       """SELECT doc_id,

@@ -155,6 +155,23 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Luhn-validated card scrubbing: doc_id%4 plants a valid card, an
+    // invalid near-miss (same digits, bad check digit — a bare regex
+    // would redact it), two valid cards, or none. Both engines replay
+    // the digit-doubling checksum and the replace fold.
+    "q_pii_luhn" -> { (s, dir) =>
+      val sel = pmod(col("doc_id").cast(LongType), lit(4L))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(sel === 1, lit(" card 4539578763621486 thanks"))
+            .when(sel === 2, lit(" card 4539578763621487 thanks"))
+            .when(sel === 3,
+              lit(" c1 4111111111111111 and c2 1234567812345670"))
+            .otherwise(lit(""))).as("text"))
+      Curation.scrubLuhn(docs, "text")
+        .select(col("doc_id"), col("n_cc"), col("clean_text"))
+    },
+
     // Efraimidis–Spirakis weighted sample: weights = n_chars, k = 100,
     // "uniform" = first 8 md5 hex digits of doc_id. The oracle rebuilds
     // u from the same digits (unicode-arithmetic hex decode), ranks
@@ -474,6 +491,31 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_pii_luhn" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  text || CASE CAST(doc_id AS BIGINT) % 4
+                    WHEN 1 THEN ' card 4539578763621486 thanks'
+                    WHEN 2 THEN ' card 4539578763621487 thanks'
+                    WHEN 3 THEN ' c1 4111111111111111 and c2 1234567812345670'
+                    ELSE '' END AS text
+           FROM documents),
+         v AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_extract_all(text, '[0-9]{16}'),
+                    n -> list_sum(list_transform(range(1, 17), i ->
+                      CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN (unicode(n[17-i]) - 48) * 2 > 9
+                             THEN (unicode(n[17-i]) - 48) * 2 - 9
+                             ELSE (unicode(n[17-i]) - 48) * 2 END
+                      ELSE unicode(n[17-i]) - 48 END)) % 10 = 0)
+                    AS valid
+           FROM d)
+         SELECT doc_id, len(valid)::BIGINT AS n_cc,
+                list_reduce(list_concat([text], list_distinct(valid)),
+                  (acc, x) -> replace(acc, x, '<CC>')) AS clean_text
+         FROM v""",
 
     "q_weighted_sample" ->
       s"""WITH m AS (

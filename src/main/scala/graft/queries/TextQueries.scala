@@ -610,6 +610,21 @@ object TextQueries {
 
     // ---- rows-only (hash-based; parity in ScalaTest) ----
 
+    // Gzip-compressibility spam signal (JVM Deflater — no SQL twin, so
+    // this is a rows-only query; CurationSpec pins the semantics):
+    // every third doc is made pathologically repetitive, which the
+    // ratio separates from natural soup by a wide margin.
+    "q_compress_ratio" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(id, lit(3L)) === 0,
+          concat_ws(" ", array_repeat(lit("buy now click here"), 40)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Curation.compressionSignal(docs, "text")
+        .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+          col("compress_ratio"))
+    },
+
     // Simhash near-duplicate pairs (Hamming <= 3, exact via 4-band
     // block). The oracle replays the FNV64 token hash with HUGEINT
     // wrap-around arithmetic and the per-bit voting in SQL.

@@ -331,6 +331,44 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("scrubLuhn: checksum separates real cards from regex look-alikes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "pay 4539578763621486 now"),
+      (2L, "id 4539578763621487 is not a card"),       // bad check digit
+      (3L, "two: 4111111111111111 and 1234567812345670"),
+      (4L, "repeat 4111111111111111 then 4111111111111111"),
+      (5L, "short 123456 and words only")
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubLuhn(df, "text")
+      .select("doc_id", "n_cc", "clean_text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((1L, "pay <CC> now")))
+    assert(out(2L) == ((0L, "id 4539578763621487 is not a card")),
+      "Luhn-invalid 16-digit runs must survive")
+    assert(out(3L) == ((2L, "two: <CC> and <CC>")))
+    assert(out(4L) == ((2L, "repeat <CC> then <CC>")))
+    assert(out(5L) == ((0L, "short 123456 and words only")))
+  }
+
+  test("compressionSignal: repetitive spam compresses far below " +
+      "natural text") {
+    val s = spark
+    import s.implicits._
+    val spam = Seq.fill(60)("buy now").mkString(" ")
+    val natural = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen quirky gnomes vexed by fog plot zany schemes"
+    val df = Seq((1L, spam), (2L, natural)).toDF("doc_id", "text")
+    val out = Curation.compressionSignal(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L)._3 > 8.0, s"spam ratio ${out(1L)._3} should be high")
+    assert(out(2L)._3 < 2.0, s"natural ratio ${out(2L)._3} should be low")
+    assert(out(1L)._1 == spam.length.toLong)
+  }
+
   test("evalPairs: confusion counts and metrics on a known overlap") {
     val s = spark
     import s.implicits._

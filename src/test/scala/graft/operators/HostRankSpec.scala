@@ -266,6 +266,26 @@ class HostRankSpec extends AnyFunSuite {
     assert(got(4L) == (0L, 1L, 0L))
   }
 
+  test("twoHopNeighbors: exact ring counts, direct links and self " +
+      "excluded") {
+    val s = spark
+    import s.implicits._
+    // 1->2, 1->3, 2->4, 3->4, 3->1, 4->1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (3L, 1L),
+      (4L, 1L)).toDF("src", "dst")
+    val out = HostRank.twoHopNeighbors(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 1: hops {2,3}; 2-hop {4,4,1} -> new {4} (1 is self)
+    assert(out(1L) == ((2L, 1L)))
+    // 2: hops {4}; via 4 -> {1} new
+    assert(out(2L) == ((1L, 1L)))
+    // 3: hops {4,1}; via 4 -> {1} direct, via 1 -> {2,3} -> new {2}
+    assert(out(3L) == ((2L, 1L)))
+    // 4: hops {1}; via 1 -> {2,3} new
+    assert(out(4L) == ((1L, 2L)))
+  }
+
   test("labelPropagation: components converge to one label each, " +
       "star centre wins, deterministic ties") {
     val s = spark
