@@ -403,6 +403,31 @@ object Curation {
       .drop("__rk", "__ns")
   }
 
+  /** Per-group top-fraction quality gate (the FineWeb-style "keep the
+    * best 30% of every language" rule): rank by (scoreCol desc, keyCol
+    * asc) inside each group and keep rank ≤ ⌈n·num/den⌉ — the
+    * threshold is a PER-GROUP quantile learned from the data, so a
+    * high-resource language's bar is higher than a low-resource one's
+    * (a single global threshold empties small groups). Same exact-quota
+    * window shape as [[sampleStratified]] but score-ordered, not
+    * hash-ordered.
+    */
+  def keepTopFraction(df: DataFrame, groupCols: Seq[String],
+                      scoreCol: String, keyCol: String,
+                      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0)
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*)
+      .orderBy(col(scoreCol).desc, col(keyCol))
+    val counts = df.groupBy(gc: _*).agg(count(lit(1)).as("__ns"))
+    df.withColumn("__rk", row_number().over(w).cast(LongType))
+      .join(counts, groupCols)
+      .withColumn("kept",
+        col("__rk") <= (col("__ns") * num + (den - 1)) / den)
+      .drop("__rk", "__ns")
+  }
+
   /** Checksum-validated payment-card scrubbing (the PII rule regexes
     * cannot express): 16-digit runs are redacted ONLY when they pass
     * the Luhn mod-10 checksum — a random 16-digit id has a 10% false-

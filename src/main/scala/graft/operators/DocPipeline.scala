@@ -239,4 +239,35 @@ object DocPipeline {
           .as("first_bad_pos"))
       .withColumn("valid", col("n_violations") === 0)
   }
+
+  /** Interleaved-span profile of the input-contract table — the
+    * shape report a 100 TB multimodal corpus gets before any stage
+    * decides batch sizes or media-fetch budgets: per doc, span/text/
+    * media counts, total text chars, distinct non-empty media refs
+    * and the media fraction (4dp). Pure array-lambda columns over the
+    * spans array (kind, text, media_ref, offset) — no explode, no
+    * shuffle; composes in front of spanize/fetch planning for free.
+    */
+  def spanStats(docs: DataFrame, spansCol: String = "spans",
+                textKind: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sp = col(spansCol)
+    val nAll = size(sp)
+    val nText = size(filter(sp, s => s("kind") === textKind))
+    docs
+      .withColumn("n_spans", nAll.cast(LongType))
+      .withColumn("n_text", nText.cast(LongType))
+      .withColumn("n_media", (nAll - nText).cast(LongType))
+      .withColumn("text_chars",
+        aggregate(sp, lit(0L), (acc, s) =>
+          acc + when(s("kind") === textKind,
+            length(s("text")).cast(LongType)).otherwise(0L)))
+      .withColumn("n_media_refs",
+        size(array_distinct(transform(
+          filter(sp, s => s("kind") =!= textKind && s("media_ref") =!= ""),
+          s => s("media_ref")))).cast(LongType))
+      .withColumn("media_frac",
+        when(nAll > 0,
+          round((nAll - nText) * lit(1.0) / nAll, 4)).otherwise(lit(0.0)))
+  }
 }

@@ -98,4 +98,35 @@ object TableOps {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Snapshot-retention planning (the expire-snapshots policy run as a
+    * query BEFORE anything is deleted): keep the `keepLast` most
+    * recent snapshots unconditionally, plus the FIRST snapshot of each
+    * UTC day for time-travel anchors; everything else is expirable.
+    * Ordering is (epoch, snap_id) so equal-timestamp snapshots resolve
+    * identically on any engine. One global recency window over the
+    * snapshot MANIFEST (hundreds of rows however big the data) + one
+    * day-keyed window.
+    *
+    * Output: (snapCol, epochCol, keep, reason ∈
+    * recent|day_anchor|expired; recent wins the label when both
+    * apply).
+    */
+  def retentionPlan(snapshots: DataFrame, snapCol: String,
+                    epochCol: String, keepLast: Int): DataFrame = {
+    require(keepLast >= 1)
+    val recency = Window.orderBy(col(epochCol).desc, col(snapCol).desc)
+    val day = floor(col(epochCol) / 86400L)
+    val dayW = Window.partitionBy(day)
+      .orderBy(col(epochCol), col(snapCol))
+    snapshots
+      .withColumn("__recent", row_number().over(recency) <= keepLast)
+      .withColumn("__anchor", row_number().over(dayW) === 1)
+      .withColumn("keep", col("__recent") || col("__anchor"))
+      .withColumn("reason",
+        when(col("__recent"), lit("recent"))
+          .when(col("__anchor"), lit("day_anchor"))
+          .otherwise(lit("expired")))
+      .drop("__recent", "__anchor")
+  }
 }

@@ -155,6 +155,18 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // FineWeb-style per-language quality gate: keep the best 30% of
+    // every lang by n_chars ((score desc, doc_id) exact-quota window).
+    // Small languages keep their own bar — the oracle replays the
+    // per-group ceil quota.
+    "q_quality_topfrac" -> { (s, dir) =>
+      Curation.keepTopFraction(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", "doc_id", num = 3L, den = 10L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("kept"))
+    },
+
     // Luhn-validated card scrubbing: doc_id%4 plants a valid card, an
     // invalid near-miss (same digits, bad check digit — a bare regex
     // would redact it), two valid cards, or none. Both engines replay
@@ -491,6 +503,17 @@ object CurationQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
+
+    "q_quality_topfrac" ->
+      """WITH r AS (
+           SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang, n_chars,
+                rk <= (n * 3 + 9) // 10 AS kept
+         FROM r""",
 
     "q_pii_luhn" ->
       """WITH d AS (

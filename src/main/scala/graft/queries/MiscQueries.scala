@@ -97,6 +97,18 @@ object MiscQueries {
       graft.operators.TableOps.compactionPlan(files, targetBytes = 50000L)
     },
 
+    // Snapshot-retention planner over a synthetic manifest (distinct
+    // event minutes as snapshot epochs): keep the 3 most recent plus
+    // each UTC day's first snapshot; the rest expire. The oracle
+    // replays both windows and the label precedence.
+    "q_retention_plan" -> { (s, dir) =>
+      val snaps = table(s, dir, "events")
+        .groupBy(pmod(col("event_id"), lit(500L)).as("snap_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("epoch"))
+      graft.operators.TableOps.retentionPlan(snaps, "snap_id", "epoch",
+        keepLast = 3)
+    },
+
     // SCD2 history build: validity intervals from a change log
     // ((key, ts) argmax-deduped first — the A0 idiom).
     "q_scd2_intervals" -> { (s, dir) =>
@@ -294,6 +306,25 @@ object MiscQueries {
          WHERE b.k NOT IN (SELECT k FROM chg)
          UNION ALL
          SELECT k, cents FROM chg WHERE op <> 'D'""",
+
+    "q_retention_plan" ->
+      """WITH s AS (
+           SELECT event_id % 500 AS snap_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS epoch
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT snap_id, epoch,
+                  row_number() OVER (ORDER BY epoch DESC,
+                                     snap_id DESC) <= 3 AS recent,
+                  row_number() OVER (PARTITION BY epoch // 86400
+                                     ORDER BY epoch, snap_id) = 1
+                    AS anchor
+           FROM s)
+         SELECT snap_id, epoch, recent OR anchor AS keep,
+                CASE WHEN recent THEN 'recent'
+                     WHEN anchor THEN 'day_anchor'
+                     ELSE 'expired' END AS reason
+         FROM r""",
 
     "q_compaction_plan" ->
       """WITH f AS (

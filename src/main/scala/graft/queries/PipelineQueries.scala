@@ -91,6 +91,43 @@ object PipelineQueries {
       DocPipeline.validateSpans(docs)
     },
 
+    // Interleaved-span profile over the input-contract shape
+    // (doc_id, spans<kind,text,media_ref,offset>): doc_id%4 varies the
+    // media kind, adds an all-text doc and a two-media doc. The oracle
+    // states each class's counts/chars/fraction in closed form from
+    // the same substring arithmetic.
+    "q_span_stats" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(4L))
+      def sp(kind: org.apache.spark.sql.Column,
+             text: org.apache.spark.sql.Column,
+             ref: org.apache.spark.sql.Column, off: Int) =
+        struct(kind.as("kind"), text.as("text"), ref.as("media_ref"),
+          lit(off).as("offset"))
+      val s1 = sp(lit("text"), substring(col("text"), 1, 30), lit(""), 0)
+      val s2 = sp(
+        when(m === 0, lit("image")).when(m === 1, lit("audio"))
+          .when(m === 2, lit("video")).otherwise(lit("text")),
+        when(m === 3, substring(col("text"), 31, 30)).otherwise(lit("")),
+        when(m === 0, concat(lit("img:"), id))
+          .when(m === 1, concat(lit("aud:"), id))
+          .when(m === 2, concat(lit("vid:"), id)).otherwise(lit("")),
+        30)
+      val s3 = sp(lit("text"), substring(col("text"), 61, 30), lit(""),
+        60)
+      val s4 = when(m === 2,
+        array(sp(lit("image"), lit(""), concat(lit("img2:"), id), 90)))
+        .otherwise(array().cast(
+          "array<struct<kind:string,text:string,media_ref:string," +
+            "offset:int>>"))
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(array(s1, s2, s3), s4).as("spans"))
+      DocPipeline.spanStats(docs)
+        .select(col("doc_id"), col("n_spans"), col("n_text"),
+          col("n_media"), col("text_chars"), col("n_media_refs"),
+          col("media_frac"))
+    },
+
     // A5 same-doc span dedup on top of spanize (counts after dedup).
     "q_span_dedup" -> { (s, dir) =>
       val sp = DocPipeline.spanize(htmlFrame(s, dir))
@@ -1571,6 +1608,26 @@ object PipelineQueries {
             WINDOW w_fol AS (PARTITION BY doc_id ORDER BY p_idx
                              ROWS BETWEEN 1 FOLLOWING
                                       AND UNBOUNDED FOLLOWING))""",
+    "q_span_stats" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) % 4 AS m,
+                  len(substr(text, 1, 30)) AS t1,
+                  len(substr(text, 31, 30)) AS t2,
+                  len(substr(text, 61, 30)) AS t3
+           FROM documents)
+         SELECT doc_id,
+                (CASE WHEN m = 2 THEN 4 ELSE 3 END)::BIGINT AS n_spans,
+                (CASE WHEN m = 3 THEN 3 ELSE 2 END)::BIGINT AS n_text,
+                (CASE m WHEN 2 THEN 2 WHEN 3 THEN 0
+                        ELSE 1 END)::BIGINT AS n_media,
+                (t1 + t3 + CASE WHEN m = 3 THEN t2 ELSE 0 END)::BIGINT
+                  AS text_chars,
+                (CASE m WHEN 2 THEN 2 WHEN 3 THEN 0
+                        ELSE 1 END)::BIGINT AS n_media_refs,
+                CAST(CASE m WHEN 2 THEN 0.5 WHEN 3 THEN 0.0
+                            ELSE 0.3333 END AS DOUBLE) AS media_frac
+         FROM d""",
+
     "q_span_validate" ->
       """SELECT doc_id,
                 CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)

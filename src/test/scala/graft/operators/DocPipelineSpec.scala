@@ -129,6 +129,29 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(got(5L) == (1L, Some(0L), false))
     assert(got(6L) == (2L, Some(1L), false))
   }
+
+  test("spanStats: counts, chars, distinct refs and fraction per doc") {
+    val s = spark
+    import s.implicits._
+    import DocPipelineSpec.Sp
+    val docs = Seq(
+      (1L, Seq(Sp("text", "hello", "", 0), Sp("image", "", "m:1", 5),
+        Sp("text", "worlds", "", 6), Sp("image", "", "m:1", 12))),
+      (2L, Seq(Sp("text", "abc", "", 0))),
+      (3L, Seq(Sp("video", "", "v:9", 0))),
+      (4L, Seq.empty[Sp])).toDF("doc_id", "spans")
+    val out = DocPipeline.spanStats(docs)
+      .select("doc_id", "n_spans", "n_text", "n_media", "text_chars",
+        "n_media_refs", "media_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // doc 1: dup media_ref counts once; 5+6 text chars; 2/4 media
+    assert(out(1L) == ((4L, 2L, 2L, 11L, 1L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 0L, 3L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 0L, 1L, 0L, 1L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, 0.0)))
+  }
 }
 
 object DocPipelineSpec {

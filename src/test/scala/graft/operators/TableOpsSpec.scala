@@ -76,4 +76,29 @@ class TableOpsSpec extends AnyFunSuite {
     assert(rows((1L, 30L)) == (None, true))
     assert(rows((2L, 15L)) == (None, true))
   }
+
+  test("retentionPlan: recency set, day anchors, label precedence") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L
+    // day 0: snaps at 0, 100, 200; day 1: at day+5; day 2: three snaps
+    val snaps = Seq(
+      (1L, 0L), (2L, 100L), (3L, 200L),
+      (4L, day + 5),
+      (5L, 2 * day), (6L, 2 * day + 50), (7L, 2 * day + 60))
+      .toDF("snap_id", "epoch")
+    val out = TableOps.retentionPlan(snaps, "snap_id", "epoch",
+        keepLast = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getString(3)))).toMap
+    // recent = 7, 6, 5 (epoch desc, id desc)
+    assert(out(7L) == ((true, "recent")))
+    assert(out(6L) == ((true, "recent")))
+    // 5 is both recent and day-2 anchor: recent label wins
+    assert(out(5L) == ((true, "recent")))
+    assert(out(4L) == ((true, "day_anchor")))
+    assert(out(1L) == ((true, "day_anchor")))
+    assert(out(2L) == ((false, "expired")))
+    assert(out(3L) == ((false, "expired")))
+  }
 }
