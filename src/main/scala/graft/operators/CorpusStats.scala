@@ -59,6 +59,36 @@ object CorpusStats {
           * lit(1.0) / col("n_words"), 4))
   }
 
+  /** Character-level Shannon entropy per document (bits/char, 4dp) —
+    * the information-theoretic twin of the gzip-compressibility
+    * signal, but SQL-replayable: keyboard mashing and repeated
+    * boilerplate sit far below natural text's ~4 bits/char, random
+    * base64 blobs far above. Computed as ln(n)/ln2 − Σc·ln(c)/(n·ln2)
+    * — one explode + one per-doc partial agg; the c·ln(c) form makes
+    * the sum order-insensitive up to FP noise far below the 4dp
+    * rounding.
+    *
+    * Output: (idCol, n_chars, n_distinct, entropy_bits).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val chars = df.select(col(idCol),
+      explode(split(col(textCol), "")).as("ch"))
+      // Java's split("", -1) appends a trailing "" — drop it
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    chars.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c").cast("double"))).as("__clnc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct"),
+        round((log(col("n_chars").cast("double"))
+          - col("__clnc") / col("n_chars")) / lit(math.log(2.0)), 4)
+          .as("entropy_bits"))
+  }
+
   /** Robust outlier flags via median absolute deviation, per group:
     * |x − median| > k·MAD marks the row. Medians are EXACT discrete
     * lower-medians (the value at rank ⌈n/2⌉ in ascending order — no

@@ -189,6 +189,20 @@ object LshDedup {
       .withColumn("comp", coalesce($"comp", $"ord"))
   }
 
+  /** Component-size histogram of the near-dup graph: how many
+    * conflict sets of each size exist — the dedup HEALTH report
+    * (a fat tail of giant components means the banding threshold is
+    * merging unrelated docs; a wall of singletons means it's missing
+    * dups). Two tiny aggs on top of [[components]].
+    *
+    * Output: (cluster_size, n_components).
+    */
+  def componentSizeHistogram(mh: DataFrame): DataFrame =
+    components(mh)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_components"))
+
   /** Quality-argmax representative selection over the near-dup
     * components: where [[selfDedup]] keeps the FIRST-seen doc of every
     * conflict set (the reference's insert/query replay), this keeps

@@ -479,6 +479,26 @@ object TextQueries {
         table(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
     },
 
+    // Character-level Shannon entropy (bits/char): every 13th doc is
+    // replaced by an 'aa…' run so the signal separates degenerate
+    // repetition (~0 bits) from natural soup (~4 bits). Both engines
+    // compute the order-insensitive c·ln(c) form and round to 4dp.
+    "q_char_entropy" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id").cast(LongType), lit(13L)) === 0,
+          lit("a" * 160)).otherwise(col("text")).as("text"))
+      graft.operators.CorpusStats.charEntropy(docs, "doc_id", "text")
+    },
+
+    // Near-dup component-size histogram over the same band graph as
+    // q_lsh_components: the dedup health report (giant components =
+    // over-merging; all singletons = under-matching).
+    "q_dedup_cluster_sizes" -> { (s, dir) =>
+      val b = MinHashF.optimalBands(0.9)
+      LshDedup.componentSizeHistogram(
+        LshDedup.minhashed(lshDocs(s, dir), b))
+    },
+
     // MAD outlier flags per source over document lengths (every 97th
     // doc gets +500 chars planted so true outliers exist): exact
     // discrete lower-medians, |x-med| > 3*MAD. All integers.
@@ -1757,6 +1777,50 @@ object TextQueries {
                       * 1.0 / count(*), 4) AS oov_frac
          FROM t LEFT JOIN v ON t.term = v.term
          GROUP BY 1""",
+
+    "q_char_entropy" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN CAST(doc_id AS BIGINT) % 13 = 0
+                       THEN repeat('a', 160) ELSE text END AS text
+           FROM documents),
+         c AS (
+           SELECT doc_id, ch, count(*)::BIGINT AS c
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM d)
+           WHERE ch <> ''
+           GROUP BY 1, 2),
+         a AS (
+           SELECT doc_id, sum(c)::BIGINT AS n_chars,
+                  count(*)::BIGINT AS n_distinct,
+                  sum(c * ln(c)) AS clnc
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_chars, n_distinct,
+                round((ln(n_chars) - clnc / n_chars) / ln(2), 4)
+                  AS entropy_bits
+         FROM a""",
+
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $docSrcCte,
+          ${minhashBandsCte(MinHashF.optimalBands(0.9))},
+          $lshPairsCte,
+          conf AS MATERIALIZED (
+            SELECT a_ord, b_ord FROM pairs
+            UNION
+            SELECT x.ord, y.ord FROM docs x JOIN docs y
+            ON x.doc_id = y.doc_id AND x.ord < y.ord),
+          sym AS MATERIALIZED (
+            SELECT a_ord AS x, b_ord AS y FROM conf
+            UNION SELECT b_ord, a_ord FROM conf),
+          reach(a, b) AS (
+            SELECT ord, ord FROM docs
+            UNION
+            SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b),
+          cc AS (SELECT a AS ord, min(b) AS comp FROM reach GROUP BY a)
+          SELECT sz::BIGINT AS cluster_size,
+                 count(*)::BIGINT AS n_components
+          FROM (SELECT comp, count(*) AS sz FROM cc GROUP BY comp)
+          GROUP BY 1""",
 
     "q_mad_outliers" ->
       """WITH d AS (

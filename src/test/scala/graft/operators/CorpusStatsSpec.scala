@@ -45,6 +45,25 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
   }
 
+  test("charEntropy: hand-computed bits for degenerate, uniform and " +
+      "mixed strings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaa"),       // one symbol -> 0 bits
+      (2L, "abababab"),       // two equiprobable -> 1 bit
+      (3L, "abcd"),           // four equiprobable -> 2 bits
+      (4L, "aab")             // p = 2/3, 1/3 -> ~0.9183
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((8L, 1L, 0.0)))
+    assert(out(2L) == ((8L, 2L, 1.0)))
+    assert(out(3L) == ((4L, 4L, 2.0)))
+    assert(out(4L)._3 == 0.9183)
+  }
+
   test("madOutliers: exact lower-medians, the planted spike flagged, " +
       "means would have been fooled") {
     val s = spark
