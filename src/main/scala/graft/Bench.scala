@@ -175,7 +175,18 @@ object Bench {
     }
     def render(qdp: Int, keyWidth: Int): String = {
       val base = results.map(_._1.stripPrefix("q_"))
-      val keys = if (keyWidth > 0) shortKeys(base, keyWidth) else base
+      // keyWidth -1 = positional keys: the query's index in this
+      // (sorted-by-name) result seq, base-36 (collision-free, ≤2 chars
+      // up to 1295 queries) — prefix stems stopped paying at ~180
+      // queries because dedup suffixes ate the width savings. The
+      // "qkeys":"i36" marker tells readers to decode against the
+      // sorted full-name map in bench_full.json.
+      val keys =
+        if (keyWidth < 0)
+          results.indices.map(i => java.lang.Long.toString(i.toLong, 36))
+        else if (keyWidth > 0) shortKeys(base, keyWidth)
+        else base
+      val marker = if (keyWidth < 0) "\"qkeys\":\"i36\"," else ""
       val qs = keys.zip(results.map(_._2))
         .map { case (k, v) => "\"" + k + "\":" + r(v, qdp) }
         .mkString("{", ",", "}")
@@ -183,7 +194,8 @@ object Bench {
       // steady-min secs only — trial 0 is the labeled warmup
       val sLo = r(loFs.drop(1).min, 1)
       val sHi = r(hiFs.drop(1).min, 1)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",$marker""" +
+        s""""queries":$qs,""" +
         s""""frontier":{"s8":$sLo,"s$cpus":$sHi,""" +
         s""""ups8":$rateLo,"ups$cpus":$rateHi,""" +
         s""""eff":${r(effMed, 3)},"eff_ctrl":${r(effCtrl, 3)}},""" +
@@ -192,13 +204,16 @@ object Bench {
         s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    // last resort (0, 2): integer seconds — attribution and ordering
-    // survive; the full-precision map always lives in bench_full.json
+    // final tiers: (0, 2) integer seconds under 2-char stems, then
+    // (0, -1) integer seconds under sorted-index keys ("qkeys" marks
+    // the encoding; the index maps into the sorted full-name map in
+    // bench_full.json). Attribution and ordering always survive; the
+    // full-precision map always lives in bench_full.json.
     val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4),
-      (1, 3), (1, 2), (0, 2))
+      (1, 3), (1, 2), (0, 2), (0, -1))
     ladder.iterator.map { case (dp, w) => render(dp, w) }
       .find(_.length <= 1900)
-      .getOrElse(render(0, 2))
+      .getOrElse(render(0, -1))
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

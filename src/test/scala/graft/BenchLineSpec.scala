@@ -43,18 +43,27 @@ class BenchLineSpec extends AnyFunSuite {
   private def parse(line: String) =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
 
-  /** Every key must be a prefix-derived handle of exactly one name
-    * (full names are their own handles), so each timing stays
-    * attributable against the full-name map in bench_full.json.
+  /** Every key must be attributable against the full-name map in
+    * bench_full.json: either a prefix-derived handle of some name
+    * (full names are their own handles), or — on the sorted-index
+    * tier, flagged by the top-level "qkeys" marker — a decimal index
+    * into the sorted name list.
     */
   private def assertAttributable(qs: com.fasterxml.jackson.databind.JsonNode,
-                                 names: Seq[String]): Unit = {
+                                 names: Seq[String],
+                                 indexKeys: Boolean = false): Unit = {
     val it = qs.fieldNames()
     while (it.hasNext) {
       val k = it.next()
-      val stem = k.takeWhile(_ != '~')
-      assert(names.exists(_.stripPrefix("q_").startsWith(stem)),
-        s"key $k not attributable to any query name")
+      if (indexKeys) {
+        val idx = java.lang.Long.parseLong(k, 36)
+        assert(idx >= 0 && idx < names.size,
+          s"index key $k out of range for ${names.size} names")
+      } else {
+        val stem = k.takeWhile(_ != '~')
+        assert(names.exists(_.stripPrefix("q_").startsWith(stem)),
+          s"key $k not attributable to any query name")
+      }
     }
   }
 
@@ -73,7 +82,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("unit").asText == "sec")
     val qs = root.get("queries")
     assert(qs.size == liveNames.size, "a query timing was dropped")
-    assertAttributable(qs, liveNames)
+    assertAttributable(qs, liveNames,
+      indexKeys = root.has("qkeys"))
     assert(root.get("frontier").get("eff").isNumber)
     assert(root.get("frontier").get("eff_ctrl").isNumber)
     assert(root.get("frontier").get("ups32").asLong == 297357L)
@@ -89,8 +99,31 @@ class BenchLineSpec extends AnyFunSuite {
     val line = mkLine(results)
     assert(line.length <= 1900,
       s"grown line is ${line.length} chars; driver tail keeps 2000")
-    val qs = parse(line).get("queries")
+    val root = parse(line)
+    val qs = root.get("queries")
     assert(qs.size == results.size, "a query timing was dropped")
-    assertAttributable(qs, grownNames)
+    assertAttributable(qs, grownNames, indexKeys = root.has("qkeys"))
+  }
+
+  test("sorted-index tier: keys are base-36 positions in sorted-name " +
+      "order, values stay ordered with the inputs") {
+    // live set + 20 long future names: past every stem tier's budget,
+    // must land on the index tier and still fit
+    val big = (liveNames ++
+      (0 until 20).map(i => f"q_future_very_long_query_name_$i%02d"))
+      .sorted
+    val results = mkResults(big)
+    val line = mkLine(results)
+    assert(line.length <= 1900, s"index tier line is ${line.length}")
+    val root = parse(line)
+    assert(root.get("qkeys").asText == "i36")
+    val qs = root.get("queries")
+    assert(qs.size == results.size)
+    // spot-check attribution: key "7" (base-36) carries results(7)'s
+    // timing (integer-second rendering)
+    val want = math.rint(results(7)._2).toLong
+    assert(qs.get("7").asLong == want)
+    // and a two-char base-36 key resolves too: index 40 -> "14"
+    assert(qs.get("14").asLong == math.rint(results(40)._2).toLong)
   }
 }
