@@ -32,6 +32,32 @@ object CurationQueries {
   private val BannerB =
     "subscribe to our newsletter for the latest updates delivered every week free"
 
+  /** The deterministic re-lined page shared by q_c4_filter and
+    * q_curation_pipeline: doc_id%4+2 words per line, terminal
+    * punctuation on lines with (doc_id+i)%3 < 2, plus the three
+    * planted hazards (javascript line at %7, brace page at %23,
+    * lorem-ipsum page at %31). Mirrored 1:1 in `relinedSql`.
+    */
+  private def relinedDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast(LongType)
+    val lWords = (pmod(id, lit(4L)) + 2).cast("int")
+    val toks = split(trim(col("text")), "\\s+")
+    val nLines = ceil(size(toks) / lWords.cast("double")).cast("int")
+    val base = transform(sequence(lit(0), nLines - 1), i =>
+      concat(concat_ws(" ", slice(toks, i * lWords + 1, lWords)),
+        element_at(array(lit("."), lit("?"), lit("")),
+          (pmod(id + i, lit(3L)) + 1).cast("int"))))
+    def planted(m: Long, line: String) =
+      when(pmod(id, lit(m)) === 0, array(lit(line)))
+        .otherwise(array().cast("array<string>"))
+    val lines = concat(base,
+      planted(7, "please enable javascript to continue."),
+      planted(23, "function f() { return 0; }"),
+      planted(31, "standard lorem ipsum placeholder text here."))
+    table(s, dir, "documents").select(
+      col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
   val defs: Map[String, Q] = Map(
     // PII scrubbing as codegen'd regex columns. The fixture text carries
     // no PII, so each row gets a deterministic email/IP/phone suffix
@@ -245,26 +271,35 @@ object CurationQueries {
     // (doc_id%31). The oracle builds the identical page and replays the
     // line predicate and both page gates.
     "q_c4_filter" -> { (s, dir) =>
-      val id = col("doc_id").cast(LongType)
-      val lWords = (pmod(id, lit(4L)) + 2).cast("int")
-      val toks = split(trim(col("text")), "\\s+")
-      val nLines = ceil(size(toks) / lWords.cast("double")).cast("int")
-      val base = transform(sequence(lit(0), nLines - 1), i =>
-        concat(concat_ws(" ", slice(toks, i * lWords + 1, lWords)),
-          element_at(array(lit("."), lit("?"), lit("")),
-            (pmod(id + i, lit(3L)) + 1).cast("int"))))
-      def planted(m: Long, line: String) =
-        when(pmod(id, lit(m)) === 0, array(lit(line)))
-          .otherwise(array().cast("array<string>"))
-      val lines = concat(base,
-        planted(7, "please enable javascript to continue."),
-        planted(23, "function f() { return 0; }"),
-        planted(31, "standard lorem ipsum placeholder text here."))
-      val docs = table(s, dir, "documents").select(
-        col("doc_id"), array_join(lines, "\n").as("text"))
-      Curation.c4Filter(docs, "text")
+      Curation.c4Filter(relinedDocs(s, dir), "text")
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           col("has_bad_phrase"), col("keep"), col("clean_text"))
+    },
+
+    // The curation funnel COMPOSED under one oracle: re-lined pages →
+    // C4 line/page cleaning → Flesch readability over the SURVIVORS'
+    // clean text → keep the top half of each language by flesch
+    // ((flesch desc, doc_id) exact-quota window). One row per input
+    // doc with its funnel verdicts — c4_keep, flesch (null once
+    // dropped), final_keep — so a wrong decision at ANY stage breaks
+    // the hash.
+    "q_curation_pipeline" -> { (s, dir) =>
+      val c4 = Curation.c4Filter(relinedDocs(s, dir), "text")
+      val scored = graft.operators.CorpusStats.readability(
+        c4.filter(col("keep"))
+          .select(col("doc_id"), col("clean_text").as("text")), "text")
+      val withLang = scored
+        .join(table(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("flesch"))
+      val gated = Curation.keepTopFraction(withLang, Seq("lang"),
+        "flesch", "doc_id", num = 1L, den = 2L)
+      c4.select(col("doc_id"), col("keep").as("c4_keep"))
+        .join(gated.select(col("doc_id"), col("lang"), col("flesch"),
+          col("kept").as("__fk")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("c4_keep"), col("lang"),
+          col("flesch"),
+          coalesce(col("__fk"), lit(false)).as("final_keep"))
     },
 
     // BPE tokenizer training: ONE corpus-wide word-count shuffle, then
@@ -380,6 +415,50 @@ object CurationQueries {
     s"(CASE WHEN unicode(substr(h, $i, 1)) >= 97" +
       s" THEN unicode(substr(h, $i, 1)) - 87" +
       s" ELSE unicode(substr(h, $i, 1)) - 48 END)"
+
+  /** SQL twin of [[relinedDocs]] + the C4 line/page machinery, shared
+    * by q_c4_filter and q_curation_pipeline. Ends at CTE `g`
+    * (doc_id, ls, kl, bad).
+    */
+  private val c4CtesSql: String =
+    """d AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS t,
+                  CAST(doc_id AS BIGINT) % 4 + 2 AS L
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_transform(
+                    range(CAST(ceil(len(t) / (L * 1.0)) AS BIGINT)),
+                    i -> array_to_string(t[(i*L+1):(i*L+L)], ' ') ||
+                         CASE (doc_id + i) % 3 WHEN 0 THEN '.'
+                              WHEN 1 THEN '?' ELSE '' END) AS ls
+           FROM d),
+         f AS (
+           SELECT doc_id,
+                  ls || CASE WHEN doc_id % 7 = 0
+                          THEN ['please enable javascript to continue.']
+                          ELSE []::VARCHAR[] END
+                     || CASE WHEN doc_id % 23 = 0
+                          THEN ['function f() { return 0; }']
+                          ELSE []::VARCHAR[] END
+                     || CASE WHEN doc_id % 31 = 0
+                          THEN ['standard lorem ipsum placeholder text here.']
+                          ELSE []::VARCHAR[] END AS ls
+           FROM b),
+         k AS (
+           SELECT doc_id, ls, array_to_string(ls, chr(10)) AS page,
+                  list_filter(ls, l ->
+                    regexp_matches(l, '[.!?"]\s*$')
+                    AND len(string_split_regex(trim(l), '\s+')) >= 3
+                    AND NOT regexp_matches(lower(l), '\bjavascript\b'))
+                    AS kl
+           FROM f),
+         g AS MATERIALIZED (
+           SELECT doc_id, ls, kl,
+                  (contains(lower(page), 'lorem ipsum')
+                   OR contains(page, '{')) AS bad
+           FROM k)"""
 
   private val bucketExpr: String =
     "(" + (2 to 6).foldLeft(hexDigit(1))((acc, i) =>
@@ -655,44 +734,7 @@ object CurationQueries {
          FROM f""",
 
     "q_c4_filter" ->
-      """WITH d AS (
-           SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS t,
-                  CAST(doc_id AS BIGINT) % 4 + 2 AS L
-           FROM documents),
-         b AS (
-           SELECT doc_id,
-                  list_transform(
-                    range(CAST(ceil(len(t) / (L * 1.0)) AS BIGINT)),
-                    i -> array_to_string(t[(i*L+1):(i*L+L)], ' ') ||
-                         CASE (doc_id + i) % 3 WHEN 0 THEN '.'
-                              WHEN 1 THEN '?' ELSE '' END) AS ls
-           FROM d),
-         f AS (
-           SELECT doc_id,
-                  ls || CASE WHEN doc_id % 7 = 0
-                          THEN ['please enable javascript to continue.']
-                          ELSE []::VARCHAR[] END
-                     || CASE WHEN doc_id % 23 = 0
-                          THEN ['function f() { return 0; }']
-                          ELSE []::VARCHAR[] END
-                     || CASE WHEN doc_id % 31 = 0
-                          THEN ['standard lorem ipsum placeholder text here.']
-                          ELSE []::VARCHAR[] END AS ls
-           FROM b),
-         k AS (
-           SELECT doc_id, ls, array_to_string(ls, chr(10)) AS page,
-                  list_filter(ls, l ->
-                    regexp_matches(l, '[.!?"]\s*$')
-                    AND len(string_split_regex(trim(l), '\s+')) >= 3
-                    AND NOT regexp_matches(lower(l), '\bjavascript\b'))
-                    AS kl
-           FROM f),
-         g AS (
-           SELECT doc_id, ls, kl,
-                  (contains(lower(page), 'lorem ipsum')
-                   OR contains(page, '{')) AS bad
-           FROM k)
+      s"""WITH $c4CtesSql
          SELECT doc_id,
                 len(ls)::BIGINT AS n_lines,
                 len(kl)::BIGINT AS n_kept,
@@ -702,6 +744,47 @@ object CurationQueries {
                      THEN array_to_string(kl, chr(10))
                      ELSE '' END AS clean_text
          FROM g""",
+
+    "q_curation_pipeline" ->
+      s"""WITH $c4CtesSql,
+         surv AS (
+           SELECT doc_id, array_to_string(kl, chr(10)) AS text
+           FROM g WHERE NOT bad AND len(kl) >= 5),
+         w AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\\s+') AS wl
+           FROM surv),
+         m AS (
+           SELECT doc_id,
+                  len(wl)::BIGINT AS n_words,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')),
+                           1)::BIGINT AS n_sentences,
+                  (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   + len(list_filter(wl, x ->
+                       NOT regexp_matches(lower(x), '[aeiouy]'))))::BIGINT
+                    AS n_syllables
+           FROM w),
+         fl AS (
+           SELECT doc_id,
+                  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                                - 84.6 * (n_syllables * 1.0 / n_words),
+                        4) AS flesch
+           FROM m),
+         lj AS (
+           SELECT fl.doc_id, d2.lang, fl.flesch
+           FROM fl JOIN documents d2 ON d2.doc_id = fl.doc_id),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY flesch DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM lj)
+         SELECT g2.doc_id,
+                (NOT g2.bad AND len(g2.kl) >= 5) AS c4_keep,
+                r.lang, r.flesch,
+                coalesce(r.rk <= (r.n * 1 + 1) // 2, FALSE)
+                  AS final_keep
+         FROM g g2 LEFT JOIN r ON r.doc_id = g2.doc_id""",
 
     "q_bpe_merges" ->
       (bpeBaseSql + "\n         " +
