@@ -12,11 +12,15 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.Main graft.jar frontier <inDir> <table> <dumpId> [quota]
   *   spark-submit --class graft.Main graft.jar corpus   <inDir> <table> [minTokens]
+  *   spark-submit --class graft.Main graft.jar curate   <inDir> <outDir> [minSentences] [topNum/topDen]
   *
   * `frontier` runs one incremental FrontierJob batch against the
   * snapshot table (resumes from the latest committed snapshot);
   * `corpus` runs/resumes the CorpusJob pipeline over a spanized
-  * parquet corpus (domain, ord, doc_id, spans).
+  * parquet corpus (domain, ord, doc_id, spans); `curate` runs the
+  * text-curation funnel (C4 line/page cleaning → Flesch readability →
+  * per-language top-fraction gate) over a (doc_id, lang, text) parquet
+  * table and writes the surviving docs with their scores.
   */
 object Main {
 
@@ -81,9 +85,45 @@ object Main {
         ms.foreach(m => println(
           s"stage ${m.snapshotId} (${m.lineage}): " +
           s"rows_in=${m.metrics("rows_in")} rows_out=${m.metrics("rows_out")}"))
+      case "curate" =>
+        require(args.length >= 3,
+          "usage: curate <inDir> <outDir> [minSentences] [topNum/topDen]")
+        val Array(_, inDir, outDir) = args.take(3)
+        val minSentences = if (args.length > 3) args(3).toInt else 5
+        val (num, den) =
+          if (args.length > 4) {
+            val Array(n, d) = args(4).split('/'); (n.toLong, d.toLong)
+          } else (1L, 2L)
+        val out = curate(spark.read.parquet(inDir), minSentences, num, den)
+        out.write.mode("overwrite").parquet(outDir)
+        val kept = spark.read.parquet(outDir).count()
+        println(s"curate: wrote $kept surviving docs to $outDir")
       case other =>
-        sys.error(s"unknown command $other (frontier|corpus)")
+        sys.error(s"unknown command $other (frontier|corpus|curate)")
     }
     if (!preexisting) spark.stop()
+  }
+
+  /** The curation funnel as one library call (the q_curation_pipeline
+    * composition): C4-cleaned pages that survive the line/page gates,
+    * scored with Flesch, gated to the per-language top num/den by
+    * score. Returns the survivors (doc_id, lang, clean_text, flesch).
+    */
+  private[graft] def curate(docs: org.apache.spark.sql.DataFrame,
+                            minSentences: Int, num: Long,
+                            den: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c4 = graft.operators.Curation
+      .c4Filter(docs, "text", minSentences = minSentences)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("clean_text"))
+    val scored = graft.operators.CorpusStats
+      .readability(c4.withColumnRenamed("clean_text", "text"), "text")
+    graft.operators.Curation.keepTopFraction(
+        scored.select(col("doc_id"), col("lang"), col("flesch"),
+          col("text").as("clean_text")),
+        Seq("lang"), "flesch", "doc_id", num, den)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("lang"), col("clean_text"), col("flesch"))
   }
 }

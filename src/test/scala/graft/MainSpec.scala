@@ -51,4 +51,28 @@ class MainSpec extends AnyFunSuite {
     // everything in dump d1 is already seen -> d2 schedules nothing
     assert(m2.metrics("n_scheduled") == 0)
   }
+
+  test("curate command writes the funnel's survivors") {
+    val in = Files.createTempDirectory("curate-in").toString
+    val out = Files.createTempDirectory("curate-out").toString
+    val goodPage = (1 to 8).map(i =>
+      s"a perfectly fine sentence number $i here.").mkString("\n")
+    val thinPage = "only one line survives here.\nnope"
+    val loremPage = goodPage + "\nlorem ipsum."
+    Seq(
+      (1L, "en", goodPage), (2L, "en", goodPage), (3L, "en", thinPage),
+      (4L, "en", loremPage), (5L, "de", goodPage))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(in)
+    Main.main(Array("curate", in, out, "5", "1/2"))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "lang", "flesch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // en: docs 1,2 pass C4 (3 thin, 4 lorem); top 1/2 -> ceil(1) = 1 doc
+    // de: doc 5 passes and survives alone
+    assert(got.size == 2)
+    assert(got.contains((5L, "de")))
+    assert(got.count(_._2 == "en") == 1)
+    assert(!spark.sparkContext.isStopped)
+  }
 }
