@@ -182,4 +182,47 @@ class PlanSpec extends AnyFunSuite {
     assert(hasCodegen(p), p.take(1200))
     assert(!p.contains("Exchange"), "hot-path filter must not shuffle")
   }
+
+  test("vocabCoverage: the vocab joins the corpus as a broadcast, " +
+      "never a shuffle join") {
+    val p = finalPlan("q_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("registeredDomain: PSL rule joins broadcast; no cartesian " +
+      "anywhere in the plan") {
+    val p = finalPlan("q_registered_domain")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the wildcard match must stay an equi-join on the parent key")
+  }
+
+  test("imageNearDupPairs: band blocking is an equi-join (no " +
+      "cartesian); the decode UDF is the only non-codegen stage") {
+    val p = finalPlan("q_image_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the band-bucket equi-join")
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("crossDupGramFraction: gram-keyed aggs with partial " +
+      "(map-side) combine, no cartesian") {
+    val p = finalPlan("q_dup_ngram_cross")
+    assert(!p.contains("CartesianProduct"))
+    // partial_count before the exchange = map-side combine is on
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      p.take(1500))
+  }
+
+  test("mineBitext without candidates is the documented exact form: " +
+      "the cross join exists ONLY there and is the guarded path") {
+    val p = finalPlan("q_bitext_mine")
+    // exact all-pairs IS a cartesian by definition — assert the rest
+    // of the pipeline is shuffle-keyed windows, not nested loops
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
 }
