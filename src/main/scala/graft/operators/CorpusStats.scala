@@ -59,6 +59,43 @@ object CorpusStats {
           * lit(1.0) / col("n_words"), 4))
   }
 
+  /** Distribution drift between two corpus snapshots (the
+    * between-dump monitoring gate): per key (content type, language,
+    * TLD, …) the chi-square contribution of the current count against
+    * the expectation scaled from the previous snapshot — with
+    * new/gone/drifted/stable verdicts. A crawl whose mime or language
+    * mix lurches between dumps usually changed its seed list or broke
+    * a parser, not the web; this is the query that notices. Two
+    * partial-agg counts + two model-scale totals; everything else is
+    * pure columns.
+    *
+    * Output: (keyCol, n_prev, n_cur, exp_cur 4dp, chi2_term 6dp —
+    * null for keys absent from prev — and status ∈
+    * new|gone|drifted|stable; drifted at chi2 > `chi2Threshold`,
+    * default 3.84 = χ²₁ at p=0.05).
+    */
+  def distributionDrift(prev: DataFrame, cur: DataFrame, keyCol: String,
+                        chi2Threshold: Double = 3.84): DataFrame = {
+    val p = prev.groupBy(col(keyCol)).agg(count(lit(1)).as("n_prev"))
+    val c = cur.groupBy(col(keyCol)).agg(count(lit(1)).as("n_cur"))
+    val totals = p.agg(sum(col("n_prev")).as("tot_prev"))
+      .crossJoin(c.agg(sum(col("n_cur")).as("tot_cur")))
+    val j = p.join(c, Seq(keyCol), "full_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("np", coalesce(col("n_prev"), lit(0L)))
+      .withColumn("nc", coalesce(col("n_cur"), lit(0L)))
+    val exp = col("np") * col("tot_cur") * lit(1.0) / col("tot_prev")
+    val chi2 = (col("nc") - exp) * (col("nc") - exp) / exp
+    j.select(col(keyCol),
+      col("np").as("n_prev"), col("nc").as("n_cur"),
+      when(col("np") > 0, round(exp, 4)).as("exp_cur"),
+      when(col("np") > 0, round(chi2, 6)).as("chi2_term"),
+      when(col("np") === 0, lit("new"))
+        .when(col("nc") === 0, lit("gone"))
+        .when(chi2 > chi2Threshold, lit("drifted"))
+        .otherwise(lit("stable")).as("status"))
+  }
+
   /** Character-level Shannon entropy per document (bits/char, 4dp) —
     * the information-theoretic twin of the gzip-compressibility
     * signal, but SQL-replayable: keyboard mashing and repeated

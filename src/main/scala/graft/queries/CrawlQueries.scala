@@ -367,6 +367,27 @@ object CrawlQueries {
         maxIntervalS = 1209600L)
     },
 
+    // Between-dump distribution drift: dump split by event_id parity;
+    // the current dump shifts mass to ct7, drops ct3 entirely and
+    // introduces ctNEW — exercising drifted/gone/new against the
+    // chi-square gate. Both engines replay counts, scaled expectation
+    // and the χ² terms.
+    "q_dump_drift" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val prevKey = concat(lit("ct"), pmod(col("user_id"), lit(8L)))
+      val curKey = concat(lit("ct"),
+        when(pmod(col("user_id"), lit(16L)) === 0, lit("7"))
+          .when(pmod(col("user_id"), lit(8L)) === 3, lit("4"))
+          .when(pmod(col("user_id"), lit(31L)) === 5, lit("NEW"))
+          .otherwise(pmod(col("user_id"), lit(8L)).cast("string")))
+      graft.operators.CorpusStats.distributionDrift(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+          .select(prevKey.as("ct")),
+        ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+          .select(curKey.as("ct")),
+        "ct")
+    },
+
     // Synchronous label propagation over 3 disconnected host clusters
     // (cluster = event_id%3 offsets both endpoints): 3 rounds of
     // most-frequent-neighbour-label with (count desc, label) ties.
@@ -1756,6 +1777,41 @@ object CrawlQueries {
           FROM t LEFT JOIN f
             ON t.host = f.host AND t.template = f.template
           WHERE f.host IS NULL""",
+
+    "q_dump_drift" ->
+      """WITH p AS (
+           SELECT 'ct' || (user_id % 8) AS ct, count(*)::BIGINT AS np
+           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+         c AS (
+           SELECT 'ct' ||
+                  CASE WHEN user_id % 16 = 0 THEN '7'
+                       WHEN user_id % 8 = 3 THEN '4'
+                       WHEN user_id % 31 = 5 THEN 'NEW'
+                       ELSE CAST(user_id % 8 AS VARCHAR) END AS ct,
+                  count(*)::BIGINT AS nc
+           FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+         t AS (SELECT (SELECT sum(np) FROM p) AS tp,
+                      (SELECT sum(nc) FROM c) AS tc),
+         j AS (
+           SELECT coalesce(p.ct, c.ct) AS ct,
+                  coalesce(p.np, 0)::BIGINT AS np,
+                  coalesce(c.nc, 0)::BIGINT AS nc,
+                  t.tp, t.tc
+           FROM p FULL OUTER JOIN c ON p.ct = c.ct, t),
+         e AS (
+           SELECT ct, np, nc,
+                  np * tc * 1.0 / tp AS exp,
+                  (nc - np * tc * 1.0 / tp) * (nc - np * tc * 1.0 / tp)
+                    / (np * tc * 1.0 / tp) AS chi2
+           FROM j)
+         SELECT ct, np AS n_prev, nc AS n_cur,
+                CASE WHEN np > 0 THEN round(exp, 4) END AS exp_cur,
+                CASE WHEN np > 0 THEN round(chi2, 6) END AS chi2_term,
+                CASE WHEN np = 0 THEN 'new'
+                     WHEN nc = 0 THEN 'gone'
+                     WHEN chi2 > 3.84 THEN 'drifted'
+                     ELSE 'stable' END AS status
+         FROM e""",
 
     "q_lpa_communities" ->
       (s"""WITH e0 AS (

@@ -45,6 +45,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
   }
 
+  test("distributionDrift: chi-square terms and the verdict ladder") {
+    val s = spark
+    import s.implicits._
+    // prev: a=50, b=50, c=10; cur: a=55, b=99, d=6 (c gone, d new)
+    val prev = (Seq.fill(50)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(10)("c")).toDF("k")
+    val cur = (Seq.fill(55)("a") ++ Seq.fill(99)("b") ++
+      Seq.fill(6)("d")).toDF("k")
+    val out = CorpusStats.distributionDrift(prev, cur, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getString(5)))).toMap
+    // totals 110 -> 160; exp(a) = 50*160/110 = 72.7273
+    // chi2(a) = (195/11)^2 / (800/11) = 38025/8800 = 4.321023 -> drifted
+    assert(out("a")._4 == "drifted")
+    assert(math.abs(out("a")._3.get - 4.321023) < 1e-5)
+    // exp(b) = 72.7273, chi2 = (99-72.7273)^2/72.7273 = 9.49 -> drifted
+    assert(out("b")._4 == "drifted")
+    assert(out("c") == ((10L, 0L, out("c")._3, "gone")))
+    assert(out("d")._1 == 0L && out("d")._3.isEmpty &&
+      out("d")._4 == "new")
+    // a stable case: identical distributions
+    val same = CorpusStats.distributionDrift(prev, prev, "k")
+      .collect().map(_.getString(5)).toSet
+    assert(same == Set("stable"), "identical dumps must read stable")
+  }
+
   test("charEntropy: hand-computed bits for degenerate, uniform and " +
       "mixed strings") {
     val s = spark
