@@ -473,6 +473,30 @@ object PipelineQueries {
       Multimodal.imageNearDupPairs(phashMedia(s, dir), maxDist = 3)
     },
 
+    // Media dedup wired end-to-end over the interleaved contract:
+    // perceptual-hash near-dup pairs -> connected components (the SAME
+    // hybrid union-find the text LSH dedup runs) -> every doc's image
+    // ref rewritten to its component's canonical (min doc id) image.
+    // The oracle chains the pixel replay, banded pairs and a
+    // transitive-closure CC.
+    "q_media_dedup" -> { (s, dir) =>
+      val pairs = Multimodal
+        .imageNearDupPairs(phashMedia(s, dir), maxDist = 3)
+        .select(
+          regexp_extract(col("a_ref"), "([0-9]+)$", 1).cast(LongType)
+            .as("src"),
+          regexp_extract(col("b_ref"), "([0-9]+)$", 1).cast(LongType)
+            .as("dst"))
+      val comps = graft.operators.LshDedup.connectedComponents(pairs)
+        .withColumnRenamed("ord", "doc_id")
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("canon_id"),
+          (coalesce(col("comp"), col("doc_id")) =!= col("doc_id"))
+            .as("rewritten"))
+    },
+
     // Executable exactness claim: aHash 4x16 band blocking is lossless
     // for Hamming <= 3 (pigeonhole), so evaluating the banded pairs
     // against the EXHAUSTIVE all-pairs truth must score P = R = F1 = 1
@@ -1066,6 +1090,36 @@ object PipelineQueries {
                  CAST(sum(np_left + 1) AS BIGINT) AS n_spans
           FROM surv WHERE np_left > 0 GROUP BY domain"""
     },
+    "q_media_dedup" ->
+      s"""WITH RECURSIVE $phashBaseSql,
+         bands AS (
+           SELECT doc_id, hash_hi, hash_lo, 0 AS band,
+                  hash_lo % 65536 AS bh FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 1, hash_lo // 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM hh
+           UNION ALL
+           SELECT doc_id, hash_hi, hash_lo, 3, hash_hi // 65536 FROM hh),
+         pr AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bh = b.bh
+            AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+                 + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+         sym AS MATERIALIZED (
+           SELECT ai AS x, bi AS y FROM pr
+           UNION SELECT bi, ai FROM pr),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b),
+         cc AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a)
+         SELECT doc_id, comp AS canon_id,
+                comp <> doc_id AS rewritten
+         FROM cc""",
+
     "q_dedup_eval" ->
       s"""WITH $phashBaseSql,
          bands AS (
