@@ -331,6 +331,21 @@ class CurationSpec extends AnyFunSuite {
     assert(quota == Map("a" -> 3, "b" -> 3, "c" -> 1))
   }
 
+  test("keepTopFraction: per-group quotas follow the score, small " +
+      "groups keep their own bar") {
+    val s = spark
+    import s.implicits._
+    // en: scores 10..1 (10 rows, 30% -> ceil(3)); de: 2 rows -> ceil(0.6)=1
+    val rows = (1L to 10L).map(i => (i, "en", i)) ++
+      Seq((100L, "de", 1L), (101L, "de", 99L))
+    val out = Curation.keepTopFraction(rows.toDF("id", "lang", "score"),
+        Seq("lang"), "score", "id", num = 3L, den = 10L)
+      .filter(col("kept")).select("id").collect()
+      .map(_.getLong(0)).toSet
+    // en keeps the top-3 scores (ids 8,9,10); de keeps its best (101)
+    assert(out == Set(8L, 9L, 10L, 101L))
+  }
+
   test("scrubLuhn: checksum separates real cards from regex look-alikes") {
     val s = spark
     import s.implicits._
