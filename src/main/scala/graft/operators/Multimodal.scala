@@ -1271,4 +1271,41 @@ object Multimodal {
           .as("frame_ms"))
       .withColumn("frame_ref",
         concat(col("media_ref"), lit("#t="), col("frame_ms")))
+
+  /** Caption–media pairing over the interleaved input contract
+    * (doc_id, spans<kind,text,media_ref,offset>): each media span is
+    * paired with the nearest NON-EMPTY text span — the preceding one in
+    * document order when it exists, else the following one — the
+    * standard alt-text/figure-caption heuristic that turns an
+    * interleaved corpus into (image, caption) training pairs.
+    * Emits (doc_id, media_ref, kind, caption, cap_side before/after/
+    * none; caption '' when no text span exists).
+    *
+    * One window shuffle on doc_id (spans are per-doc small by the
+    * input contract); everything else is per-row.
+    */
+  def captionPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"),
+        col("s.offset").as("offset"))
+    val w   = Window.partitionBy("doc_id").orderBy("offset", "pos")
+    val txt = when(col("kind") === "text" && length(col("text")) > 0,
+      col("text"))
+    sp.withColumn("cap_before",
+        last(txt, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cap_after",
+        first(txt, ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("kind") =!= "text" && col("media_ref") =!= "")
+      .select(col("doc_id"), col("media_ref"), col("kind"),
+        coalesce(col("cap_before"), col("cap_after"), lit(""))
+          .as("caption"),
+        when(col("cap_before").isNotNull, "before")
+          .when(col("cap_after").isNotNull, "after")
+          .otherwise("none").as("cap_side"))
+  }
 }

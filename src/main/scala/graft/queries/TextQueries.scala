@@ -398,6 +398,24 @@ object TextQueries {
         .select("doc_id")
     },
 
+    // Winnowing (MOSS) fingerprints: k-gram base-131 hashes, w-window
+    // minima with RIGHTMOST tie-break, distinct (pos, fp) per doc. The
+    // oracle replays normalization, the polynomial, the window argmin
+    // and the tie rule with list functions — a wrong tie side or an
+    // off-by-one window start breaks the hash.
+    "q_winnow_fp" -> { (s, dir) =>
+      graft.operators.Winnowing.fingerprints(
+        table(s, dir, "documents").select("doc_id", "text"))
+    },
+
+    // The MOSS match step on top: pairs sharing >= 3 winnowed hash
+    // values under the df<=64 hot-key guard (both engines apply it).
+    "q_winnow_pairs" -> { (s, dir) =>
+      graft.operators.Winnowing.sharedPairs(
+        table(s, dir, "documents").select("doc_id", "text"),
+        minShared = 3)
+    },
+
     // N-gram (word-set) Jaccard near-dup pairs, blocked by source —
     // exact two-regime set-similarity join (deletion signatures + prefix
     // filter; see SetSimilarity). The word sets feed both regimes and
@@ -867,6 +885,37 @@ object TextQueries {
   private[queries] def minhashBandsCte(b: Int): String =
     permsCte + ",\n       " + minhashBandsCte(b, "", "src")
 
+  /** Winnowing replay (Winnowing.scala semantics, k/w from the
+    * operator's constants): normalization, the base-131 gram
+    * polynomial mixed ·1000003 mod 2^31−1, per-window min with the
+    * rightmost tie rule. Ends with `wsel(doc_id, pos, fp)`.
+    */
+  private val winnowSelCte: String = {
+    val k = graft.operators.Winnowing.K
+    val w = graft.operators.Winnowing.W
+    val poly = (1 until k).foldLeft("CAST(unicode(s[i]) AS BIGINT)") {
+      (acc, j) => s"($acc * 131 + unicode(s[i+$j]))"
+    }
+    s"""wc AS (
+         SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         FROM documents),
+       whs AS (
+         SELECT doc_id, length(s) - ${k - 1} AS n,
+                list_transform(range(1, length(s) - ${k - 2}),
+                  i -> $poly * 1000003 % 2147483647) AS hl
+         FROM wc WHERE length(s) >= $k),
+       wwj AS (
+         SELECT doc_id, hl, unnest(range(1, n - ${w - 2})) AS j
+         FROM whs WHERE n >= $w),
+       wsel AS MATERIALIZED (
+         SELECT DISTINCT doc_id,
+                j + $w - list_position(list_reverse(hl[j:j+${w - 1}]),
+                                       list_min(hl[j:j+${w - 1}])) AS pos,
+                list_min(hl[j:j+${w - 1}]) AS fp
+         FROM wwj)"""
+  }
+
   /** First-wins LSH self-dedup replay (lsh.py:96–135 semantics) over
     * `$docsRel(doc_id, ord)` with band rows `$bandsRel(k, band, bhash)`;
     * ends with `${p}kept(doc_id, ord)`. Conflict = shared band bucket OR
@@ -1273,6 +1322,19 @@ object TextQueries {
            JOIN minp USING (fp) WHERE f.doc_id > min_id)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM dropd)""",
+    "q_winnow_fp" ->
+      s"""WITH $winnowSelCte
+         SELECT doc_id, pos, fp FROM wsel""",
+    "q_winnow_pairs" ->
+      s"""WITH $winnowSelCte,
+         wfps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         wok AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 64),
+         wf2 AS (SELECT wfps.* FROM wfps JOIN wok USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                count(*) AS n_shared
+         FROM wf2 a JOIN wf2 b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "q_lsh_bands" ->
       s"""WITH $docSrcCte,
           ${minhashBandsCte(MinHashF.optimalBands(0.9))}
