@@ -128,6 +128,39 @@ object PipelineQueries {
           col("media_frac"))
     },
 
+    // Caption–media pairing over the interleaved contract: m=0 docs
+    // exercise the nearest-PRECEDING-text rule twice (image@30 <- t1,
+    // audio@90 <- t2), m=1 docs the following-text fallback
+    // (image@0 <- t1 'after'), m=2 docs the no-text 'none' case. The
+    // oracle replays the span construction and both IGNORE NULLS
+    // window scans.
+    "q_caption_pairs" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(3L))
+      def sp(kind: String, text: org.apache.spark.sql.Column,
+             ref: org.apache.spark.sql.Column, off: Int) =
+        struct(lit(kind).as("kind"), text.as("text"),
+          ref.as("media_ref"), lit(off).as("offset"))
+      val t1  = substring(col("text"), 1, 30)
+      val t2  = substring(col("text"), 31, 30)
+      val img = concat(lit("img:"), id.cast("string"))
+      val aud = concat(lit("aud:"), id.cast("string"))
+      val spans =
+        when(m === 0, array(
+          sp("text", t1, lit(""), 0),
+          sp("image", lit(""), img, 30),
+          sp("text", t2, lit(""), 60),
+          sp("audio", lit(""), aud, 90)))
+        .when(m === 1, array(
+          sp("image", lit(""), img, 0),
+          sp("text", t1, lit(""), 30)))
+        .otherwise(array(
+          sp("image", lit(""), img, 0)))
+      Multimodal.captionPairs(
+        table(s, dir, "documents").select(col("doc_id"),
+          spans.as("spans")))
+    },
+
     // A5 same-doc span dedup on top of spanize (counts after dedup).
     "q_span_dedup" -> { (s, dir) =>
       val sp = DocPipeline.spanize(htmlFrame(s, dir))
@@ -1713,6 +1746,43 @@ object PipelineQueries {
              list_transform(paras, x -> length(x)), 'sum'), 0)
              + greatest(len(paras) - 1, 0) AS BIGINT) AS n_chars
          FROM s""",
+    "q_caption_pairs" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 3 AS m FROM documents),
+         sp AS (
+           SELECT doc_id, 0 AS pos, 'text' AS kind,
+                  substr(text, 1, 30) AS t, '' AS ref, 0 AS off
+           FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 1, 'image', '',
+                  concat('img:', doc_id), 30 FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 2, 'text', substr(text, 31, 30),
+                  '', 60 FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 3, 'audio', '',
+                  concat('aud:', doc_id), 90 FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 0, 'image', '',
+                  concat('img:', doc_id), 0 FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 1, 'text', substr(text, 1, 30),
+                  '', 30 FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 0, 'image', '',
+                  concat('img:', doc_id), 0 FROM d WHERE m = 2),
+         cap AS (
+           SELECT doc_id, kind, ref, off, pos,
+                  last_value(CASE WHEN kind = 'text' AND t <> ''
+                                  THEN t END IGNORE NULLS)
+                    OVER (PARTITION BY doc_id ORDER BY off, pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS cb,
+                  first_value(CASE WHEN kind = 'text' AND t <> ''
+                                   THEN t END IGNORE NULLS)
+                    OVER (PARTITION BY doc_id ORDER BY off, pos
+                          ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS ca
+           FROM sp)
+         SELECT doc_id, ref AS media_ref, kind,
+                coalesce(cb, ca, '') AS caption,
+                CASE WHEN cb IS NOT NULL THEN 'before'
+                     WHEN ca IS NOT NULL THEN 'after'
+                     ELSE 'none' END AS cap_side
+         FROM cap WHERE kind <> 'text' AND ref <> ''""",
     "q_span_dedup" ->
       """WITH s AS (
            SELECT doc_id,

@@ -450,4 +450,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set(("img/a", "img/b")))
     assert(pairs.head._3 <= 3)
   }
+
+  test("captionPairs: nearest preceding text wins, following is the " +
+       "fallback, empty text spans are skipped") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // (kind, text, media_ref, offset) tuples per doc
+    val docs = Seq(
+      // doc 1: text then image then text -> 'before'; second image
+      // after an EMPTY text span still pairs with the earlier text
+      (1L, Seq(("text", "alpha", "", 0), ("image", "", "img:1", 10),
+               ("text", "", "", 20), ("image", "", "img:1b", 30),
+               ("text", "omega", "", 40))),
+      // doc 2: image first -> 'after'
+      (2L, Seq(("image", "", "img:2", 0), ("text", "beta", "", 10))),
+      // doc 3: no text at all -> 'none', caption ''
+      (3L, Seq(("image", "", "img:3", 0))),
+      // doc 4: same offset tie -> array position breaks it
+      (4L, Seq(("text", "first", "", 0), ("text", "second", "", 0),
+               ("image", "", "img:4", 0)))
+    ).toDF("doc_id", "raw")
+      .selectExpr("doc_id",
+        "transform(raw, r -> struct(r._1 as kind, r._2 as text, " +
+          "r._3 as media_ref, r._4 as offset)) as spans")
+    val got = Multimodal.captionPairs(docs)
+      .select("media_ref", "caption", "cap_side")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("img:1") == ("alpha", "before"))
+    assert(got("img:1b") == ("alpha", "before"),
+      "empty text span must not shadow the real caption")
+    assert(got("img:2") == ("beta", "after"))
+    assert(got("img:3") == ("", "none"))
+    assert(got("img:4") == ("second", "before"),
+      "offset tie resolves by span array position")
+  }
 }
