@@ -1272,6 +1272,103 @@ object Multimodal {
       .withColumn("frame_ref",
         concat(col("media_ref"), lit("#t="), col("frame_ms")))
 
+  /** Integer-quantized DCT-II cosine table for an n-point dimension:
+    * cosQ(j)(x) = round(cos(π·(2x+1)·j / 2n) · 10⁴), frequencies j in
+    * 0..7. The quantized ints — not IEEE cos — are the contract: the
+    * oracle SQL embeds this exact table (generated from this method),
+    * so both engines run identical integer arithmetic end to end.
+    * Bounds: |row pass| ≤ 255·10⁴·n, |col pass| ≤ 255·10⁸·n² — int64-
+    * safe through n = 4096.
+    */
+  def dctCosQ(n: Int): Array[Array[Long]] =
+    Array.tabulate(8, n)((j, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * j / (2.0 * n)) * 1e4))
+
+  private val dctTableCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+  private def dctTable(n: Int): Array[Array[Long]] =
+    dctTableCache.computeIfAbsent(n, dctCosQ(_))
+
+  /** DCT perceptual hash (classic pHash shape, exact-integer variant):
+    * luminance plane → two-pass 8×8 low-frequency DCT-II with the
+    * quantized table → lower-median threshold over the 63 AC
+    * coefficients → 64 bits (bit u·8+v; the DC bit is always 0).
+    * Robust to the brightness/contrast/blur edits that shift aHash's
+    * global mean. Returned as two non-negative 32-bit halves like
+    * [[aHash]].
+    */
+  def dctHash(bytes: Array[Byte]): Option[(Long, Long)] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val gray   = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val raster = if (gray) img.getRaster else null
+    val cw = dctTable(w)
+    val ch = dctTable(h)
+    // row pass: R(u, y) = Σ_x p(x,y)·cosW(u)(x)
+    val rp = Array.ofDim[Long](8, h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum =
+          if (gray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+        var u = 0
+        while (u < 8) { rp(u)(y) += lum * cw(u)(x); u += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    // col pass: C(u, v) = Σ_y R(u,y)·cosH(v)(y)
+    val c = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var yy = 0
+        while (yy < h) { c(u)(v) += rp(u)(yy) * ch(v)(yy); yy += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    val ac  = (for (uu <- 0 until 8; vv <- 0 until 8
+                    if uu != 0 || vv != 0) yield c(uu)(vv)).sorted
+    val med = ac(31) // lower median of the 63 AC coefficients
+    var hi = 0L
+    var lo = 0L
+    var cell = 1
+    while (cell < 64) {
+      if (c(cell / 8)(cell % 8) > med) {
+        if (cell < 32) lo |= 1L << cell else hi |= 1L << (cell - 32)
+      }
+      cell += 1
+    }
+    Some((hi, lo))
+  }
+
+  val dctHashUdf = udf((b: Array[Byte]) => dctHash(b))
+
+  /** Per-image DCT-hash table: (refCol, hash_hi, hash_lo); undecodable
+    * payloads drop. One decode UDF per image; at 100 TB the decode is
+    * the cost and everything downstream is integer columns.
+    */
+  def imageDctHashes(media: DataFrame, refCol: String = "media_ref",
+                     bytesCol: String = "bytes"): DataFrame =
+    media
+      .withColumn("__dh", dctHashUdf(col(bytesCol)))
+      .filter(col("__dh").isNotNull)
+      .select(col(refCol), col("__dh._1").as("hash_hi"),
+        col("__dh._2").as("hash_lo"))
+
   /** Caption–media pairing over the interleaved input contract
     * (doc_id, spans<kind,text,media_ref,offset>): each media span is
     * paired with the nearest NON-EMPTY text span — the preceding one in

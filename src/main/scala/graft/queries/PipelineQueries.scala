@@ -497,6 +497,15 @@ object PipelineQueries {
           col("hash_hi"), col("hash_lo"))
     },
 
+    // DCT perceptual hash over the same REAL PNGs: two-pass 8×8
+    // low-frequency DCT-II in exact integers (the quantized cosine
+    // table is generated once in Scala and embedded verbatim in the
+    // oracle), lower-median AC threshold, 64 bits. The oracle replays
+    // pixels → row pass → col pass → median → bits → halves.
+    "q_phash_dct" -> { (s, dir) =>
+      Multimodal.imageDctHashes(phashMedia(s, dir))
+    },
+
     // Perceptual near-dup image pairs: aHash + 4x16-bit band blocking
     // (exact for Hamming <= 3) + codegen'd bit_count(xor) verification.
     // The planted odd twins land within a few bits of their even base;
@@ -758,7 +767,7 @@ object PipelineQueries {
     * (A % 256 + 180) % 256 == (A + 180) % 256 for non-negative A, so
     * the perturbation composes into one modulus.
     */
-  private val phashBaseSql =
+  private val phashPxSql =
     """px AS MATERIALIZED (
          SELECT d.doc_id, t.range % 16 AS x, t.range // 16 AS y,
                 ((t.range % 16) * 31 + (t.range // 16) * 17
@@ -766,7 +775,21 @@ object PipelineQueries {
                  + CASE WHEN d.doc_id % 2 = 1 AND t.range % 16 = 15
                          AND t.range // 16 = 15
                         THEN 180 ELSE 0 END) % 256 AS p
-         FROM documents d, range(256) t),
+         FROM documents d, range(256) t)"""
+
+  /** The 8×16 quantized DCT-II table as SQL VALUES — generated from
+    * the SAME Multimodal.dctCosQ(16) ints the Spark UDF multiplies by,
+    * so both engines share the exact integer table.
+    */
+  private val dct16Sql: String = {
+    val t = graft.operators.Multimodal.dctCosQ(16)
+    val rows = for (j <- 0 until 8; x <- 0 until 16)
+      yield s"($j,$x,${t(j)(x)})"
+    "dctt(j, xx, cc) AS (VALUES " + rows.mkString(",") + ")"
+  }
+
+  private val phashBaseSql =
+    phashPxSql + """,
        c AS (
          SELECT doc_id, (y * 8 // 16) * 8 + (x * 8 // 16) AS cell,
                 sum(p)::BIGINT AS cs, count(*)::BIGINT AS cn
@@ -1199,6 +1222,31 @@ object PipelineQueries {
                 16::BIGINT AS width, 16::BIGINT AS height,
                 hash_hi, hash_lo
          FROM hh""",
+
+    "q_phash_dct" ->
+      s"""WITH $phashPxSql,
+         $dct16Sql,
+         drow AS (
+           SELECT doc_id, y, t.j AS u, sum(p * t.cc)::BIGINT AS rv
+           FROM px JOIN dctt t ON t.xx = px.x GROUP BY 1, 2, 3),
+         dcoef AS MATERIALIZED (
+           SELECT doc_id, r.u, t.j AS v, sum(rv * t.cc)::BIGINT AS cv
+           FROM drow r JOIN dctt t ON t.xx = r.y GROUP BY 1, 2, 3),
+         dmed AS (
+           SELECT doc_id, (list_sort(list(cv)))[32] AS m
+           FROM dcoef WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+         dbits AS (
+           SELECT c.doc_id, u * 8 + v AS cell,
+                  CASE WHEN cv > m THEN 1 ELSE 0 END AS b
+           FROM dcoef c JOIN dmed USING (doc_id)
+           WHERE NOT (u = 0 AND v = 0))
+         SELECT 'media://img/' || doc_id AS media_ref,
+                sum(CASE WHEN cell >= 32
+                         THEN b * (1::BIGINT << (cell - 32))
+                         ELSE 0 END)::BIGINT AS hash_hi,
+                sum(CASE WHEN cell < 32 THEN b * (1::BIGINT << cell)
+                         ELSE 0 END)::BIGINT AS hash_lo
+         FROM dbits GROUP BY 1""",
 
     "q_image_neardup" ->
       s"""WITH $phashBaseSql,

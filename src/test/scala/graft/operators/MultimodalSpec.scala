@@ -451,6 +451,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head._3 <= 3)
   }
 
+  test("dctHash matches an independent single-pass replay") {
+    def p(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val Some((hi, lo)) = Multimodal.dctHash(Multimodal.encodeGrayPng(16, 16, p))
+    // independent replay: one straight double loop per coefficient,
+    // same quantized table (the two-pass production order must agree)
+    val t = Multimodal.dctCosQ(16)
+    val c = Array.tabulate(8, 8)((u, v) =>
+      (for (y <- 0 until 16; x <- 0 until 16)
+        yield p(x, y).toLong * t(u)(x) * t(v)(y)).sum)
+    val med = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield c(u)(v)).sorted.apply(31)
+    var (ehi, elo) = (0L, 0L)
+    for (cell <- 1 until 64 if c(cell / 8)(cell % 8) > med)
+      if (cell < 32) elo |= 1L << cell else ehi |= 1L << (cell - 32)
+    assert((hi, lo) == ((ehi, elo)))
+  }
+
+  test("dctHash is exactly invariant under pixel scaling") {
+    def p(x: Int, y: Int): Int = (x * 13 + y * 7) % 128
+    val a = Multimodal.dctHash(Multimodal.encodeGrayPng(16, 16, p))
+    val b = Multimodal.dctHash(
+      Multimodal.encodeGrayPng(16, 16, (x, y) => 2 * p(x, y) % 256))
+    assert(a.isDefined && a == b,
+      "doubling every pixel doubles every coefficient and the median")
+  }
+
+  test("dctHash decodes RGB like gray (luminance) and rejects junk") {
+    def p(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, p(x, y) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dctHash(bos.toByteArray) ==
+      Multimodal.dctHash(Multimodal.encodeGrayPng(16, 16, p)))
+    assert(Multimodal.dctHash("junk".getBytes).isEmpty)
+  }
+
   test("captionPairs: nearest preceding text wins, following is the " +
        "fallback, empty text spans are skipped") {
     val spark = graft.TestSpark.spark
