@@ -63,6 +63,20 @@ object LmQueries {
     "q_zipf_stats" -> { (s, dir) =>
       graft.operators.CorpusStats
         .zipfStats(table(s, dir, "documents"), "source", "text")
+    },
+
+    // SentencePiece-style unigram-LM tokenizer: corpus-frequency piece
+    // vocab (top-128 ∪ single chars, −log₁₀ micro costs) + per-word
+    // exact-integer Viterbi with the packed cost·8+len argmin (ties →
+    // shortest piece). The oracle replays piece counting, vocab
+    // selection, the cost chain, the forward DP (recursive CTE) and
+    // the backtrace — a wrong tie rule, window bound or rounding step
+    // breaks the hash.
+    "q_unigram_lm" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val vocab = graft.operators.UnigramLm.trainVocab(docs,
+        vocabSize = 128)
+      graft.operators.UnigramLm.encode(docs, vocab)
     }
   )
 
@@ -80,6 +94,71 @@ object LmQueries {
         bigp AS (SELECT * FROM big WHERE c >= $MinCount)"""
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      """WITH RECURSIVE
+         w0 AS MATERIALIZED (
+           SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi,
+                  unnest(list_transform(range(1, len(ws) + 1),
+                                        i -> ws[i::INT])) AS word
+           FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents) d),
+         ups AS (SELECT word, unnest(range(1, length(word) + 1)) AS st FROM w0),
+         upieces AS (
+           SELECT unnest(list_transform(
+                    range(1, least(4, length(word) - st + 1) + 1),
+                    l -> substr(word, st::INT, l::INT))) AS piece
+           FROM ups),
+         upc AS (SELECT piece, count(*)::BIGINT AS cnt FROM upieces GROUP BY 1),
+         utopv AS (SELECT piece, cnt FROM upc
+                   QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= 128),
+         usel AS (SELECT DISTINCT piece, cnt FROM (
+                    SELECT * FROM utopv
+                    UNION ALL SELECT piece, cnt FROM upc WHERE length(piece) = 1)),
+         utot AS (SELECT sum(cnt)::BIGINT AS t FROM usel),
+         uvc AS MATERIALIZED (
+           SELECT piece,
+                  CAST(-round(round(log10(cnt * 1.0 / t), 6) * 1000000) AS BIGINT)
+                    AS cost
+           FROM usel, utot),
+         udw AS (SELECT DISTINCT word FROM w0),
+         uwq AS (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM udw),
+         uwl AS (SELECT word, i, unnest(range(1, least(4, i) + 1)) AS l FROM uwq),
+         uwp AS MATERIALIZED (
+           SELECT q.word, q.i, q.l, uvc.cost FROM (
+             SELECT word, i, l,
+                    substr(word, (i - l + 1)::INT, l::INT) AS pc0
+             FROM uwl) q
+           JOIN uvc ON uvc.piece = q.pc0),
+         ust AS (
+           SELECT word, 0::BIGINT AS i, [0::BIGINT] AS best, [0::BIGINT] AS par
+           FROM udw
+           UNION ALL
+           SELECT s.word, s.i + 1 AS i,
+                  list_append(s.best,
+                    min((s.best[(s.i + 2 - w.l)::INT] + w.cost) * 8 + w.l) // 8)
+                    AS best,
+                  list_append(s.par,
+                    min((s.best[(s.i + 2 - w.l)::INT] + w.cost) * 8 + w.l) % 8)
+                    AS par
+           FROM ust s JOIN uwp w ON w.word = s.word AND w.i = s.i + 1
+           GROUP BY s.word, s.i, s.best, s.par),
+         ufin AS MATERIALIZED (
+           SELECT word, best[(length(word) + 1)::INT] AS cost_micro, par
+           FROM ust WHERE i = length(word)),
+         ubt AS (
+           SELECT word, length(word)::BIGINT AS i, []::VARCHAR[] AS seg, par
+           FROM ufin
+           UNION ALL
+           SELECT word, i - par[(i + 1)::INT] AS i,
+                  list_prepend(substr(word, (i - par[(i + 1)::INT] + 1)::INT,
+                                      par[(i + 1)::INT]::INT), seg) AS seg,
+                  par
+           FROM ubt WHERE i > 0),
+         usegf AS (SELECT word, seg FROM ubt WHERE i = 0)
+         SELECT w0.doc_id, w0.wi, w0.word,
+                array_to_string(s2.seg, '|') AS seg,
+                len(s2.seg)::BIGINT AS n_pieces, f.cost_micro
+         FROM w0 JOIN usegf s2 USING (word) JOIN ufin f USING (word)""",
     "q_lm_score" ->
       s"""WITH $trainSql,
          ctx AS (SELECT prev, sum(c) AS cc FROM big GROUP BY 1),
