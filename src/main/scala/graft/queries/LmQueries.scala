@@ -77,6 +77,26 @@ object LmQueries {
       val vocab = graft.operators.UnigramLm.trainVocab(docs,
         vocabSize = 128)
       graft.operators.UnigramLm.encode(docs, vocab)
+    },
+
+    // Tokenizer fertility per language: pieces/word and chars/piece of
+    // the unigram segmentation — the "is this tokenizer efficient for
+    // this language mix" health metric every multilingual pipeline
+    // tracks. Pure aggregation over the encode output.
+    "q_token_fertility" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val vocab = graft.operators.UnigramLm.trainVocab(docs,
+        vocabSize = 128)
+      graft.operators.UnigramLm.encode(docs, vocab)
+        .join(table(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_pieces"),
+          round(sum("n_pieces") / count(lit(1)), 6)
+            .as("pieces_per_word"),
+          round(sum(length(col("word"))) / sum("n_pieces"), 6)
+            .as("chars_per_piece"))
     }
   )
 
@@ -93,9 +113,14 @@ object LmQueries {
         big AS (SELECT prev, w, count(*) AS c FROM pr GROUP BY 1, 2),
         bigp AS (SELECT * FROM big WHERE c >= $MinCount)"""
 
-  val oracles: Map[String, String] = Map(
-    "q_unigram_lm" ->
-      """WITH RECURSIVE
+  /** Unigram-LM replay CTE chain (UnigramLm.scala semantics): piece
+    * counting, top-128 ∪ single-char vocab, 6dp-log10 micro costs, the
+    * packed-argmin forward DP and the backtrace. Ends with
+    * `usegf(word, seg)` + `ufin(word, cost_micro, par)` + `w0(doc_id,
+    * wi, word)`.
+    */
+  private val unigramCte: String =
+    """WITH RECURSIVE
          w0 AS MATERIALIZED (
            SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi,
                   unnest(list_transform(range(1, len(ws) + 1),
@@ -154,11 +179,28 @@ object LmQueries {
                                       par[(i + 1)::INT]::INT), seg) AS seg,
                   par
            FROM ubt WHERE i > 0),
-         usegf AS (SELECT word, seg FROM ubt WHERE i = 0)
+         usegf AS (SELECT word, seg FROM ubt WHERE i = 0)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      s"""$unigramCte
          SELECT w0.doc_id, w0.wi, w0.word,
                 array_to_string(s2.seg, '|') AS seg,
                 len(s2.seg)::BIGINT AS n_pieces, f.cost_micro
          FROM w0 JOIN usegf s2 USING (word) JOIN ufin f USING (word)""",
+    "q_token_fertility" ->
+      s"""$unigramCte,
+         enc AS (
+           SELECT w0.doc_id, w0.word, len(s2.seg)::BIGINT AS n_pieces
+           FROM w0 JOIN usegf s2 USING (word))
+         SELECT d.lang, count(*)::BIGINT AS n_words,
+                sum(e.n_pieces)::BIGINT AS n_pieces,
+                round(sum(e.n_pieces)::BIGINT / count(*), 6)
+                  AS pieces_per_word,
+                round(sum(length(e.word))::BIGINT
+                      / sum(e.n_pieces)::BIGINT, 6) AS chars_per_piece
+         FROM enc e JOIN documents d USING (doc_id)
+         GROUP BY 1""",
     "q_lm_score" ->
       s"""WITH $trainSql,
          ctx AS (SELECT prev, sum(c) AS cc FROM big GROUP BY 1),
