@@ -156,7 +156,11 @@ object Bench {
       mhLo: Double, mhHi: Double, mhEff: Double,
       bwLo: Double, bwHi: Double, bwEff: Double,
       xd1: Double, xd2: Double, xs1: Long, xs2: Long,
-      xlive: Long): String = {
+      xlive: Long,
+      // test seam: pin a ladder tier (qdp, keyWidth) to spec its
+      // rendering in isolation; production callers leave it None and
+      // get the first tier that fits the budget
+      forceTier: Option[(Int, Int)] = None): String = {
     def r(x: Double, dp: Int): String = {
       val p = math.pow(10, dp)
       val v = math.rint(x * p) / p
@@ -181,15 +185,26 @@ object Bench {
       // queries because dedup suffixes ate the width savings. The
       // "qkeys":"i36" marker tells readers to decode against the
       // sorted full-name map in bench_full.json.
-      val keys =
-        if (keyWidth < 0)
-          results.indices.map(i => java.lang.Long.toString(i.toLong, 36))
-        else if (keyWidth > 0) shortKeys(base, keyWidth)
-        else base
-      val marker = if (keyWidth < 0) "\"qkeys\":\"i36\"," else ""
-      val qs = keys.zip(results.map(_._2))
-        .map { case (k, v) => "\"" + k + "\":" + r(v, qdp) }
-        .mkString("{", ",", "}")
+      // keyWidth -2 = no keys at all: "queries" is a CSV string of the
+      // timings in result-seq (= sorted-name) order, "qkeys":"csv" —
+      // the position IS the key. ~3 chars/query; carries ~400 queries.
+      val marker =
+        if (keyWidth == -2) "\"qkeys\":\"csv\","
+        else if (keyWidth < 0) "\"qkeys\":\"i36\","
+        else ""
+      val qs =
+        if (keyWidth == -2)
+          results.map(v => r(v._2, qdp)).mkString("\"", ",", "\"")
+        else {
+          val keys =
+            if (keyWidth < 0)
+              results.indices.map(i => java.lang.Long.toString(i.toLong, 36))
+            else if (keyWidth > 0) shortKeys(base, keyWidth)
+            else base
+          keys.zip(results.map(_._2))
+            .map { case (k, v) => "\"" + k + "\":" + r(v, qdp) }
+            .mkString("{", ",", "}")
+        }
       val total = r(results.map(_._2).sum, 1)
       // steady-min secs only — trial 0 is the labeled warmup
       val sLo = r(loFs.drop(1).min, 1)
@@ -204,16 +219,20 @@ object Bench {
         s""""surv":$xs2,"live":$xlive},""" +
         s""""sf":"${sfDir.split('/').last}"}"""
     }
-    // final tiers: (0, 2) integer seconds under 2-char stems, then
-    // (0, -1) integer seconds under sorted-index keys ("qkeys" marks
-    // the encoding; the index maps into the sorted full-name map in
-    // bench_full.json). Attribution and ordering always survive; the
-    // full-precision map always lives in bench_full.json.
+    // final tiers: (0, 2) integer seconds under 2-char stems, (0, -1)
+    // integer seconds under sorted-index base-36 keys, then (0, -2)
+    // keyless positional CSV ("qkeys" marks the encoding; position maps
+    // into the sorted full-name map in bench_full.json). Attribution
+    // and ordering always survive; the full-precision map always lives
+    // in bench_full.json.
     val ladder = Seq((2, 0), (1, 0), (1, 12), (1, 8), (1, 6), (1, 4),
-      (1, 3), (1, 2), (0, 2), (0, -1))
-    ladder.iterator.map { case (dp, w) => render(dp, w) }
-      .find(_.length <= 1900)
-      .getOrElse(render(0, -1))
+      (1, 3), (1, 2), (0, 2), (0, -1), (0, -2))
+    forceTier match {
+      case Some((dp, w)) => render(dp, w)
+      case None => ladder.iterator.map { case (dp, w) => render(dp, w) }
+        .find(_.length <= 1900)
+        .getOrElse(render(0, -2))
+    }
   }
 
   /** STREAM-like triad (a[i] = b[i] + s*c[i]) on plain JVM threads — a

@@ -30,40 +30,58 @@ class BenchLineSpec extends AnyFunSuite {
       })
   }
 
-  private def mkLine(results: Seq[(String, Double)]) = Bench.compactLine(
-    results, 32, "/root/testdata/sf0.1",
-    loFs = Seq(38.8, 46.39, 45.03, 44.65),
-    hiFs = Seq(27.59, 29.25, 26.92, 26.9),
-    rateLo = 179183L, rateHi = 297357L,
-    effMed = 0.415, effCtrl = 0.643,
-    mhLo = 16.58, mhHi = 6.62, mhEff = 0.651,
-    bwLo = 65.93, bwHi = 73.58, bwEff = 0.279,
-    xd1 = 5.993, xd2 = 14.15, xs1 = 49276L, xs2 = 48073L, xlive = 97349L)
+  private def mkLine(results: Seq[(String, Double)],
+                     forceTier: Option[(Int, Int)] = None) =
+    Bench.compactLine(
+      results, 32, "/root/testdata/sf0.1",
+      loFs = Seq(38.8, 46.39, 45.03, 44.65),
+      hiFs = Seq(27.59, 29.25, 26.92, 26.9),
+      rateLo = 179183L, rateHi = 297357L,
+      effMed = 0.415, effCtrl = 0.643,
+      mhLo = 16.58, mhHi = 6.62, mhEff = 0.651,
+      bwLo = 65.93, bwHi = 73.58, bwEff = 0.279,
+      xd1 = 5.993, xd2 = 14.15, xs1 = 49276L, xs2 = 48073L,
+      xlive = 97349L, forceTier = forceTier)
 
   private def parse(line: String) =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
 
-  /** Every key must be attributable against the full-name map in
-    * bench_full.json: either a prefix-derived handle of some name
-    * (full names are their own handles), or — on the sorted-index
-    * tier, flagged by the top-level "qkeys" marker — a decimal index
-    * into the sorted name list.
+  /** Every timing must be attributable against the full-name map in
+    * bench_full.json, whatever tier the ladder landed on: a
+    * prefix-derived handle of some name (full names are their own
+    * handles), a base-36 index into the sorted name list
+    * ("qkeys":"i36"), or pure position in a CSV string
+    * ("qkeys":"csv"). Also asserts no timing was dropped.
     */
-  private def assertAttributable(qs: com.fasterxml.jackson.databind.JsonNode,
-                                 names: Seq[String],
-                                 indexKeys: Boolean = false): Unit = {
-    val it = qs.fieldNames()
-    while (it.hasNext) {
-      val k = it.next()
-      if (indexKeys) {
-        val idx = java.lang.Long.parseLong(k, 36)
-        assert(idx >= 0 && idx < names.size,
-          s"index key $k out of range for ${names.size} names")
-      } else {
-        val stem = k.takeWhile(_ != '~')
-        assert(names.exists(_.stripPrefix("q_").startsWith(stem)),
-          s"key $k not attributable to any query name")
-      }
+  private def assertAttributable(root: com.fasterxml.jackson.databind.JsonNode,
+                                 names: Seq[String]): Unit = {
+    val qs = root.get("queries")
+    val mode = Option(root.get("qkeys")).map(_.asText).getOrElse("names")
+    mode match {
+      case "csv" =>
+        assert(qs.isTextual, "csv tier must carry a string")
+        val vals = qs.asText.split(",", -1)
+        assert(vals.length == names.size, "a query timing was dropped")
+        vals.foreach(v => assert(v.matches("-?\\d+(\\.\\d+)?"),
+          s"csv value '$v' is not a number"))
+      case "i36" =>
+        assert(qs.size == names.size, "a query timing was dropped")
+        val it = qs.fieldNames()
+        while (it.hasNext) {
+          val k = it.next()
+          val idx = java.lang.Long.parseLong(k, 36)
+          assert(idx >= 0 && idx < names.size,
+            s"index key $k out of range for ${names.size} names")
+        }
+      case "names" =>
+        assert(qs.size == names.size, "a query timing was dropped")
+        val it = qs.fieldNames()
+        while (it.hasNext) {
+          val k = it.next()
+          val stem = k.takeWhile(_ != '~')
+          assert(names.exists(_.stripPrefix("q_").startsWith(stem)),
+            s"key $k not attributable to any query name")
+        }
     }
   }
 
@@ -80,10 +98,7 @@ class BenchLineSpec extends AnyFunSuite {
     val root = parse(line)
     assert(root.get("metric").asText == "total")
     assert(root.get("unit").asText == "sec")
-    val qs = root.get("queries")
-    assert(qs.size == liveNames.size, "a query timing was dropped")
-    assertAttributable(qs, liveNames,
-      indexKeys = root.has("qkeys"))
+    assertAttributable(root, liveNames)
     assert(root.get("frontier").get("eff").isNumber)
     assert(root.get("frontier").get("eff_ctrl").isNumber)
     assert(root.get("frontier").get("ups32").asLong == 297357L)
@@ -100,21 +115,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= 1900,
       s"grown line is ${line.length} chars; driver tail keeps 2000")
     val root = parse(line)
-    val qs = root.get("queries")
-    assert(qs.size == results.size, "a query timing was dropped")
-    assertAttributable(qs, grownNames, indexKeys = root.has("qkeys"))
+    assertAttributable(root, grownNames)
   }
 
   test("sorted-index tier: keys are base-36 positions in sorted-name " +
       "order, values stay ordered with the inputs") {
-    // live set + 20 long future names: past every stem tier's budget,
-    // must land on the index tier and still fit
+    // tier pinned via the test seam: the ladder's choice for a given
+    // set size drifts as the live set grows, but the i36 rendering
+    // contract itself must not
     val big = (liveNames ++
       (0 until 20).map(i => f"q_future_very_long_query_name_$i%02d"))
       .sorted
     val results = mkResults(big)
-    val line = mkLine(results)
-    assert(line.length <= 1900, s"index tier line is ${line.length}")
+    val line = mkLine(results, forceTier = Some((0, -1)))
     val root = parse(line)
     assert(root.get("qkeys").asText == "i36")
     val qs = root.get("queries")
@@ -125,5 +138,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(qs.get("7").asLong == want)
     // and a two-char base-36 key resolves too: index 40 -> "14"
     assert(qs.get("14").asLong == math.rint(results(40)._2).toLong)
+  }
+
+  test("csv tier: keyless positional timings absorb far beyond the " +
+      "index tier's capacity") {
+    // live set + 150 long names: no keyed tier can carry this, the
+    // ladder must land on the csv tier and still fit the budget
+    val huge = (liveNames ++
+      (0 until 150).map(i => f"q_future_very_long_query_name_$i%03d"))
+      .sorted
+    val results = mkResults(huge)
+    val line = mkLine(results)
+    assert(line.length <= 1900, s"csv tier line is ${line.length}")
+    val root = parse(line)
+    assert(root.get("qkeys").asText == "csv")
+    assertAttributable(root, huge)
+    // position 7 in the CSV carries results(7)'s integer-second timing
+    val vals = root.get("queries").asText.split(",", -1)
+    assert(vals(7).toLong == math.rint(results(7)._2).toLong)
+    assert(vals(40).toLong == math.rint(results(40)._2).toLong)
   }
 }
