@@ -19,7 +19,8 @@ object SparkEntry {
     (PipelineQueries.defs, PipelineQueries.oracles),
     (MiscQueries.defs, MiscQueries.oracles),
     (CurationQueries.defs, CurationQueries.oracles),
-    (LmQueries.defs, LmQueries.oracles)
+    (LmQueries.defs, LmQueries.oracles),
+    (SuffixQueries.defs, SuffixQueries.oracles)
   )
 
   /** Flagship: the end-to-end frontier slice — raw index lines through

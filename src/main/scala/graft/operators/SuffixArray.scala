@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed suffix array over a document corpus by prefix doubling
+  * (Manber–Myers), and the exact duplicated-span extraction built on it
+  * — the suffix-array formulation of exact substring dedup (Lee et al.
+  * 2021, "Deduplicating Training Data Makes Language Models Better"),
+  * complementing the fingerprint-based `SubstringDedup`
+  * (cc_corpus's dedup family: lsh.py, frequent_paragraphs.py) with a
+  * collision-free exact method that also yields *maximal* repeat
+  * lengths, not just fixed-window hits.
+  *
+  * Shape: suffixes never cross document boundaries (each doc is its own
+  * string; running past the end compares as rank −1, i.e. a terminator
+  * smaller than every character — exactly memcmp prefix order). Each
+  * doubling round is two shuffle joins plus one distributed ordinal
+  * assignment; `ceil(log2(maxLen))` rounds total with an early exit
+  * once all ranks are distinct. No single-partition window ever sees
+  * the corpus: global ordinals come from the same
+  * range-sort + stage-local-id + partition-offset machinery as
+  * `Frontier.politenessRankUnbounded` (the only driver-sized state is
+  * one offset row per partition). At 100 TB the per-round cost is
+  * O(n) shuffled rows × O(log maxLen) rounds — the standard
+  * large-scale SA construction trade.
+  *
+  * Ordering contract: ranks compare single characters by the binary
+  * UTF-8 order Spark's string sort and DuckDB's default collation
+  * share (UTF-8 is code-point order-preserving), so the final
+  * suffix order is plain memcmp order of the truncated suffixes with
+  * ties broken by (doc_id, pos). Text is truncated to `maxLen` chars —
+  * comparisons are exact within that horizon (callers wanting full-doc
+  * precision raise it; repeats longer than maxLen still surface, as
+  * equal-rank runs).
+  */
+object SuffixArray {
+
+  /** 0-based global ordinal of every row under `ord` without a
+    * single-partition window: range sort, stage-local ids, broadcast
+    * per-partition offsets. Checkpoint-pinned — the id assignment must
+    * not be recomputed under a different boundary sampling.
+    */
+  private[graft] def withOrdinal(df: DataFrame, ord: Seq[Column],
+                                 out: String): DataFrame = {
+    val mask = lit((1L << 33) - 1)
+    val sorted = df.orderBy(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val offsets = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      // partition-count-scale frame; the unpartitioned window is fine
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(asc("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    sorted.withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__offset") + col("__mid").bitwiseAND(mask))
+      .drop("__pid", "__mid", "__offset")
+  }
+
+  /** Suffix array: one row per suffix (doc_id, pos 1-based), `sa` the
+    * 0-based position in the global lexicographic order of all
+    * truncated suffixes, ties (identical suffixes) by (doc_id, pos).
+    *
+    * Seeding: initial ranks come from the binary order of fixed-width
+    * 16-char prefixes rather than single characters — one ordinal pass
+    * over n short strings replaces the first four doubling rounds
+    * (sorting a P-prefix is order-equivalent to the first P suffix
+    * comparisons: a doc-end-short prefix string sorts before its
+    * extensions, exactly the terminator rule).
+    */
+  def build(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", maxLen: Int = 256): DataFrame = {
+    val seedP = math.min(16, maxLen)
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, maxLen).as("__t"))
+      .filter(length(col("__t")) > 0) // sequence(1,0) would DESCEND
+    val pfx = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")))).as("pos"),
+        col("__t"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(__t, pos, $seedP)").as("__pfx"))
+    val pfxRank = withOrdinal(pfx.select("__pfx").distinct(),
+      Seq(col("__pfx").asc), "r")
+    var ranks = pfx.join(pfxRank, Seq("__pfx"))
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint()
+    var k = seedP
+    var done = false
+    while (k < maxLen && !done) {
+      // rank of the suffix k positions later in the SAME doc; past the
+      // doc end compares as -1 (terminator below every char)
+      val nxt = ranks.select(col("doc_id"), (col("pos") - k).as("pos"),
+        col("r").as("__r2"))
+      val paired = ranks.join(nxt, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r").as("__r1"),
+          coalesce(col("__r2"), lit(-1L)).as("__r2"))
+      val keyRank = withOrdinal(paired.select("__r1", "__r2").distinct(),
+        Seq(col("__r1").asc, col("__r2").asc), "__nr")
+      // checkpoint per round: truncates the iterative lineage AND pins
+      // the frame the next round self-joins twice
+      ranks = paired.join(keyRank, Seq("__r1", "__r2"))
+        .select(col("doc_id"), col("pos"), col("__nr").as("r"))
+        .localCheckpoint()
+      k *= 2
+      if (k < maxLen) {
+        val a = ranks.agg(countDistinct(col("r")).as("d"),
+          count(lit(1)).as("n")).head()
+        done = a.getLong(0) == a.getLong(1)
+      }
+    }
+    withOrdinal(ranks,
+      Seq(col("r").asc, col("doc_id").asc, col("pos").asc), "sa")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("sa"))
+  }
+
+  /** Adjacent pairs in suffix order with their exact LCP: one row per
+    * consecutive (sa, sa+1), columns (doc_a, pos_a, doc_b, pos_b, lcp).
+    * LCP is computed by one O(len) char-array compare per pair (both
+    * suffixes are in hand after the adjacency join); a 100-TB build
+    * would switch to the O(log maxLen) rank-table walk, trading these
+    * string bytes for log-many joins against the per-round rank tables.
+    */
+  def adjacentLcp(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  maxLen: Int = 256): DataFrame = {
+    val sa = build(docs, idCol, textCol, maxLen)
+    val texts = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, maxLen).as("__t"))
+    val sufs = sa.join(texts, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("sa"),
+        expr(s"substring(__t, pos, $maxLen)").as("__suf"))
+    val a = sufs.select(col("sa"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("__suf").as("__sufa"))
+    val b = sufs.select((col("sa") - 1).as("sa"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"), col("__suf").as("__sufb"))
+    a.join(b, Seq("sa"))
+      // char arrays materialized ONCE as columns — element_at inside
+      // the transform must not re-split per element
+      .withColumn("__ca", filter(split(col("__sufa"), ""),
+        c => c =!= lit("")))
+      .withColumn("__cb", filter(split(col("__sufb"), ""),
+        c => c =!= lit("")))
+      .withColumn("__n", least(size(col("__ca")), size(col("__cb"))))
+      .withColumn("__eq", transform(sequence(lit(1), col("__n")),
+        i => element_at(col("__ca"), i) === element_at(col("__cb"), i)))
+      .withColumn("__fp", array_position(col("__eq"), false))
+      .withColumn("lcp", when(col("__fp") > 0, col("__fp") - 1)
+        .otherwise(col("__n")).cast(LongType))
+      .select(col("sa"), col("doc_a"), col("pos_a"), col("doc_b"),
+        col("pos_b"), col("lcp"))
+  }
+
+  /** Exact duplicated spans: per doc, the merged char intervals
+    * [span_start, span_end) (1-based, end-exclusive) covered by some
+    * substring of length >= minLen that occurs at least twice anywhere
+    * in the corpus. A suffix's max LCP against ALL other suffixes is
+    * max(lcp with SA-predecessor, lcp with SA-successor) — the
+    * classical SA property — so adjacent pairs suffice for exactness.
+    */
+  def duplicateSpans(docs: DataFrame, minLen: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxLen: Int = 256): DataFrame = {
+    val pairs = adjacentLcp(docs, idCol, textCol, maxLen)
+    val cov = pairs.select(col("doc_a").as("doc_id"),
+        col("pos_a").as("pos"), col("lcp"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("pos_b").as("pos"), col("lcp")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("lcp")).as("__m"))
+      .filter(col("__m") >= minLen)
+      .select(col("doc_id"), col("pos").as("__s"),
+        (col("pos") + col("__m")).as("__e"))
+    // classic gaps-and-islands merge, per-doc partitions (skew-free:
+    // a doc's intervals are one group, bounded by its length)
+    val w = Window.partitionBy("doc_id").orderBy("__s")
+    cov
+      .withColumn("__pmax", max(col("__e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("__s")).cast(LongType).as("span_start"),
+        max(col("__e")).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Longest repeats: top-`n` adjacent-suffix pairs by LCP (ties by
+    * (doc_a, pos_a)), with the repeated prefix itself. The corpus-wide
+    * longest duplicated substring is row 1.
+    */
+  def longestRepeats(docs: DataFrame, n: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxLen: Int = 256): DataFrame = {
+    val pairs = adjacentLcp(docs, idCol, textCol, maxLen)
+    val texts = docs.select(col(idCol).as("doc_a"),
+      substring(col(textCol), 1, maxLen).as("__t"))
+    pairs.join(texts, Seq("doc_a"))
+      .withColumn("repeat_str", expr("substring(__t, pos_a, lcp)"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("lcp"), col("repeat_str"))
+      .orderBy(desc("lcp"), asc("doc_a"), asc("pos_a"),
+        asc("doc_b"), asc("pos_b"))
+      .limit(n)
+  }
+}
