@@ -292,4 +292,87 @@ object Sketches {
         round(when(raw <= 640.0 && zeros > 0, small).otherwise(raw), 4)
           .as("est")): _*)
   }
+
+  // --- KMV (bottom-k) distinct-value sketch ------------------------
+
+  /** 60-bit deterministic hash: first 15 md5 hex digits, exact BIGINT
+    * on both engines (16 digits would overflow DuckDB's 0x cast).
+    */
+  def kmvHashCol(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast(LongType)
+
+  /** Typed bottom-k Aggregator: state is at most 4k longs between
+    * trims, merge = concat + trim — the sketch is its own partial
+    * aggregate, so `groupBy(...).agg(kmv)` gets map-side combine and
+    * no window ever partitions a whole group onto one task. Any
+    * arrival order yields the same k smallest distinct hashes.
+    */
+  final class BottomKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Seq[Long], Seq[Long]] {
+    private def trim(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = {
+      val nb = b :+ h
+      if (nb.length >= 4 * k) trim(nb) else nb
+    }
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      trim(a ++ b)
+    override def finish(b: Seq[Long]): Seq[Long] = trim(b)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** KMV sketch per group: the k smallest distinct 60-bit hashes of
+    * `keyCol`, ascending, as one array column `kmv`. k longs of state
+    * per group — the cross-dump set-algebra sketch HLL cannot be:
+    * union, intersection, Jaccard and containment all estimate from
+    * two sketches alone (Beyer et al. 2007 / the theta-sketch family),
+    * answering "how much of dump B did dump A already cover" without
+    * ever joining the raw key sets.
+    */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int,
+                groupCols: String*): DataFrame = {
+    val kmv = udaf(new BottomKAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmv(kmvHashCol(col(keyCol))).as("kmv"))
+  }
+
+  private val Pow60 = 1152921504606846976.0 // 2^60, exact double
+
+  /** All-pairs overlap estimates from the sketches alone: for each
+    * group pair (g_a < g_b) the KMV union / Jaccard / intersection
+    * estimators over the combined bottom-k. The pair join is
+    * sketch-table-scale (one row per group), never data-scale.
+    * When the combined sketch holds fewer than k distinct hashes the
+    * sketches saw their whole sets and the estimate is exact by
+    * construction.
+    */
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+                 k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("g_a"), col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("g_b"), col("kmv").as("__kb"))
+    val kd = lit((k - 1).toDouble)
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__comb",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("__nc", size(col("__comb")))
+      // get(): 0-based, null out of bounds — never evaluated when
+      // __nc < k thanks to the conditional below
+      .withColumn("__hk", get(col("__comb"), lit(k - 1)))
+      .withColumn("__cnt", size(array_intersect(
+        array_intersect(col("__comb"), col("__ka")), col("__kb"))))
+      .withColumn("__u",
+        when(col("__nc") < k, col("__nc").cast("double"))
+          .otherwise(kd * lit(Pow60) / col("__hk").cast("double")))
+      .withColumn("__j", col("__cnt").cast("double") /
+        least(lit(k), col("__nc")).cast("double"))
+      .select(col("g_a"), col("g_b"),
+        round(col("__u"), 6).as("est_union"),
+        round(col("__j"), 6).as("est_jaccard"),
+        round(col("__j") * col("__u"), 6).as("est_intersection"))
+  }
 }

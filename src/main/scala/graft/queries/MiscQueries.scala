@@ -182,6 +182,40 @@ object MiscQueries {
         .select(col("event_type"), col("zeros"), col("est"), col("exact"))
     },
 
+    // KMV (bottom-k) sketch overlap: per-event-type user sets are
+    // sketched to the 64 smallest 60-bit hashes, then every type pair's
+    // union/Jaccard/intersection is ESTIMATED from the sketches alone
+    // and joined with the exact values — the cross-dump "how much of B
+    // did A already cover" planner. The oracle replays hashing, the
+    // bottom-64, the combined-sketch algebra and the estimator floats.
+    "q_kmv_overlap" -> { (s, dir) =>
+      val K = 64
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("u"))
+      val sk = graft.operators.Sketches.kmvSketch(ev, "u", K, "event_type")
+      val est = graft.operators.Sketches.kmvOverlap(sk, "event_type", K)
+      val d = ev.distinct()
+      val cnts = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val x = d.select(col("event_type").as("g_a"), col("u"))
+      val y = d.select(col("event_type").as("g_b"), col("u"))
+      val inter = x.join(y, x("u") === y("u") && col("g_a") < col("g_b"))
+        .groupBy("g_a", "g_b").agg(count(lit(1)).as("__i"))
+      est
+        .join(inter, Seq("g_a", "g_b"), "left")
+        .join(cnts.select(col("event_type").as("g_a"),
+          col("n").as("__na")), "g_a")
+        .join(cnts.select(col("event_type").as("g_b"),
+          col("n").as("__nb")), "g_b")
+        .withColumn("exact_inter", coalesce(col("__i"), lit(0L)))
+        .withColumn("exact_union",
+          col("__na") + col("__nb") - col("exact_inter"))
+        .select(col("g_a"), col("g_b"), col("est_union"),
+          col("est_jaccard"), col("est_intersection"),
+          col("exact_union"), col("exact_inter"),
+          round(col("exact_inter") / col("exact_union"), 6)
+            .as("exact_jaccard"))
+    },
+
     // Sketch MERGEABILITY on the driver gate: per-type register sets
     // are merged (max per bucket) into one global sketch and estimated.
     // The oracle computes the global sketch DIRECTLY — merge
@@ -425,6 +459,47 @@ object MiscQueries {
           est AS (${hllEstSql.replace("FROM reg", "FROM m")
                              .replace("event_type,", "")})
           SELECT zeros, est FROM est""",
+    "q_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type AS g,
+               CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15)
+                 AS BIGINT) AS h
+             FROM events),
+         bk AS (SELECT g, h FROM h
+                QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
+                  <= 64),
+         sk AS (SELECT g, list_sort(list(h)) AS kmv FROM bk GROUP BY g),
+         p AS (SELECT a.g AS g_a, b.g AS g_b, a.kmv AS ka, b.kmv AS kb
+               FROM sk a JOIN sk b ON a.g < b.g),
+         c AS (SELECT g_a, g_b, ka, kb,
+                      list_sort(list_distinct(ka || kb))[1:64] AS comb
+               FROM p),
+         e AS (SELECT g_a, g_b, len(comb) AS nc, comb[64] AS hk,
+                      len(list_filter(comb, x -> list_contains(ka, x)
+                        AND list_contains(kb, x))) AS cnt
+               FROM c),
+         est AS (SELECT g_a, g_b,
+                   CASE WHEN nc < 64 THEN nc::DOUBLE
+                        ELSE 63.0e0 * 1152921504606846976.0e0
+                             / hk::DOUBLE END AS u,
+                   cnt::DOUBLE / least(64, nc)::DOUBLE AS j
+                 FROM e),
+         d AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+         n AS (SELECT g, count(*) AS n FROM d GROUP BY 1),
+         i AS (SELECT x.g AS g_a, y.g AS g_b, count(*) AS ii
+               FROM d x JOIN d y ON x.u = y.u AND x.g < y.g
+               GROUP BY 1, 2)
+         SELECT est.g_a, est.g_b, round(u, 6) AS est_union,
+                round(j, 6) AS est_jaccard,
+                round(j * u, 6) AS est_intersection,
+                (na.n + nb.n - coalesce(i.ii, 0))::BIGINT AS exact_union,
+                coalesce(i.ii, 0)::BIGINT AS exact_inter,
+                round(coalesce(i.ii, 0)
+                      / (na.n + nb.n - coalesce(i.ii, 0)), 6)
+                  AS exact_jaccard
+         FROM est
+         JOIN n na ON na.g = est.g_a
+         JOIN n nb ON nb.g = est.g_b
+         LEFT JOIN i ON i.g_a = est.g_a AND i.g_b = est.g_b""",
     "q_cms_counts" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
          k AS (SELECT DISTINCT key FROM e

@@ -223,4 +223,46 @@ class SketchesSpec extends AnyFunSuite {
       assert(e >= trueQ && e - trueQ <= 2 * 4.0, s"q=$q est=$e true=$trueQ")
     }
   }
+
+  test("kmv: sketch is the k smallest distinct hashes, invariant to " +
+      "row order, duplication and partitioning") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 500).map(i => s"k$i")
+    val rows = (keys ++ keys.take(200) ++ keys.reverse) // heavy dups
+      .map(k => ("g", k))
+    val got = Sketches
+      .kmvSketch(rows.toDF("g", "key").repartition(7), "key", 64, "g")
+      .select("kmv").as[Seq[Long]].head()
+    // brute: same hash, distinct, sorted, take 64
+    val brute = Sketches
+      .kmvSketch(keys.map(k => ("g", k)).toDF("g", "key")
+        .repartition(1), "key", 64, "g")
+      .select("kmv").as[Seq[Long]].head()
+    assert(got == brute)
+    assert(got.length == 64 && got == got.distinct.sorted)
+  }
+
+  test("kmv overlap: exact branch when sets are smaller than k; " +
+      "estimates within 25% at 50% true overlap") {
+    val s = spark
+    import s.implicits._
+    // small sets (< k): estimates must EQUAL the exact values
+    val small = (0 until 30).map(i => ("a", s"u$i")) ++
+      (15 until 45).map(i => ("b", s"u$i"))
+    val smallSk = Sketches.kmvSketch(small.toDF("g", "key"), "key", 64, "g")
+    val se = Sketches.kmvOverlap(smallSk, "g", 64).collect().head
+    assert(se.getAs[Double]("est_union") == 45.0)
+    assert(se.getAs[Double]("est_intersection") == 15.0)
+    assert(math.abs(se.getAs[Double]("est_jaccard") - 15.0 / 45.0) < 1e-6)
+    // big sets: 2000 each, 1000 shared -> union 3000, jaccard 1/3
+    val big = (0 until 2000).map(i => ("a", s"u$i")) ++
+      (1000 until 3000).map(i => ("b", s"u$i"))
+    val bigSk = Sketches.kmvSketch(big.toDF("g", "key"), "key", 64, "g")
+    val be = Sketches.kmvOverlap(bigSk, "g", 64).collect().head
+    val u = be.getAs[Double]("est_union")
+    val j = be.getAs[Double]("est_jaccard")
+    assert(math.abs(u - 3000.0) / 3000.0 < 0.25, s"union est $u")
+    assert(math.abs(j - 1.0 / 3.0) < 0.15, s"jaccard est $j")
+  }
 }
