@@ -196,6 +196,34 @@ object SuffixArray {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Doc-level duplicate-coverage verdict (the Lee et al. document
+    * criterion): fraction of each doc's truncated chars lying inside
+    * some >=minLen substring duplicated elsewhere in the corpus; docs
+    * at or above `dropFrac` are flagged. Docs with no duplicated span
+    * appear with coverage 0 — the keep/drop decision is total.
+    */
+  def duplicateCoverage(docs: DataFrame, minLen: Int, dropFrac: Double,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxLen: Int = 256): DataFrame = {
+    val spans = duplicateSpans(docs, minLen, idCol, textCol, maxLen)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_chars"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        length(substring(col(textCol), 1, maxLen)).cast(LongType)
+          .as("n_chars"))
+      .filter(col("n_chars") > 0)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("dup_chars", coalesce(col("dup_chars"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("dup_chars").cast("double")
+          / col("n_chars").cast("double"), 6))
+      .withColumn("drop_doc", col("dup_frac") >= dropFrac)
+      .select(col("doc_id"), col("n_chars"), col("dup_chars"),
+        col("dup_frac"), col("drop_doc"))
+  }
+
   /** Longest repeats: top-`n` adjacent-suffix pairs by LCP (ties by
     * (doc_a, pos_a)), with the repeated prefix itself. The corpus-wide
     * longest duplicated substring is row 1.

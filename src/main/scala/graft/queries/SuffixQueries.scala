@@ -39,6 +39,14 @@ object SuffixQueries {
     "q_longest_repeat" -> { (s, dir) =>
       SuffixArray.longestRepeats(table(s, dir, "documents"), n = TopN,
         maxLen = MaxLen)
+    },
+
+    // Doc-level exact-duplication verdict: fraction of chars inside
+    // >=30-char corpus-duplicated substrings, drop at >=50% (the Lee et
+    // al. document criterion over the span machinery above).
+    "q_dup_coverage" -> { (s, dir) =>
+      SuffixArray.duplicateCoverage(table(s, dir, "documents"),
+        minLen = MinSpan, dropFrac = 0.5, maxLen = MaxLen)
     }
   )
 
@@ -71,35 +79,56 @@ object SuffixQueries {
                        least(len(la), len(lb)))::BIGINT AS lcp
               FROM adj)"""
 
+  /** Full duplicated-span pipeline ending in a `spans(doc_id,
+    * span_start, span_end)` CTE — shared by q_dup_spans and
+    * q_dup_coverage. */
+  private val spansSql: String =
+    s"""$sufCte, $adjCte,
+       cov AS (SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lc
+               UNION ALL
+               SELECT doc_b, pos_b, lcp FROM lc),
+       m AS (SELECT doc_id, pos, max(lcp) AS m FROM cov
+             GROUP BY 1, 2 HAVING max(lcp) >= $MinSpan),
+       iv AS (SELECT doc_id, pos AS s, pos + m AS e FROM m),
+       mk AS (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pmax
+              FROM iv),
+       br AS (SELECT doc_id, s, e,
+                CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                  AS brk
+              FROM mk),
+       isl AS (SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+               FROM br),
+       spans AS (SELECT doc_id, min(s)::BIGINT AS span_start,
+                        max(e)::BIGINT AS span_end
+                 FROM isl GROUP BY doc_id, isl)"""
+
   val oracles: Map[String, String] = Map(
     "q_suffix_array" ->
       s"""$sufCte
          SELECT doc_id, pos, (rn - 1)::BIGINT AS sa FROM ord""",
     "q_dup_spans" ->
-      s"""$sufCte, $adjCte,
-         cov AS (SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lc
-                 UNION ALL
-                 SELECT doc_b, pos_b, lcp FROM lc),
-         m AS (SELECT doc_id, pos, max(lcp) AS m FROM cov
-               GROUP BY 1, 2 HAVING max(lcp) >= $MinSpan),
-         iv AS (SELECT doc_id, pos AS s, pos + m AS e FROM m),
-         mk AS (SELECT doc_id, s, e,
-                  max(e) OVER (PARTITION BY doc_id ORDER BY s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS pmax
-                FROM iv),
-         br AS (SELECT doc_id, s, e,
-                  CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
-                    AS brk
-                FROM mk),
-         isl AS (SELECT doc_id, s, e,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS isl
-                 FROM br)
-         SELECT doc_id, min(s)::BIGINT AS span_start,
-                max(e)::BIGINT AS span_end
-         FROM isl GROUP BY doc_id, isl""",
+      s"""$spansSql
+         SELECT doc_id, span_start, span_end FROM spans""",
+    "q_dup_coverage" ->
+      s"""$spansSql,
+         dc AS (SELECT doc_id,
+                       sum(span_end - span_start)::BIGINT AS dup_chars
+                FROM spans GROUP BY 1),
+         base AS (SELECT doc_id, length(t)::BIGINT AS n_chars FROM d
+                  WHERE length(t) > 0)
+         SELECT base.doc_id, base.n_chars,
+                coalesce(dc.dup_chars, 0)::BIGINT AS dup_chars,
+                round(coalesce(dc.dup_chars, 0) / base.n_chars, 6)
+                  AS dup_frac,
+                round(coalesce(dc.dup_chars, 0) / base.n_chars, 6)
+                  >= 0.5e0 AS drop_doc
+         FROM base LEFT JOIN dc ON dc.doc_id = base.doc_id""",
     "q_longest_repeat" ->
       s"""$sufCte, $adjCte,
          t AS (SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM lc

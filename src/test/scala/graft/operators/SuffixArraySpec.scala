@@ -119,6 +119,22 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no duplicated spans")
   }
 
+  test("duplicateCoverage: clones score 1.0 and drop, unique docs " +
+      "score 0.0 and keep") {
+    val clone = "this exact block of text is long enough to be a span"
+    val docs = Seq(
+      (1L, clone), (2L, clone), // full clones -> coverage 1.0
+      (3L, "entirely unique writing with no repeats whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray
+      .duplicateCoverage(docs, minLen = 20, dropFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dup_frac"), r.getAs[Boolean]("drop_doc"))))
+      .toMap
+    assert(got(1L) == ((1.0, true)) && got(2L) == ((1.0, true)))
+    assert(got(3L) == ((0.0, false)))
+  }
+
   test("longestRepeats: the top pair is a genuine corpus-wide longest " +
       "repeat and carries its text") {
     val shared = "xxqqzzyy_shared_block_xxqqzzyy"
