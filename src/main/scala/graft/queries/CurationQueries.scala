@@ -58,7 +58,30 @@ object CurationQueries {
       col("doc_id"), array_join(lines, "\n").as("text"))
   }
 
+  /** Blocklist for q_blocklist_scrub: fixture-vocabulary phrases with
+    * deliberate overlap structure ("park" inside "spark", a phrase
+    * sharing its head with a shorter pattern) so Aho–Corasick failure
+    * links and suffix outputs are all on the hash path. Order matters:
+    * the pattern id is the tie-break for first_pattern.
+    */
+  private val BlockPats = Seq(
+    "customer part", "customer", "spark", "park",
+    "order merge", "stream a small")
+
   val defs: Map[String, Q] = Map(
+    // Aho–Corasick blocklist gate: every (overlapping) occurrence of
+    // every pattern in one linear scan per doc; the oracle brute-counts
+    // each (doc, pattern)'s start positions by direct substring
+    // comparison, so automaton construction, failure links, overlap
+    // counting, first-match tie-breaks and the drop verdict all
+    // hash-check.
+    "q_blocklist_scrub" -> { (s, dir) =>
+      graft.operators.Blocklist.matchReport(
+        table(s, dir, "documents").select("doc_id", "text"),
+        "text", BlockPats, maxHits = 3)
+        .select(col("doc_id"), col("n_hits"), col("n_patterns"),
+          col("first_pos"), col("first_pattern"), col("drop_doc"))
+    },
     // PII scrubbing as codegen'd regex columns. The fixture text carries
     // no PII, so each row gets a deterministic email/IP/phone suffix
     // appended from doc_id — the oracle builds the identical string and
@@ -552,6 +575,33 @@ object CurationQueries {
            FROM c GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q_blocklist_scrub" -> {
+      val vals = BlockPats.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pid, pat)),
+         d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         occ AS (SELECT d.doc_id, pats.pid, pats.pat,
+                   list_filter(range(1, length(t) - length(pat) + 2),
+                     i -> substr(t, i::INT, length(pat)) = pat) AS ps
+                 FROM d, pats),
+         st AS (SELECT doc_id, pid, pat, len(ps) AS c,
+                       CASE WHEN len(ps) > 0 THEN ps[1] END AS fi
+                FROM occ),
+         agg AS (SELECT doc_id, sum(c)::BIGINT AS n_hits,
+                        count(*) FILTER (c > 0)::BIGINT AS n_patterns,
+                        min(fi) AS fp
+                 FROM st GROUP BY 1),
+         fpat AS (SELECT st.doc_id, min(st.pid) AS fpid
+                  FROM st JOIN agg USING (doc_id)
+                  WHERE st.fi = agg.fp GROUP BY 1)
+         SELECT agg.doc_id, agg.n_hits, agg.n_patterns,
+                coalesce(agg.fp, 0)::BIGINT AS first_pos,
+                coalesce(p.pat, '') AS first_pattern,
+                agg.n_hits >= 3 AS drop_doc
+         FROM agg
+         LEFT JOIN fpat ON fpat.doc_id = agg.doc_id
+         LEFT JOIN pats p ON p.pid = fpat.fpid"""
+    },
     "q_par_dedup" ->
       s"""WITH d AS (
            SELECT doc_id,
