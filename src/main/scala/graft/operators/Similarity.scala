@@ -330,6 +330,57 @@ object Similarity {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("sim"))
   }
 
+  /** Contrastive-pair mining for embedding training: per anchor, the
+    * hardest same-label positive (highest-cosine peer sharing the
+    * label) and the hardest cross-label negative, both restricted to
+    * the anchor's hyperplane-LSH bucket — the standard "hard negatives
+    * come from the ANN index" recipe. Anchors lacking either kind of
+    * peer in their bucket are omitted (no fallback row).
+    *
+    * Scale shape: the quadratic step is per-bucket (bucket = partition
+    * key); cosines quantize to int64 micro-units once, and every
+    * argmax/tie-break is integer (micro desc, candidate id asc) — no
+    * float comparison anywhere after quantization.
+    */
+  def mineContrastive(embeddings: DataFrame, nPlanes: Int, dim: Int,
+                      seed: Long = 42L, idCol: String = "vec_id",
+                      embCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    import graft.expressions.VectorExpressions.dotCol
+    val b = hyperplaneBuckets(embeddings, nPlanes, dim, seed, embCol)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"), col("bucket"),
+        col(embCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+    val pairs = b.alias("a")
+      .join(b.alias("c"),
+        col("a.bucket") === col("c.bucket") && col("a.id") =!= col("c.id"))
+      .withColumn("micro",
+        round(dotCol(col("a.v"), col("c.v"))
+          / (col("a.nrm") * col("c.nrm")) * lit(1000000.0), 0)
+          .cast(org.apache.spark.sql.types.LongType))
+      .select(col("a.id").as("anchor"), col("c.id").as("cand"),
+        (col("a.lbl") === col("c.lbl")).as("__same"), col("micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"), col("__same"))
+      .orderBy(desc("micro"), asc("cand"))
+    val best = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val pos = best.filter(col("__same"))
+      .select(col("anchor"), col("cand").as("pos_id"),
+        col("micro").as("__pm"))
+    val neg = best.filter(!col("__same"))
+      .select(col("anchor"), col("cand").as("neg_id"),
+        col("micro").as("__nm"))
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor"), col("pos_id"),
+        round(col("__pm") / lit(1000000.0), 6).as("pos_sim"),
+        col("neg_id"),
+        round(col("__nm") / lit(1000000.0), 6).as("neg_sim"),
+        round((col("__pm") - col("__nm")) / lit(1000000.0), 6)
+          .as("margin"))
+  }
+
   /** Simhash near-duplicate pairs: 4x16-bit band blocking over the 64-bit
     * simhash, exact Hamming verification <= maxDist. Band blocking is
     * exact for maxDist <= 3 (pigeonhole: 4 bands, <=3 differing bits ->

@@ -693,6 +693,17 @@ object TextQueries {
         queryVecId = 0, k = 10, nPlanes = 8, dim = 64)
     },
 
+    // Contrastive-pair mining: hardest in-bucket same-label positive +
+    // cross-label negative per anchor, int64 micro-unit cosines, ties
+    // to the smaller candidate id. The oracle replays the hyperplane
+    // buckets, the per-bucket pair cosines (list_dot_product = the
+    // same left-to-right fold as the native expression) and both
+    // argmaxes.
+    "q_contrastive_pairs" -> { (s, dir) =>
+      Similarity.mineContrastive(table(s, dir, "embeddings"),
+        nPlanes = 4, dim = 64)
+    },
+
     // IVF-ANN: deterministic k-means coarse quantizer (fixed init +
     // iteration count, rounded means), probe the 2 nearest inverted
     // lists, exact-cosine top-k inside them. The oracle replays the
@@ -1457,6 +1468,33 @@ object TextQueries {
     "q_ann_buckets" ->
       s"""WITH ${bucketsCte(8, 64)}
           SELECT bucket, count(*) AS n FROM b GROUP BY 1""",
+    "q_contrastive_pairs" ->
+      s"""WITH ${bucketsCte(4, 64)},
+          el AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+          bb AS (SELECT el.vec_id, el.label, el.v, b.bucket,
+                   sqrt(list_dot_product(el.v, el.v)) AS nrm
+                 FROM el JOIN b USING (vec_id)),
+          pr AS (SELECT a.vec_id AS anchor, c.vec_id AS cand,
+                   a.label = c.label AS same,
+                   round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm)
+                     * 1000000.0e0, 0)::BIGINT AS micro
+                 FROM bb a JOIN bb c
+                   ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+          rk AS (SELECT anchor, cand, micro, same,
+                   row_number() OVER (PARTITION BY anchor, same
+                     ORDER BY micro DESC, cand ASC) AS rn
+                 FROM pr),
+          pos AS (SELECT anchor, cand AS pos_id, micro AS pm
+                  FROM rk WHERE same AND rn = 1),
+          neg AS (SELECT anchor, cand AS neg_id, micro AS nm
+                  FROM rk WHERE NOT same AND rn = 1)
+          SELECT p.anchor, p.pos_id,
+                 round(pm / 1000000.0e0, 6) AS pos_sim,
+                 n.neg_id, round(nm / 1000000.0e0, 6) AS neg_sim,
+                 round((pm - nm) / 1000000.0e0, 6) AS margin
+          FROM pos p JOIN neg n USING (anchor)""",
     "q_ann_search" ->
       s"""WITH ${bucketsCte(8, 64)},
           qb AS (SELECT bucket FROM b WHERE vec_id = 0),

@@ -197,4 +197,40 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("mineContrastive: picks the hardest in-bucket positive and " +
+      "negative with integer tie-breaks, skips anchors lacking either") {
+    val s = spark
+    import s.implicits._
+    // dim-4 vectors engineered so all land in one bucket family by
+    // similarity; labels: 0 for the first three, 1 for the next two,
+    // and an isolated label-2 vector with no same-label peer
+    def v(x: Double, y: Double) = Seq(x, y, 0.1, 0.1).map(_.toFloat)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0),   // anchor of interest
+      (1L, v(0.99, 0.14), 0), // closest same-label
+      (2L, v(0.7, 0.7), 0),   // farther same-label
+      (3L, v(0.95, 0.3), 1),  // hardest cross-label for 0
+      (4L, v(0.1, 1.0), 1),
+      (5L, v(0.5, 0.5), 2))   // no same-label peer -> no row
+      .toDF("vec_id", "embedding", "label")
+    // nPlanes = 0 is degenerate; use 1 plane so bucketing exists but
+    // most vectors co-bucket (all have positive first coordinates)
+    val got = Similarity.mineContrastive(rows, nPlanes = 1, dim = 4)
+      .collect().map(r => r.getAs[Long]("anchor") -> r).toMap
+    assert(!got.contains(5L), "label-2 anchor has no positive")
+    val a0 = got(0L)
+    assert(a0.getAs[Long]("pos_id") == 1L)
+    assert(a0.getAs[Long]("neg_id") == 3L)
+    assert(a0.getAs[Double]("pos_sim") > a0.getAs[Double]("neg_sim"))
+    assert(math.abs(a0.getAs[Double]("margin") -
+      (a0.getAs[Double]("pos_sim") - a0.getAs[Double]("neg_sim"))) < 2e-6)
+    // determinism under different partitioning
+    val got7 = Similarity
+      .mineContrastive(rows.repartition(7), nPlanes = 1, dim = 4)
+      .collect().map(r => (r.getAs[Long]("anchor"),
+        r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))).toSet
+    assert(got7 == got.values.map(r => (r.getAs[Long]("anchor"),
+      r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))).toSet)
+  }
 }
