@@ -693,6 +693,16 @@ object TextQueries {
         queryVecId = 0, k = 10, nPlanes = 8, dim = 64)
     },
 
+    // PCA top component by power iteration: per-dimension loading of
+    // PC1 plus the Rayleigh eigenvalue and its variance share — the
+    // embedding-collapse health check and whitening precursor. The
+    // oracle unrolls the identical 5 iterations (means 6dp, covariance
+    // sums 6dp, iterates 8dp) so both engines walk the same float path.
+    "q_pca_top" -> { (s, dir) =>
+      graft.operators.Spectral.pcaTop(table(s, dir, "embeddings"),
+        iters = 5)
+    },
+
     // Contrastive-pair mining: hardest in-bucket same-label positive +
     // cross-label negative per anchor, int64 micro-unit cosines, ties
     // to the smaller candidate id. The oracle replays the hyperplane
@@ -1468,6 +1478,34 @@ object TextQueries {
     "q_ann_buckets" ->
       s"""WITH ${bucketsCte(8, 64)}
           SELECT bucket, count(*) AS n FROM b GROUP BY 1""",
+    "q_pca_top" -> {
+      val iterCtes = (1 to 5).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT cov.i, round(sum(cov.c * $pv.vj), 8) AS w
+              FROM cov JOIN $pv ON $pv.j = cov.j GROUP BY 1),
+           n$t AS (SELECT round(sqrt(sum(w * w)), 8) AS n FROM w$t),
+           v$t AS (SELECT i AS j, round(w / n, 8) AS vj FROM w$t, n$t)"""
+      }.mkString(",\n")
+      s"""WITH x AS (
+           SELECT vec_id AS r, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         mu AS (SELECT i, round(avg(v), 6) AS mu FROM x GROUP BY 1),
+         cx AS (SELECT x.r, x.i, x.v - mu.mu AS xv
+                FROM x JOIN mu USING (i)),
+         cov AS (SELECT a.i AS i, b.i AS j,
+                        round(sum(a.xv * b.xv), 6) AS c
+                 FROM cx a JOIN cx b ON a.r = b.r GROUP BY 1, 2),
+         v0 AS (SELECT i AS j, 1.0e0 AS vj FROM mu),
+         $iterCtes,
+         eig AS (SELECT round(sum(cov.c * a.vj * b.vj), 6) AS e
+                 FROM cov JOIN v5 a ON a.j = cov.i
+                 JOIN v5 b ON b.j = cov.j),
+         tr AS (SELECT round(sum(c), 6) AS t FROM cov WHERE i = j)
+         SELECT v5.j::BIGINT AS idx, v5.vj AS loading,
+                round(e, 6) AS eigenvalue, round(e / t, 6) AS var_frac
+         FROM v5, eig, tr"""
+    },
     "q_contrastive_pairs" ->
       s"""WITH ${bucketsCte(4, 64)},
           el AS (SELECT vec_id, label,
