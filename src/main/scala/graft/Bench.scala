@@ -36,7 +36,7 @@ object Bench {
   private val Trials = 4
   private val SteadyFrom = 1
 
-  private def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int): SparkSession = {
     Files.createDirectories(Paths.get("/dev/shm/graft-spark"))
     val s = SparkSession.builder()
       .master(s"local[$cores]")

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Paths
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.Urls
 import graft.state.{Snapshots, UrlSeenState}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
@@ -142,9 +144,20 @@ object FrontierJob {
     // consumer beyond what ReuseExchange covers, so the checkpoint's one
     // block-manager pass is the cheaper trade. Default stays pinned.
     val noPin = sys.env.contains("GRAFT_NO_PIN")
+    // GRAFT_PIN_MODE=persist: pin via the compressed in-memory COLUMNAR
+    // cache instead of localCheckpoint's raw UnsafeRow blocks — the
+    // string-heavy frame (url/warc/file) dictionary/RLE-compresses, so
+    // each consumer's re-read moves fewer bytes through the memory
+    // subsystem (the bandwidth-bound resource at high core counts).
+    val pinMode = sys.env.getOrElse("GRAFT_PIN_MODE", "ckpt")
+    def pin(df: DataFrame): DataFrame = pinMode match {
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => df.localCheckpoint()
+    }
     val (ranked, rankCache, warcCountSrc) = phase("politeness rank") {
       if (useByFile) {
-        val pinned = if (noPin) gated else gated.localCheckpoint()
+        val pinned = if (noPin) gated else pin(gated)
         val r = Frontier.politenessRankByFile(pinned, "host_key")
         val limited =
           if (politenessQuota < Int.MaxValue)
@@ -179,8 +192,13 @@ object FrontierJob {
     // the sort chain.
     val (snapId, dataDir, stateDir) = Snapshots.stage(tableDir)
     val batchesPath = dataDir.resolveSibling(s"snap-$snapId-batches").toString
+    // GRAFT_PARQUET_CODEC (measured experiment knob): the batch write is
+    // the one full-width materialization left per batch; if it is
+    // bandwidth-bound the codec's bytes-vs-cpu trade moves the wall.
+    val codec = sys.env.getOrElse("GRAFT_PARQUET_CODEC", "snappy")
     phase("write batches") {
-      batches0.write.mode("overwrite").parquet(batchesPath)
+      batches0.write.mode("overwrite").option("compression", codec)
+        .parquet(batchesPath)
     }
     val batches = spark.read.parquet(batchesPath)
 
@@ -204,9 +222,23 @@ object FrontierJob {
     val prevStateDir = prev
       .map(m => Paths.get(tableDir, m.statePath))
       .filter(java.nio.file.Files.isDirectory(_))
+    // State partition count is a property of the TABLE, not the session:
+    // resume derives it from the existing blobs (routing must match the
+    // layout they were written under); a fresh table sizes to the core
+    // count so the per-blob update tasks don't cap parallelism at 16 on
+    // wider machines (measured: the update phase was wall-flat 8→32
+    // cores with 16 fixed blobs).
+    val stateParts = prevStateDir
+      .map { d =>
+        val n = java.nio.file.Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.startsWith("cuckoo-"))
+        math.max(n, 1)
+      }
+      .getOrElse(math.min(256,
+        math.max(16, spark.sparkContext.defaultParallelism)))
     val perPartInserts = phase("cuckoo update")(UrlSeenState.updateDistributed(
       spark, deltaHashes,
-      prevStateDir, stateDir, partitions = 16,
+      prevStateDir, stateDir, partitions = stateParts,
       capacityPerPartition = 1 << 16))
     // FP-rate bound: a chain that has grown past 2 segments gets rebuilt
     // into one right-sized filter from the authoritative seen set (old
@@ -216,7 +248,7 @@ object FrontierJob {
       val allSeen = seenUrls.select(xxhash64(col("url")).as("h"))
         .union(deltaHashes)
       UrlSeenState.compactDistributed(spark, allSeen, stateDir,
-        partitions = 16, capacityPerPartition = 1 << 16)
+        partitions = stateParts, capacityPerPartition = 1 << 16)
     }
 
     val nKept    = obsBatch.get("n_scheduled").asInstanceOf[Long]

@@ -179,6 +179,131 @@ object Similarity {
     bruteForceTopK(cands, qVec, k, idCol, embCol)
   }
 
+  /** Per-query exact top-k over a (qid, vec_id, sim) pair frame as TWO
+    * bounded window phases: phase 1 ranks within (qid, hash-salt) — the
+    * exchange spreads each query's pair stream over `salts` groups, so
+    * no single task ever owns a whole query's N candidates — phase 2
+    * ranks the surviving ≤ salts·k rows per query. Exact regardless of
+    * `salts` (the global top-k is contained in the union of per-salt
+    * top-ks); the salt is hash-derived from vec_id, not partition
+    * layout, so results are environment-independent.
+    */
+  private def topKPerQuery(pairs: DataFrame, k: Int,
+                           salts: Int = 32): DataFrame = {
+    val w1 = Window.partitionBy("qid", "__salt")
+      .orderBy(desc("sim"), col("vec_id").asc)
+    val w2 = Window.partitionBy("qid")
+      .orderBy(desc("sim"), col("vec_id").asc)
+    pairs
+      .withColumn("__salt", pmod(xxhash64(col("vec_id")), lit(salts)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= k)
+      .select("qid", "vec_id")
+  }
+
+  /** ANN quality eval: recall@k of the IVF probe path against exact
+    * brute-force ground truth for the `nQueries` smallest-id vectors —
+    * ONE distributed plan: the query set broadcasts into both scoring
+    * joins (m·N pair frames, embarrassingly parallel), per-query top-k
+    * via the salted two-phase window, recall by joining the two top-k
+    * sets. No per-query driver loop; the only collected state is the
+    * k-means centroid model (kLists×dim doubles). Output:
+    * (qid, hits, recall@k).
+    */
+  def annRecallEval(embeddings: DataFrame, nQueries: Int, k: Int,
+                    kLists: Int, nProbe: Int, iters: Int = 3,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    import graft.expressions.VectorExpressions.{dotCol, sqDistCol}
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("v"))
+    val queries = corpus.orderBy(col("vec_id").asc).limit(nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def sim: Column = round(dotCol(col("v"), col("qv")) /
+      (sqrt(dotCol(col("v"), col("v"))) * sqrt(dotCol(col("qv"), col("qv")))), 4)
+
+    val exactTop = topKPerQuery(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("sim", sim), k)
+
+    // IVF probe path — the same quantizer as ivfSearch; probe-list
+    // selection is a pure column expression over the broadcast centroid
+    // literals, evaluated per query row (no second collect)
+    val cents = ivfCentroids(embeddings, kLists, iters, idCol, embCol)
+    val probeEntries = cents.zipWithIndex.map { case (c, i) =>
+      struct(round(sqDistCol(col("qv"), array(c.map(lit): _*)), 8).as("d"),
+             lit(i).as("cid"))
+    }
+    val qProbes = queries.withColumn("probes",
+      transform(slice(sort_array(array(probeEntries: _*)), 1, nProbe),
+                s => s.getField("cid")))
+    val assigned = corpus.withColumn("list_id",
+      assignListCol(col("v"), cents))
+    val ivfTop = topKPerQuery(
+      assigned.join(broadcast(qProbes),
+          array_contains(col("probes"), col("list_id")) &&
+            col("vec_id") =!= col("qid"))
+        .withColumn("sim", sim), k)
+
+    val hits = exactTop.join(ivfTop, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    queries.select("qid").join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("qid"), col("hits"),
+              round(col("hits") / lit(k.toDouble), 4).as("recall"))
+  }
+
+  /** Scalar int8 quantization of the embedding column (the 4×-8×
+    * vector-store compressor that rides under every large ANN corpus):
+    * per-dimension min/max in one partial-agg pass (2×dim doubles of
+    * model state, folded back as literals), then codes + reconstruction
+    * error in one codegen'd map pass over zip_with chains — no explode,
+    * no shuffle, no per-row UDF. The reconstruction error rides as exact
+    * integer micro-units (Σ round(err·1e8) per vector), so engines
+    * summing in different orders agree bit-for-bit. Quantization grid:
+    * code = floor(round((x−mn)·255/(mx−mn), 6) + 0.5), mn/mx rounded
+    * 6dp; constant dimensions code to 0 and reconstruct to mn.
+    * Output: (vec_id, codes array<int>, err_micro bigint).
+    */
+  def sq8Quantize(embeddings: DataFrame, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("v"))
+    val mm = corpus
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(round(min("x"), 6).as("mn"), round(max("x"), 6).as("mx"))
+      .orderBy("i").collect()
+    val mn = mm.map(_.getDouble(1))
+    val sc = mm.map(r => r.getDouble(2) - r.getDouble(1))
+    val mnLit = array(mn.map(lit): _*)
+    val scLit = array(sc.map(lit): _*)
+    val triples = zip_with(
+      zip_with(col("v"), mnLit, (x, m) => struct(x.as("x"), m.as("m"))),
+      scLit,
+      (s, c) => struct(s.getField("x").as("x"), s.getField("m").as("m"),
+                       c.as("sc")))
+    def codeOf(s: Column): Column =
+      when(s.getField("sc") > 0,
+        floor(round((s.getField("x") - s.getField("m")) * lit(255.0) /
+                      s.getField("sc"), 6) + lit(0.5)).cast("int"))
+        .otherwise(lit(0))
+    def errOf(s: Column): Column = {
+      val recon = when(s.getField("sc") > 0,
+        round(s.getField("m") +
+                codeOf(s).cast("double") * s.getField("sc") / lit(255.0), 6))
+        .otherwise(s.getField("m"))
+      val d = s.getField("x") - recon
+      round(d * d * lit(1e8), 0).cast("long")
+    }
+    corpus.select(
+      col("vec_id"),
+      transform(triples, codeOf _).as("codes"),
+      aggregate(transform(triples, errOf _), lit(0L),
+                (acc, e) => acc + e).as("err_micro"))
+  }
+
   /** Materialize the IVF index: the corpus written once as parquet
     * PARTITIONED BY list_id, centroids alongside as model state. This is
     * the piece that makes "list_id is the partition key" literal: a

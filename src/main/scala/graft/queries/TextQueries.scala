@@ -723,6 +723,22 @@ object TextQueries {
         queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
     },
 
+    // Scalar int8 quantization: per-dim min/max grid, codes + exact
+    // integer-micro reconstruction error per vector — the vector-store
+    // compression pass (with q_ann_pq as the subspace variant).
+    "q_sq8_quantize" -> { (s, dir) =>
+      Similarity.sq8Quantize(table(s, dir, "embeddings"))
+    },
+
+    // ANN quality eval: recall@10 of the IVF probe path vs exact
+    // brute-force ground truth over 20 query vectors, as one distributed
+    // plan (broadcast query set, salted two-phase top-k windows) — the
+    // index-tuning feedback loop (kLists/nProbe trade-off) as a query.
+    "q_ann_recall" -> { (s, dir) =>
+      Similarity.annRecallEval(table(s, dir, "embeddings"),
+        nQueries = 20, k = 10, kLists = 8, nProbe = 2, iters = 3)
+    },
+
     // SemDeDup: deterministic k-means (same trainer/replay as IVF) +
     // within-cluster cosine dedup keeping the most-central doc. The
     // oracle replays clustering, per-doc centroid cosine and the
@@ -1596,6 +1612,110 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_sq8_quantize" ->
+      s"""WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          mm AS (
+            SELECT i, round(min(x), 6) AS mn, round(max(x), 6) AS mx
+            FROM e GROUP BY 1),
+          c AS (
+            SELECT e.vec_id, e.i, e.x, mm.mn, mm.mx - mm.mn AS sc
+            FROM e JOIN mm USING (i)),
+          q AS (
+            SELECT vec_id, i, x, mn, sc,
+                   CASE WHEN sc > 0
+                        THEN CAST(floor(round((x - mn) * 255.0 / sc, 6)
+                                        + 0.5) AS INT)
+                        ELSE 0 END AS code
+            FROM c),
+          r AS (
+            SELECT vec_id, i, code,
+                   CAST(round((x - (CASE WHEN sc > 0
+                                         THEN round(mn + CAST(code AS DOUBLE)
+                                                         * sc / 255.0, 6)
+                                         ELSE mn END))
+                              * (x - (CASE WHEN sc > 0
+                                           THEN round(mn + CAST(code AS DOUBLE)
+                                                           * sc / 255.0, 6)
+                                           ELSE mn END))
+                              * 1e8, 0) AS BIGINT) AS e8
+            FROM q)
+          SELECT vec_id, list(code ORDER BY i) AS codes,
+                 CAST(sum(e8) AS BIGINT) AS err_micro
+          FROM r GROUP BY 1""",
+    "q_ann_recall" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT r.cid, e.idx, e.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT 8) r
+            JOIN e ON e.vec_id = r.vec_id),
+          ${kmeansIterCte("c0", "c1")},
+          ${kmeansIterCte("c1", "c2")},
+          ${kmeansIterCte("c2", "c3")},
+          qs AS (SELECT vec_id AS qid FROM embeddings
+                 ORDER BY vec_id ASC LIMIT 20),
+          qe AS MATERIALIZED (
+            SELECT q.qid, e.idx, e.v AS qv
+            FROM qs q JOIN e ON e.vec_id = q.qid),
+          sims AS MATERIALIZED (
+            SELECT qe.qid, e.vec_id,
+                   round(sum(e.v * qe.qv) /
+                         (sqrt(sum(e.v * e.v)) * sqrt(sum(qe.qv * qe.qv))), 4)
+                     AS sim
+            FROM e JOIN qe USING (idx)
+            WHERE e.vec_id <> qe.qid
+            GROUP BY 1, 2),
+          ex AS (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id ASC) AS rw
+              FROM sims) WHERE rw <= 10),
+          dq AS (
+            SELECT qe.qid, c.cid,
+                   round(sum((qe.qv - c.w) * (qe.qv - c.w)), 8) AS d
+            FROM qe JOIN c3 c USING (idx) GROUP BY 1, 2),
+          probes AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM dq) WHERE rw <= 2),
+          d_f AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            GROUP BY 1, 2),
+          a_f AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM d_f) WHERE rw = 1),
+          ivc AS (
+            SELECT s.qid, s.vec_id, s.sim
+            FROM sims s
+            JOIN a_f a ON a.vec_id = s.vec_id
+            JOIN probes p ON p.qid = s.qid AND p.cid = a.cid),
+          iv AS (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id ASC) AS rw
+              FROM ivc) WHERE rw <= 10),
+          h AS (SELECT x.qid, count(*) AS hits
+                FROM ex x JOIN iv USING (qid, vec_id) GROUP BY 1)
+          SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                 round(coalesce(h.hits, 0) / CAST(10 AS DOUBLE), 4) AS recall
+          FROM qs q LEFT JOIN h ON h.qid = q.qid""",
     // NFC replay: identical decomposed suffixes built from codepoints,
     // DuckDB's nfc_normalize against the native expression.
     "q_random_projection" ->
