@@ -259,4 +259,47 @@ object CorpusStats {
           / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
           * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
   }
+
+  /** Information-theoretic corpus drift: add-1-smoothed unigram KL in
+    * both directions plus Jensen–Shannon, between two corpora's term
+    * distributions (the retraining-trigger signal next to
+    * [[distributionDrift]]'s per-key χ²). Terms follow the
+    * vocabCoverage convention (whitespace split of trimmed lowercase).
+    * Scale shape: two token-count aggregations (map-side combined), one
+    * full-outer join on term, one scalar totals row broadcast back; the
+    * per-term contributions ride as exact integer micro-units
+    * (round(x·1e8) per term, integer sum), so engines summing floats in
+    * different orders agree exactly. Every double fed to ln() is ONE
+    * IEEE division of integer-valued operands — both engines walk the
+    * identical float path. Output row: (vocab, tok_prev, tok_cur,
+    * kl_pq_micro, kl_qp_micro, js_micro).
+    */
+  def klDivergence(prev: DataFrame, cur: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    def termCounts(df: DataFrame, n: String) = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(n))
+    val j = termCounts(prev, "np")
+      .join(termCounts(cur, "nq"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("np", "nq"))
+    val tot = j.agg(sum("np").as("tp"), sum("nq").as("tq"),
+                    count(lit(1)).as("v"))
+    val pP = (col("np") + 1).cast("double") /
+             (col("tp") + col("v")).cast("double")
+    val qP = (col("nq") + 1).cast("double") /
+             (col("tq") + col("v")).cast("double")
+    val mP = (pP + qP) / lit(2.0)
+    def micro(c: Column): Column = round(c * lit(1e8), 0).cast("long")
+    j.crossJoin(broadcast(tot))
+      .select(col("tp"), col("tq"), col("v"),
+        micro(pP * log(pP / qP)).as("c_pq"),
+        micro(qP * log(qP / pP)).as("c_qp"),
+        micro(lit(0.5) * pP * log(pP / mP) +
+              lit(0.5) * qP * log(qP / mP)).as("c_js"))
+      .groupBy(col("v").as("vocab"), col("tp").as("tok_prev"),
+               col("tq").as("tok_cur"))
+      .agg(sum("c_pq").as("kl_pq_micro"),
+           sum("c_qp").as("kl_qp_micro"),
+           sum("c_js").as("js_micro"))
+  }
 }

@@ -165,4 +165,26 @@ object Layout {
           ceil(col("max_cnt") * lit(parallelism.toLong) * lit(1.0)
             / col("n_rows")).cast("long")).as("suggested_salt"))
   }
+
+  /** Deterministic per-epoch training-data shuffle plan: every document
+    * gets a pseudorandom shard and an in-shard position from
+    * md5(doc_id ":" epoch) — a different, reproducible global
+    * permutation per epoch with NO stored permutation table and no RNG
+    * state (the property a 100-TB loader needs: any worker can compute
+    * any shard's read order independently). One shuffle keyed by shard;
+    * the in-shard order is the md5 key sort, environment-independent.
+    * Output: (idCol, shard, pos) — pos is the contiguous 1-based read
+    * position within the shard.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + epoch)))
+    val shard = conv(substring(key, 1, 6), 16, 10).cast("long") %
+      lit(nShards.toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key").asc, col(idCol).asc)
+    docs.select(col(idCol), key.as("__key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

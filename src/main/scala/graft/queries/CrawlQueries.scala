@@ -388,6 +388,17 @@ object CrawlQueries {
         "ct")
     },
 
+    // Unigram KL/JS drift between the two document half-corpora
+    // (doc_id parity = two dumps): the retraining-trigger signal next
+    // to q_dump_drift's per-key χ². Exact integer-micro contributions;
+    // every ln() input is one integer-operand IEEE division.
+    "q_kl_drift" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      graft.operators.CorpusStats.klDivergence(
+        d.filter(pmod(col("doc_id").cast("long"), lit(2L)) === 0),
+        d.filter(pmod(col("doc_id").cast("long"), lit(2L)) === 1))
+    },
+
     // Synchronous label propagation over 3 disconnected host clusters
     // (cluster = event_id%3 offsets both endpoints): 3 rounds of
     // most-frequent-neighbour-label with (count desc, label) ties.
@@ -1813,6 +1824,44 @@ object CrawlQueries {
                      ELSE 'stable' END AS status
          FROM e""",
 
+    "q_kl_drift" ->
+      """WITH tp0 AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents WHERE CAST(doc_id AS BIGINT) % 2 = 0),
+         tq0 AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents WHERE CAST(doc_id AS BIGINT) % 2 = 1),
+         p AS (SELECT term, count(*)::BIGINT AS np FROM tp0 GROUP BY 1),
+         q AS (SELECT term, count(*)::BIGINT AS nq FROM tq0 GROUP BY 1),
+         j AS (
+           SELECT coalesce(p.term, q.term) AS term,
+                  coalesce(p.np, 0)::BIGINT AS np,
+                  coalesce(q.nq, 0)::BIGINT AS nq
+           FROM p FULL OUTER JOIN q ON p.term = q.term),
+         t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+                      CAST(sum(nq) AS BIGINT) AS tq,
+                      count(*)::BIGINT AS v
+               FROM j),
+         c AS (
+           SELECT t.tp, t.tq, t.v,
+                  CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE) AS pp,
+                  CAST(nq + 1 AS DOUBLE) / CAST(tq + v AS DOUBLE) AS qq
+           FROM j, t),
+         m AS (
+           SELECT tp, tq, v,
+                  CAST(round(pp * ln(pp / qq) * 1e8, 0) AS BIGINT) AS c_pq,
+                  CAST(round(qq * ln(qq / pp) * 1e8, 0) AS BIGINT) AS c_qp,
+                  CAST(round((0.5e0 * pp * ln(pp / ((pp + qq) / 2.0e0))
+                              + 0.5e0 * qq * ln(qq / ((pp + qq) / 2.0e0)))
+                             * 1e8, 0) AS BIGINT) AS c_js
+           FROM c)
+         SELECT v AS vocab, tp AS tok_prev, tq AS tok_cur,
+                CAST(sum(c_pq) AS BIGINT) AS kl_pq_micro,
+                CAST(sum(c_qp) AS BIGINT) AS kl_qp_micro,
+                CAST(sum(c_js) AS BIGINT) AS js_micro
+         FROM m GROUP BY 1, 2, 3""",
     "q_lpa_communities" ->
       (s"""WITH e0 AS (
            SELECT 'h' || ((user_id % 10) + (event_id % 3) * 10) AS src,

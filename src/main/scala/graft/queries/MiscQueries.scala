@@ -53,6 +53,14 @@ object MiscQueries {
         x0 = 200, x1 = 400, y0 = 300, y1 = 600)
     },
 
+    // Per-epoch training shuffle plan: md5-keyed pseudorandom shard +
+    // in-shard position, reproducible with no stored permutation — the
+    // loader-side read order for one epoch as a query.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      graft.operators.Layout.epochShuffle(
+        table(s, dir, "documents"), epoch = 3, nShards = 16)
+    },
+
     // Rendezvous (HRW) shard routing with the stability property IN
     // the result: assignment under 5 nodes, under 5+1, and the moved
     // flag — every moved key must land on the ADDED node (asserted by
@@ -322,6 +330,25 @@ object MiscQueries {
             FROM g)
           SELECT url, node5, node6, node5 <> node6 AS moved FROM a"""
     },
+
+    "q_epoch_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':3') AS key
+           FROM documents),
+         s AS (
+           SELECT doc_id, key,
+                  list_reduce(
+                    list_transform(string_split(substr(key, 1, 6), ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1
+                                AS BIGINT)),
+                    (a, b) -> a * 16 + b) % 16 AS shard
+           FROM k)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                                        ORDER BY key, doc_id) AS BIGINT)
+                  AS pos
+         FROM s""",
 
     "q_merge_upsert" ->
       """WITH base AS (
