@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1404,5 +1405,122 @@ object Multimodal {
         when(col("cap_before").isNotNull, "before")
           .when(col("cap_after").isNotNull, "after")
           .otherwise("none").as("cap_side"))
+  }
+
+  /** Channel-0 per-frame energies of a PCM WAV: frames of `frameLen`
+    * samples (tail frame may be shorter), each as (n samples, Σ s² in
+    * exact integer arithmetic). None for non-PCM payloads. The decode
+    * stays in the UDF (one pass over the bytes, frame-count-sized
+    * output — no per-sample explode); the segmentation analytics over
+    * the frames are DataFrame work (see [[audioVad]]).
+    */
+  def pcmFrameEnergies(bytes: Array[Byte],
+                       frameLen: Int): Option[Seq[(Int, Long)]] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var pos = 12
+      var channels = 0; var bits = 0; var fmtTag = -1
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            fmtTag = le16(bytes, pos + 8)
+            channels = le16(bytes, pos + 10)
+            bits = le16(bytes, pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (dataOff < 0 || channels <= 0 || fmtTag != 1 ||
+          (bits != 8 && bits != 16)) return None
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var f = 0
+      while (f < nFrames) {
+        val n = math.min(frameLen, nFrames - f)
+        var e = 0L
+        var j = 0
+        while (j < n) {
+          val off = dataOff + (f + j) * frameBytes
+          val v = if (bits == 8) (bytes(off) & 0xff) - 128
+                  else le16(bytes, off).toShort.toInt
+          e += v.toLong * v
+          j += 1
+        }
+        out += ((n, e))
+        f += n
+      }
+      Some(out.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Energy-threshold voice-activity detection over PCM audio payloads:
+    * a frame is active when its mean square exceeds `meanSqThreshold`
+    * (compared in exact integers as Σs² > thr·n), active runs become
+    * speech segments via the gaps-and-islands window idiom. Per payload:
+    * (n_frames, n_active, n_segments, longest run, first active frame —
+    * −1 when silent). Scale shape: the byte decode is one UDF pass
+    * emitting frame-count-sized arrays; everything after the posexplode
+    * is shuffle-once-by-ref window/agg work.
+    */
+  def audioVad(media: DataFrame, frameLen: Int = 40,
+               meanSqThreshold: Long = 500L): DataFrame = {
+    val energiesUdf = udf((b: Array[Byte]) =>
+      pcmFrameEnergies(b, frameLen).orNull)
+    val frames = media
+      .select(col("media_ref"),
+        posexplode(energiesUdf(col("bytes"))).as(Seq("frame", "fe")))
+      .select(col("media_ref"), col("frame").cast("long").as("frame"),
+        col("fe._1").as("n"), col("fe._2").as("e"))
+      .withColumn("active", col("e") > lit(meanSqThreshold) * col("n"))
+    val w = Window.partitionBy("media_ref").orderBy(col("frame").asc)
+    val segs = frames.filter(col("active"))
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy("media_ref", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("media_ref")
+      .agg(count(lit(1)).as("n_segments"), max("len").as("longest"))
+    frames.groupBy("media_ref")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+        min(when(col("active"), col("frame"))).as("__fa"))
+      .join(segs, Seq("media_ref"), "left")
+      .select(col("media_ref"), col("n_frames"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest"), lit(0L)).as("longest"),
+        coalesce(col("__fa"), lit(-1L)).as("first_active"))
+  }
+
+  /** Scene-cut detection over decoded video luma tracks: a cut lands at
+    * sampled frame f when the per-pixel mean luma jumps by more than
+    * `threshold` against frame f−1 (integer mean = luma_sum / (w·h), so
+    * the compare is exact). Rides on [[videoFeatures]]' y4m decode; the
+    * lag/diff analytics are window work per payload. Per payload:
+    * (n_sampled, n_cuts, cut frame indices, max jump).
+    */
+  def sceneCuts(media: DataFrame, everyN: Int = 1,
+                threshold: Long = 20L): DataFrame = {
+    val w = Window.partitionBy("media_ref").orderBy(col("idx").asc)
+    videoFeatures(media, everyN)
+      .filter(col("y4m").isNotNull)
+      .select(col("media_ref"),
+        (col("y4m.width").cast("long") * col("y4m.height")).as("px"),
+        posexplode(col("y4m.luma_sum")).as(Seq("idx", "ls")))
+      .withColumn("mean", (col("ls") / col("px")).cast("long"))
+      .withColumn("jump", abs(col("mean") - lag("mean", 1).over(w)))
+      .groupBy("media_ref")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("jump") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        sort_array(collect_list(when(col("jump") > threshold,
+          col("idx").cast("long")))).as("cut_idx"),
+        coalesce(max("jump"), lit(0L)).as("max_jump"))
   }
 }

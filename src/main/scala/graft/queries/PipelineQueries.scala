@@ -603,6 +603,44 @@ object PipelineQueries {
         col("wav.zero_crossings").as("zc"))
     },
 
+    // Voice-activity detection over REAL PCM payloads: the sample
+    // formula gates every third 80-sample stretch to silence, the
+    // production RIFF walk frames channel 0 into exact-integer energies
+    // and the gaps-and-islands windows segment the active runs. The
+    // oracle predicts frames/segments straight from the formula.
+    "q_audio_vad" -> { (s, dir) =>
+      val wavUdf = udf((ord: Long, n: Int) =>
+        Multimodal.encodePcmWav(8000, 1, 8,
+          (0 until n).map { i =>
+            if ((i / 80) % 3 == 0) 0
+            else (((i * 37 + ord) % 256) - 128).toInt
+          }.toArray))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://vad/"), col("doc_id")).as("media_ref"),
+        wavUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 200 + 300).cast("int"))
+          .as("bytes"))
+      Multimodal.audioVad(media, frameLen = 40, meanSqThreshold = 500L)
+    },
+
+    // Scene-cut detection over REAL y4m payloads: constant-luma frames
+    // jump by ±97 mod 256 every 3 frames; the decode's luma sums turn
+    // back into exact per-frame means and the lag window finds every
+    // scene boundary. Oracle predicts cuts from the luma formula.
+    "q_video_scenes" -> { (s, dir) =>
+      val y4mUdf = udf((ord: Long, w: Int, h: Int, n: Int) =>
+        Multimodal.encodeY4m(w, h, fpsNum = 25, fpsDen = 1, nFrames = n,
+          (f, x, y) => ((ord * 13 + (f / 3) * 97) % 256).toInt))
+      val media = table(s, dir, "documents").select(
+        concat(lit("media://scene/"), col("doc_id")).as("media_ref"),
+        y4mUdf(col("doc_id").cast(LongType),
+               (col("doc_id").cast(LongType) % 5 * 2 + 8).cast("int"),
+               (col("doc_id").cast(LongType) % 3 * 2 + 6).cast("int"),
+               (col("doc_id").cast(LongType) % 6 + 4).cast("int"))
+          .as("bytes"))
+      Multimodal.sceneCuts(media, everyN = 1, threshold = 20L)
+    },
+
     // REAL compressed-audio decode: mono IMA-ADPCM (format 0x11, the one
     // codec with a fully public pure-integer spec). Payloads are encoded
     // from a 16-bit sample formula, decoded through the production RIFF
@@ -1318,6 +1356,71 @@ object PipelineQueries {
          FROM d
          JOIN ss ON ss.doc_id = d.doc_id
          LEFT JOIN zc ON zc.doc_id = d.doc_id""",
+
+    "q_audio_vad" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord,
+                  CAST(doc_id AS BIGINT) % 200 + 300 AS n
+           FROM documents),
+         s AS (SELECT doc_id, ord, unnest(range(n)) AS i FROM d),
+         v AS (
+           SELECT doc_id, i,
+                  CASE WHEN (i // 80) % 3 = 0 THEN 0
+                       ELSE (i * 37 + ord) % 256 - 128 END AS v
+           FROM s),
+         fr AS (
+           SELECT doc_id, i // 40 AS frame,
+                  count(*)::BIGINT AS fn,
+                  CAST(sum(v * v) AS BIGINT) AS e
+           FROM v GROUP BY 1, 2),
+         a AS (SELECT doc_id, frame, e > 500 * fn AS active FROM fr),
+         isl AS (
+           SELECT doc_id,
+                  frame - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY frame) AS grp
+           FROM a WHERE active),
+         seg AS (
+           SELECT doc_id, count(*)::BIGINT AS len
+           FROM isl GROUP BY doc_id, grp),
+         sa AS (
+           SELECT doc_id, count(*)::BIGINT AS n_segments,
+                  CAST(max(len) AS BIGINT) AS longest
+           FROM seg GROUP BY 1),
+         fa AS (
+           SELECT doc_id, count(*)::BIGINT AS n_frames,
+                  CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_active,
+                  min(CASE WHEN active THEN frame END) AS fst
+           FROM a GROUP BY 1)
+         SELECT 'media://vad/' || fa.doc_id AS media_ref,
+                fa.n_frames, fa.n_active,
+                CAST(coalesce(sa.n_segments, 0) AS BIGINT) AS n_segments,
+                CAST(coalesce(sa.longest, 0) AS BIGINT) AS longest,
+                CAST(coalesce(fa.fst, -1) AS BIGINT) AS first_active
+         FROM fa LEFT JOIN sa ON sa.doc_id = fa.doc_id""",
+    "q_video_scenes" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) AS ord,
+                  CAST(doc_id AS BIGINT) % 6 + 4 AS nf
+           FROM documents),
+         f AS (SELECT doc_id, ord, unnest(range(nf)) AS fi FROM d),
+         m AS (
+           SELECT doc_id, fi,
+                  (ord * 13 + (fi // 3) * 97) % 256 AS mean
+           FROM f),
+         j AS (
+           SELECT doc_id, fi,
+                  abs(mean - lag(mean) OVER (PARTITION BY doc_id
+                                             ORDER BY fi)) AS jump
+           FROM m)
+         SELECT 'media://scene/' || doc_id AS media_ref,
+                count(*)::BIGINT AS n_sampled,
+                CAST(sum(CASE WHEN jump > 20 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_cuts,
+                coalesce(list(fi ORDER BY fi) FILTER (WHERE jump > 20),
+                         CAST([] AS BIGINT[])) AS cut_idx,
+                CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump
+         FROM j GROUP BY 1""",
 
     // G.711 replay: the ITU expansion formulas as pure shift/xor
     // arithmetic per byte; strict-sign-change zero crossings via lag
