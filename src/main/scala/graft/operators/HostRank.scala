@@ -483,4 +483,45 @@ object HostRank {
     }
     labels
   }
+
+  /** Strongly connected components of the DIRECTED host graph — the
+    * redirect/link-loop classifier (mirror rings and spam loops are
+    * SCCs; organic link structure is mostly a DAG of small components).
+    * Exact, not a fixed-round approximation: the reflexive-transitive
+    * closure is built by path DOUBLING (C ← C ∪ C∘C), so convergence
+    * takes ⌈log₂ diameter⌉ join rounds, each checkpointed; v's component
+    * id is the smallest node mutually reachable with it. Host-graph
+    * metadata scale by design (closure is |SCC-condensation| bounded) —
+    * corpus-scale duplicate graphs use LshDedup's union-find instead.
+    * Output: (host, scc_id, scc_size).
+    */
+  def scc(edges: DataFrame, srcCol: String = "src",
+          dstCol: String = "dst", idCol: String = "host"): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+    val nodes = e.select(col("a")).union(e.select(col("b"))).distinct()
+    var c = e.unionByName(nodes.select(col("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var n = c.count()
+    var done = false
+    while (!done) {
+      val c2 = c.as("x").join(c.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .unionByName(c).distinct().localCheckpoint()
+      val n2 = c2.count()
+      done = n2 == n
+      UrlDedup.releaseOrderCache(c)
+      c = c2; n = n2
+    }
+    val ids = c.as("f")
+      .join(c.as("r"),
+        col("f.a") === col("r.b") && col("f.b") === col("r.a"))
+      .select(col("f.a").as("host"), col("f.b").as("m"))
+      .groupBy("host").agg(min("m").as("scc_id"))
+    val sizes = ids.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    // c's checkpoint blocks stay live: the returned plan reads them
+    // lazily (callers release per-query via the harness RDD unpersist)
+    ids.join(sizes, Seq("scc_id"))
+      .select(col("host"), col("scc_id"), col("scc_size"))
+  }
 }

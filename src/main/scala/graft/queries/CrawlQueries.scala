@@ -258,6 +258,16 @@ object CrawlQueries {
           table(s, dir, "events"), nHosts = 200))
     },
 
+    // Exact SCCs of the directed host graph (redirect/mirror loop
+    // classifier): path-doubling closure to fixpoint, component id =
+    // smallest mutually-reachable node. The oracle computes the same
+    // closure with a recursive CTE.
+    "q_scc_hosts" -> { (s, dir) =>
+      graft.operators.HostRank.scc(
+        graft.operators.HostRank.fixtureEdges(
+          table(s, dir, "events"), nHosts = 100))
+    },
+
     // k-core peeling (k=6, 6 rounds = past fixpoint on this graph):
     // hosts surviving iterated degree-6 peel, with within-core degree.
     "q_kcore_hosts" -> { (s, dir) =>
@@ -1391,6 +1401,28 @@ object CrawlQueries {
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
 
+    "q_scc_hosts" ->
+      """WITH RECURSIVE ed AS MATERIALIZED (
+           SELECT DISTINCT user_id % 100 AS a,
+                  ((user_id % 100) * 17 + (event_id % 5) * 31 + 7) % 100
+                    AS b
+           FROM events
+           WHERE user_id % 100
+                 <> ((user_id % 100) * 17 + (event_id % 5) * 31 + 7)
+                    % 100),
+         n AS (SELECT a AS v FROM ed UNION SELECT b FROM ed),
+         reach(a, b) AS (
+           SELECT v, v FROM n
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON e.a = r.b),
+         ids AS (
+           SELECT r1.a AS host, min(r1.b) AS scc_id
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY 1),
+         sz AS (SELECT scc_id, count(*)::BIGINT AS scc_size
+                FROM ids GROUP BY 1)
+         SELECT ids.host, ids.scc_id, sz.scc_size
+         FROM ids JOIN sz USING (scc_id)""",
     "q_two_hop" ->
       """WITH ed AS MATERIALIZED (
            SELECT DISTINCT user_id % 200 AS a,
