@@ -76,4 +76,40 @@ object Spectral {
         round(col("e"), 6).as("eigenvalue"),
         round(col("e") / col("t"), 6).as("var_frac"))
   }
+
+  /** Whitening scores: every vector's projection onto PC1 plus its
+    * residual energy — the outlier/duplicate-cloud coordinates an
+    * embedding-curation pass ranks by. The model state (per-dim means +
+    * the converged PC1 iterate from [[pcaTop]]'s chain) is dim-scale,
+    * collected once and folded back as array literals; the per-row pass
+    * is two native dot products (sequential fold, codegen'd) — no
+    * shuffle. Outputs are 4dp with +0.0 normalization (a 4dp-rounded
+    * projection can land on −0.0, which engines disagree on; adding
+    * zero canonicalizes the sign). Output: (vec_id, score, resid).
+    */
+  def pcaProject(embeddings: DataFrame, iters: Int = 5,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    val top = pcaTop(embeddings, iters, idCol, embCol)
+      .orderBy("idx").collect()
+    val vLit = array(top.map(r => lit(r.getDouble(1))): _*)
+    val x = embeddings
+      .select(col(idCol).as("__r"),
+        posexplode(col(embCol).cast("array<double>"))
+          .as(Seq("__i0", "__v")))
+    val mu = x.groupBy((col("__i0") + 1).as("i"))
+      .agg(round(avg(col("__v")), 6).as("mu"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    val muLit = array(mu.map(lit): _*)
+    val cx = zip_with(col(embCol).cast("array<double>"), muLit,
+      (a, m) => a - m)
+    val dot = graft.expressions.VectorExpressions.dotCol _
+    embeddings.select(
+      col(idCol).as("vec_id"),
+      (round(dot(cx, vLit), 4) + lit(0.0)).as("score"),
+      (round(dot(cx, cx) -
+               round(dot(cx, vLit), 4) * round(dot(cx, vLit), 4), 4)
+         + lit(0.0)).as("resid"))
+  }
 }

@@ -703,6 +703,14 @@ object TextQueries {
         iters = 5)
     },
 
+    // Whitening coordinates: per-vector PC1 projection + residual
+    // energy (outlier/collapse ranking). Same unrolled power-iteration
+    // chain as q_pca_top on the oracle side; ±0.0 canonicalized.
+    "q_pca_project" -> { (s, dir) =>
+      graft.operators.Spectral.pcaProject(table(s, dir, "embeddings"),
+        iters = 5)
+    },
+
     // Contrastive-pair mining: hardest in-bucket same-label positive +
     // cross-label negative per anchor, int64 micro-unit cosines, ties
     // to the smaller candidate id. The oracle replays the hyperplane
@@ -1521,6 +1529,35 @@ object TextQueries {
          SELECT v5.j::BIGINT AS idx, v5.vj AS loading,
                 round(e, 6) AS eigenvalue, round(e / t, 6) AS var_frac
          FROM v5, eig, tr"""
+    },
+    "q_pca_project" -> {
+      val iterCtes = (1 to 5).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT cov.i, round(sum(cov.c * $pv.vj), 8) AS w
+              FROM cov JOIN $pv ON $pv.j = cov.j GROUP BY 1),
+           n$t AS (SELECT round(sqrt(sum(w * w)), 8) AS n FROM w$t),
+           v$t AS (SELECT i AS j, round(w / n, 8) AS vj FROM w$t, n$t)"""
+      }.mkString(",\n")
+      s"""WITH x AS (
+           SELECT vec_id AS r, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         mu AS (SELECT i, round(avg(v), 6) AS mu FROM x GROUP BY 1),
+         cx AS MATERIALIZED (SELECT x.r, x.i, x.v - mu.mu AS xv
+                FROM x JOIN mu USING (i)),
+         cov AS (SELECT a.i AS i, b.i AS j,
+                        round(sum(a.xv * b.xv), 6) AS c
+                 FROM cx a JOIN cx b ON a.r = b.r GROUP BY 1, 2),
+         v0 AS (SELECT i AS j, 1.0e0 AS vj FROM mu),
+         $iterCtes,
+         sc AS (
+           SELECT cx.r,
+                  round(sum(cx.xv * v5.vj), 4) AS s4,
+                  sum(cx.xv * cx.xv) AS ssq
+           FROM cx JOIN v5 ON v5.j = cx.i GROUP BY 1)
+         SELECT r AS vec_id, s4 + 0 AS score,
+                round(ssq - s4 * s4, 4) + 0 AS resid
+         FROM sc"""
     },
     "q_contrastive_pairs" ->
       s"""WITH ${bucketsCte(4, 64)},

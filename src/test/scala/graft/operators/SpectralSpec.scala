@@ -47,6 +47,22 @@ class SpectralSpec extends AnyFunSuite {
     assert(eig.length == 1 && eig.head > 0)
   }
 
+  test("projection scores recover the planted coordinates; residual is the noise") {
+    val rows = Spectral.pcaProject(planted, iters = 8)
+      .orderBy("vec_id").collect()
+    // scores vary along the planted axis (range ~ the t spread)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.max - scores.min > 15.0)
+    // residual energy is the orthogonal noise: |n| <= 0.2 -> resid <= ~0.05
+    rows.foreach { r =>
+      val resid = r.getDouble(2)
+      assert(resid >= -1e-9 && resid < 0.1, s"resid $resid")
+    }
+    // no negative zero leaks through the +0.0 canonicalization
+    assert(!rows.exists(r =>
+      r.getDouble(1).toString == "-0.0" || r.getDouble(2).toString == "-0.0"))
+  }
+
   test("eigenvalue matches the dominant eigenvalue of the 2x2 covariance") {
     val c = Spectral.covariance(planted).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
