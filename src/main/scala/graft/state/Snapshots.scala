@@ -114,6 +114,43 @@ object Snapshots {
     }.takeWhile(_.isDefined).map(_.get).toSeq
   }
 
+  /** Time travel: the manifest chain exactly as a reader saw it right
+    * after snapshot `id` committed (newest first). Throws for an id
+    * that was never committed — reading "as of" an uncommitted point
+    * has no defined table state.
+    */
+  def chainAsOf(table: String, id: Long): Seq[Manifest] = {
+    val asOf = chain(table).dropWhile(_.snapshotId != id)
+    require(asOf.nonEmpty,
+      s"snapshot $id is not committed in $table — cannot time-travel")
+    asOf
+  }
+
+  /** Union read of the append-only table as of snapshot `id` — the
+    * debugging/audit read behind "what did the frontier know when batch
+    * `id` was scheduled?". Same delta-union contract as a latest read,
+    * truncated at `id`.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, table: String,
+               id: Long): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(
+      chainAsOf(table, id).map(m => s"$table/${m.dataPath}"): _*)
+
+  /** Roll the table back to snapshot `id`: every later manifest is
+    * removed, so `latest` resolves to `id` and the next `stage()` hands
+    * out `id`+1 (its orphan-cleanup deletes the abandoned dirs before
+    * reuse). The removed snapshots' data/state stay on disk as
+    * uncommitted garbage — the manifest is the only commit point, so
+    * deleting the manifests IS the rollback. Returns the new head.
+    */
+  def rollback(table: String, id: Long): Manifest = {
+    val head = chainAsOf(table, id).head // validates id is committed
+    chain(table).takeWhile(_.snapshotId != id).foreach { m =>
+      Files.deleteIfExists(manifestPath(table, m.snapshotId))
+    }
+    head
+  }
+
   /** Paths for the next snapshot's data/state dirs (uncommitted until
     * `commit` succeeds).
     *
