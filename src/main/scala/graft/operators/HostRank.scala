@@ -496,7 +496,16 @@ object HostRank {
     * Output: (host, scc_id, scc_size).
     */
   def scc(edges: DataFrame, srcCol: String = "src",
-          dstCol: String = "dst", idCol: String = "host"): DataFrame = {
+          dstCol: String = "dst", idCol: String = "host"): DataFrame =
+    componentsFromClosure(closure(edges, srcCol, dstCol))
+
+  /** Reflexive-transitive closure (a, b) = "b reachable from a" by path
+    * doubling to fixpoint — ⌈log₂ diameter⌉ checkpointed join rounds.
+    * Host-graph metadata scale by design (bounded by the condensation
+    * reachability, not the corpus).
+    */
+  def closure(edges: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .distinct()
     val nodes = e.select(col("a")).union(e.select(col("b"))).distinct()
@@ -513,15 +522,55 @@ object HostRank {
       UrlDedup.releaseOrderCache(c)
       c = c2; n = n2
     }
+    // checkpoint blocks stay live: returned plans read them lazily
+    // (callers release per-query via the harness RDD unpersist)
+    c
+  }
+
+  private def componentsFromClosure(c: DataFrame): DataFrame = {
     val ids = c.as("f")
       .join(c.as("r"),
         col("f.a") === col("r.b") && col("f.b") === col("r.a"))
       .select(col("f.a").as("host"), col("f.b").as("m"))
       .groupBy("host").agg(min("m").as("scc_id"))
     val sizes = ids.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
-    // c's checkpoint blocks stay live: the returned plan reads them
-    // lazily (callers release per-query via the harness RDD unpersist)
     ids.join(sizes, Seq("scc_id"))
       .select(col("host"), col("scc_id"), col("scc_size"))
+  }
+
+  /** Broder bow-tie decomposition of the directed host graph: CORE =
+    * the largest SCC (ties to the smallest component id), IN = hosts
+    * that reach the core without being in it, OUT = hosts the core
+    * reaches, OTHER = tendrils/tubes/disconnected. The claim "a crawl
+    * seeded anywhere in IN∪CORE covers CORE∪OUT" is this table. One
+    * closure, classification by two semi-join flags against the
+    * broadcast core set. Output: (host, scc_id, part).
+    */
+  def bowtie(edges: DataFrame, srcCol: String = "src",
+             dstCol: String = "dst"): DataFrame = {
+    val c = closure(edges, srcCol, dstCol)
+    val comps = componentsFromClosure(c).localCheckpoint()
+    val coreId = comps.orderBy(desc("scc_size"), asc("scc_id"))
+      .select("scc_id").limit(1)
+    val coreHosts = comps
+      .join(broadcast(coreId.withColumnRenamed("scc_id", "__cid")),
+        col("scc_id") === col("__cid"))
+      .select(col("host").as("__ch"))
+    val reachesCore = c.join(broadcast(coreHosts), col("b") === col("__ch"))
+      .select(col("a").as("host")).distinct()
+      .withColumn("__to_core", lit(true))
+    val fromCore = c.join(broadcast(coreHosts), col("a") === col("__ch"))
+      .select(col("b").as("host")).distinct()
+      .withColumn("__from_core", lit(true))
+    comps
+      .join(broadcast(coreId.withColumnRenamed("scc_id", "__cid2")),
+        col("scc_id") === col("__cid2"), "left")
+      .join(reachesCore, Seq("host"), "left")
+      .join(fromCore, Seq("host"), "left")
+      .select(col("host"), col("scc_id"),
+        when(col("__cid2").isNotNull, "core")
+          .when(col("__to_core"), "in")
+          .when(col("__from_core"), "out")
+          .otherwise("other").as("part"))
   }
 }

@@ -304,6 +304,40 @@ object Similarity {
                 (acc, e) => acc + e).as("err_micro"))
   }
 
+  /** Centroid-silhouette clustering health: per vector, s = (d₂ − d₁) /
+    * max(d₁, d₂) over EUCLIDEAN distances to the own and next-nearest
+    * centroid (the O(N·k) silhouette variant — exact pairwise silhouette
+    * is O(N²) and never runs at corpus scale). Same deterministic
+    * quantizer as IVF/semdedup; distances reuse assignListCol's 8dp
+    * rounding, so both engines rank ties identically. Per-cluster
+    * output: (cid, n, sil_micro = Σ round(s·1e8) exact integers) — no
+    * float mean crosses the engine boundary.
+    */
+  def silhouette(embeddings: DataFrame, kClusters: Int, iters: Int = 3,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    graft.expressions.VectorExpressions.register(embeddings.sparkSession)
+    val cents = ivfCentroids(embeddings, kClusters, iters, idCol, embCol)
+    val v = col(embCol).cast("array<double>")
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        round(graft.expressions.VectorExpressions.sqDistCol(
+          v, array(c.map(lit): _*)), 8).as("d"),
+        lit(i).as("cid"))
+    }
+    val sorted = sort_array(array(entries: _*))
+    val d1 = element_at(sorted, 1).getField("d")
+    val d2 = element_at(sorted, 2).getField("d")
+    val s = when(d2 > 0,
+      (sqrt(d2) - sqrt(d1)) / greatest(sqrt(d1), sqrt(d2)))
+      .otherwise(lit(0.0))
+    embeddings
+      .select(element_at(sorted, 1).getField("cid").as("cid"),
+              round(s * lit(1e8), 0).cast("long").as("sm"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("sm").as("sil_micro"))
+  }
+
   /** Materialize the IVF index: the corpus written once as parquet
     * PARTITIONED BY list_id, centroids alongside as model state. This is
     * the piece that makes "list_id is the partition key" literal: a

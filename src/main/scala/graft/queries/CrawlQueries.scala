@@ -258,6 +258,22 @@ object CrawlQueries {
           table(s, dir, "events"), nHosts = 200))
     },
 
+    // Broder bow-tie over a DAG-plus-ring host graph: CORE (the planted
+    // 40..49 cycle, if largest), IN (reaches it), OUT (reached from
+    // it), OTHER. The coverage-planning table for seed selection.
+    "q_bowtie" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val a = pmod(col("user_id"), lit(90L))
+      val b = pmod(a * 7 + pmod(col("event_id"), lit(4L)) * 13 + 11,
+                   lit(90L))
+      val dag = ev.select(a.as("src"), b.as("dst"))
+        .where(col("dst") > col("src"))
+      val ring = ev.where(pmod(col("event_id"), lit(7L)) === 0)
+        .select((pmod(col("user_id"), lit(10L)) + 40).as("src"),
+                (pmod(col("user_id") + 1, lit(10L)) + 40).as("dst"))
+      graft.operators.HostRank.bowtie(dag.unionByName(ring).distinct())
+    },
+
     // Exact SCCs of the directed host graph (redirect/mirror loop
     // classifier): path-doubling closure to fixpoint, component id =
     // smallest mutually-reachable node. The oracle computes the same
@@ -1401,6 +1417,45 @@ object CrawlQueries {
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
 
+    "q_bowtie" ->
+      """WITH RECURSIVE ed AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT user_id % 90 AS src,
+                    ((user_id % 90) * 7 + (event_id % 4) * 13 + 11) % 90
+                      AS dst
+             FROM events
+             WHERE ((user_id % 90) * 7 + (event_id % 4) * 13 + 11) % 90
+                   > user_id % 90
+             UNION ALL
+             SELECT 40 + user_id % 10, 40 + (user_id + 1) % 10
+             FROM events WHERE event_id % 7 = 0)),
+         n AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+         reach(a, b) AS (
+           SELECT v, v FROM n
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN ed e ON e.src = r.b),
+         ids AS MATERIALIZED (
+           SELECT r1.a AS host, min(r1.b) AS scc_id
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY 1),
+         sz AS (SELECT scc_id, count(*)::BIGINT AS scc_size
+                FROM ids GROUP BY 1),
+         core AS (SELECT scc_id FROM sz
+                  ORDER BY scc_size DESC, scc_id ASC LIMIT 1),
+         ch AS MATERIALIZED (
+           SELECT host FROM ids
+           WHERE scc_id = (SELECT scc_id FROM core))
+         SELECT i.host, i.scc_id,
+                CASE WHEN i.scc_id = (SELECT scc_id FROM core)
+                       THEN 'core'
+                     WHEN EXISTS (SELECT 1 FROM reach r
+                                  JOIN ch ON ch.host = r.b
+                                  WHERE r.a = i.host) THEN 'in'
+                     WHEN EXISTS (SELECT 1 FROM reach r
+                                  JOIN ch ON ch.host = r.a
+                                  WHERE r.b = i.host) THEN 'out'
+                     ELSE 'other' END AS part
+         FROM ids i""",
     "q_scc_hosts" ->
       """WITH RECURSIVE ed AS MATERIALIZED (
            SELECT DISTINCT user_id % 100 AS a,

@@ -731,6 +731,14 @@ object TextQueries {
         queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
     },
 
+    // Centroid-silhouette clustering health over the IVF quantizer:
+    // per-cluster exact integer silhouette sums — "are these 8 lists
+    // actually separated?" as a query.
+    "q_silhouette" -> { (s, dir) =>
+      Similarity.silhouette(table(s, dir, "embeddings"),
+        kClusters = 8, iters = 3)
+    },
+
     // Scalar int8 quantization: per-dim min/max grid, codes + exact
     // integer-micro reconstruction error per vector — the vector-store
     // compression pass (with q_ann_pq as the subspace variant).
@@ -1649,6 +1657,46 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_silhouette" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT r.cid, e.idx, e.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT 8) r
+            JOIN e ON e.vec_id = r.vec_id),
+          ${kmeansIterCte("c0", "c1")},
+          ${kmeansIterCte("c1", "c2")},
+          ${kmeansIterCte("c2", "c3")},
+          d_f AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            GROUP BY 1, 2),
+          r2 AS (
+            SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, cid ASC) AS rw
+            FROM d_f),
+          pair AS (
+            SELECT a.vec_id, a.cid, a.d AS d1, b.d AS d2
+            FROM r2 a JOIN r2 b
+              ON b.vec_id = a.vec_id AND a.rw = 1 AND b.rw = 2),
+          sm AS (
+            SELECT cid,
+                   CAST(round(
+                     (CASE WHEN d2 > 0
+                           THEN (sqrt(d2) - sqrt(d1))
+                                / greatest(sqrt(d1), sqrt(d2))
+                           ELSE 0.0e0 END) * 1e8, 0) AS BIGINT) AS s
+            FROM pair)
+          SELECT cid, count(*)::BIGINT AS n,
+                 CAST(sum(s) AS BIGINT) AS sil_micro
+          FROM sm GROUP BY 1""",
     "q_sq8_quantize" ->
       s"""WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,
