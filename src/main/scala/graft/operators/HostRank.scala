@@ -538,6 +538,44 @@ object HostRank {
       .select(col("host"), col("scc_id"), col("scc_size"))
   }
 
+  /** Link-structure mixing stats, one row: edge reciprocity (the mirror
+    * /spam-ring tell — organic webs sit near 0.05–0.2, rings near 1)
+    * and directed degree assortativity (Pearson over edges of src
+    * out-degree vs dst in-degree — hub-to-hub vs hub-to-leaf wiring).
+    * Everything until the final divisions is exact integer sums, so
+    * both engines agree bit-for-bit; degenerate (zero-variance) degree
+    * distributions report assortativity 0 by convention.
+    */
+  def mixingStats(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("xd"))
+    val ind  = e.groupBy("dst").agg(count(lit(1)).as("yd"))
+    val sums = e.join(outd, Seq("src")).join(ind, Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum("xd").as("sx"), sum("yd").as("sy"),
+        sum(col("xd") * col("yd")).as("sxy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"))
+    val recip = e.as("f")
+      .join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"),
+        "left_semi")
+      .agg(count(lit(1)).as("nr"))
+    val dx = col("m") * col("sxx") - col("sx") * col("sx")
+    val dy = col("m") * col("syy") - col("sy") * col("sy")
+    sums.crossJoin(recip).select(
+      col("m").as("n_edges"), col("nr").as("n_reciprocal"),
+      round(col("nr").cast("double") / col("m").cast("double"), 6)
+        .as("reciprocity"),
+      when(dx > 0 && dy > 0,
+        round((col("m") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .otherwise(lit(0.0)).as("assortativity"))
+  }
+
   /** Broder bow-tie decomposition of the directed host graph: CORE =
     * the largest SCC (ties to the smallest component id), IN = hosts
     * that reach the core without being in it, OUT = hosts the core

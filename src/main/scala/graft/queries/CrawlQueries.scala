@@ -258,6 +258,23 @@ object CrawlQueries {
           table(s, dir, "events"), nHosts = 200))
     },
 
+    // Reciprocity + degree assortativity of the host graph (a third of
+    // edges get reverses, planting a known reciprocity signal); exact
+    // integer Pearson sums until the final divisions.
+    "q_graph_mixing" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val src = pmod(col("user_id"), lit(200L))
+      val dst = pmod(src * 17 + pmod(col("event_id"), lit(5L)) * 31 + 7,
+                     lit(200L))
+      val fwd = ev.select(src.as("src"), dst.as("dst"))
+        .where(col("src") =!= col("dst"))
+      val rev = ev.where(pmod(col("event_id"), lit(3L)) === 0)
+        .select(dst.as("src"), src.as("dst"))
+        .where(col("src") =!= col("dst"))
+      graft.operators.HostRank.mixingStats(
+        fwd.unionByName(rev).distinct())
+    },
+
     // Broder bow-tie over a DAG-plus-ring host graph: CORE (the planted
     // 40..49 cycle, if largest), IN (reaches it), OUT (reached from
     // it), OTHER. The coverage-planning table for seed selection.
@@ -1417,6 +1434,42 @@ object CrawlQueries {
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
 
+    "q_graph_mixing" ->
+      """WITH ed AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT user_id % 200 AS src,
+                    ((user_id % 200) * 17 + (event_id % 5) * 31 + 7)
+                      % 200 AS dst
+             FROM events
+             UNION ALL
+             SELECT ((user_id % 200) * 17 + (event_id % 5) * 31 + 7)
+                      % 200,
+                    user_id % 200
+             FROM events WHERE event_id % 3 = 0)
+           WHERE src <> dst),
+         od AS (SELECT src, count(*)::BIGINT AS xd FROM ed GROUP BY 1),
+         idg AS (SELECT dst, count(*)::BIGINT AS yd FROM ed GROUP BY 1),
+         s AS (
+           SELECT count(*)::BIGINT AS m,
+                  CAST(sum(xd) AS BIGINT) AS sx,
+                  CAST(sum(yd) AS BIGINT) AS sy,
+                  CAST(sum(xd * yd) AS BIGINT) AS sxy,
+                  CAST(sum(xd * xd) AS BIGINT) AS sxx,
+                  CAST(sum(yd * yd) AS BIGINT) AS syy
+           FROM ed JOIN od USING (src) JOIN idg USING (dst)),
+         rc AS (
+           SELECT count(*)::BIGINT AS nr
+           FROM ed f JOIN ed r ON f.src = r.dst AND f.dst = r.src)
+         SELECT s.m AS n_edges, rc.nr AS n_reciprocal,
+                round(CAST(rc.nr AS DOUBLE) / CAST(s.m AS DOUBLE), 6)
+                  AS reciprocity,
+                CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                     THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                                / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                       * CAST(m * syy - sy * sy
+                                              AS DOUBLE)), 6)
+                     ELSE 0.0e0 END AS assortativity
+         FROM s, rc""",
     "q_bowtie" ->
       """WITH RECURSIVE ed AS MATERIALIZED (
            SELECT DISTINCT src, dst FROM (

@@ -29,6 +29,42 @@ class GraphShapeSpec extends AnyFunSuite {
     assert(m.size == 5 && m.values.forall(_ == "core"))
   }
 
+  test("mixingStats: full ring has reciprocity 0 and a 2-cycle chain 1") {
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val r1 = HostRank.mixingStats(ring).head()
+    assert(r1.getAs[Long]("n_edges") == 6L)
+    assert(r1.getAs[Long]("n_reciprocal") == 0L)
+    assert(r1.getAs[Double]("reciprocity") == 0.0)
+    val both = (0L until 4L).flatMap(i =>
+      Seq((i, (i + 1) % 4), ((i + 1) % 4, i))).toDF("src", "dst")
+    val r2 = HostRank.mixingStats(both).head()
+    assert(r2.getAs[Long]("n_reciprocal") == 8L)
+    assert(r2.getAs[Double]("reciprocity") == 1.0)
+    // regular graph: zero degree variance -> assortativity 0 by rule
+    assert(r2.getAs[Double]("assortativity") == 0.0)
+  }
+
+  test("mixingStats: star graph is perfectly disassortative-shaped Pearson") {
+    // hub 0 -> leaves, one leaf pair edge to break zero variance
+    val edges = ((1L to 5L).map(l => (0L, l)) :+ (1L, 2L))
+      .toDF("src", "dst")
+    val r = HostRank.mixingStats(edges).head()
+    // hand Pearson over edges of (out(src), in(dst)):
+    // edges (0,l): x=5,y=1 for l in 3..5; y=2 for l=1? in(1)=1, in(2)=2
+    val xy = Seq((5, 1), (5, 2), (5, 1), (5, 1), (5, 1), (1, 2))
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).sum.toLong; val sy = xy.map(_._2).sum.toLong
+    val sxy = xy.map(p => p._1 * p._2).sum.toLong
+    val sxx = xy.map(p => p._1 * p._1).sum.toLong
+    val syy = xy.map(p => p._2 * p._2).sum.toLong
+    val want = BigDecimal(
+      (m * sxy - sx * sy).toDouble /
+        math.sqrt(((m * sxx - sx * sx) * (m * syy - sy * sy)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("assortativity") == want,
+      s"got ${r.getAs[Double]("assortativity")} want $want")
+  }
+
   test("silhouette: separated blobs score near 1, counts match") {
     val emb = (0 until 30).map { i =>
       val b = i % 3
