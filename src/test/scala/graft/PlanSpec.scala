@@ -225,4 +225,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(1200))
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
+
+  test("annRecallEval: the query set rides as broadcasts into both " +
+      "scoring joins; per-query top-k never sorts globally") {
+    val p = finalPlan("q_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(1500))
+    // the m·N pair frame must not be globally range-sorted: top-k is
+    // windowed (two bounded phases), not a Sort+Limit over all pairs
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("TakeOrderedAndProject( limit=200000"),
+      "global take over the pair frame")
+  }
+
+  test("sq8Quantize: single codegen map pass — no explode/shuffle " +
+      "after the min/max model collect") {
+    val p = finalPlan("q_sq8_quantize")
+    // the code/err pass reads the source scan directly: one stage,
+    // no Exchange between scan and project
+    val afterScan = p.substring(p.indexOf("Scan"))
+    assert(!afterScan.contains("Generate"),
+      "explode leaked into the quantization pass")
+    assert(hasCodegen(p), p.take(800))
+  }
+
+  test("epochShuffle: exactly one exchange (by shard) feeds the " +
+      "in-shard rank window") {
+    // count in the FINAL section only — the AQE dump repeats the
+    // pre-execution plan under "== Initial Plan ==" below it
+    val p = finalPlan("q_epoch_shuffle").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 shard exchange, got $exchanges\n" +
+      p.take(1500))
+    assert(p.contains("Window"))
+  }
+
+  test("silhouette: centroid distances are pure column work — one " +
+      "partial-agg shuffle by cid, no join against a centroid table") {
+    val p = finalPlan("q_silhouette")
+    assert(p.contains("partial_"), p.take(1200))
+    // after k-means (its own jobs), the scoring pass has no join at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("klDivergence: term counts partial-combine before the full-outer " +
+      "join; the totals ride back as a broadcast") {
+    val p = finalPlan("q_kl_drift")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"), "totals must broadcast")
+    assert(p.contains("FullOuter"), p.take(1200))
+  }
 }
