@@ -260,6 +260,74 @@ object CorpusStats {
           * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
   }
 
+  /** Kolmogorov–Smirnov drift between two corpora over an integer-valued
+    * column (doc length, token count): D = max |F₁−F₂| computed as EXACT
+    * integers — per distinct value the statistic's numerator is
+    * |cum₁·N₂ − cum₂·N₁|, so nothing floats until the single final
+    * division. The cumulative window is ordered over DISTINCT values
+    * (metadata scale), not rows. Output row:
+    * (n_prev, n_cur, d_num, ks 6dp).
+    */
+  def ksDrift(prev: DataFrame, cur: DataFrame,
+              valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as(n))
+    val j = counts(prev, "c1")
+      .join(counts(cur, "c2"), Seq("v"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j.select(sum("c1").over(w).as("f1"),
+                       sum("c2").over(w).as("f2"))
+    val tot = j.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dn"),
+              col("n1"), col("n2"))
+      .groupBy("n1", "n2").agg(max("dn").as("d_num"))
+      .select(col("n1").as("n_prev"), col("n2").as("n_cur"), col("d_num"),
+        round(col("d_num").cast("double") /
+                (col("n1") * col("n2")).cast("double"), 6).as("ks"))
+  }
+
+  /** Gini coefficient of per-key counts — crawl/corpus concentration
+    * ("how skewed is the host budget actually spent?"). Exact integer
+    * sums through the sorted-rank formula G = (2S − (n+1)T)/(nT); the
+    * rank window runs over key-count rows (metadata scale). Output row:
+    * (n_keys, n_total, gini 6dp).
+    */
+  def gini(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("x"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(asc("x"), asc("k"))).cast("long"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum("x").as("t"),
+           sum(col("i") * col("x")).as("s"))
+      .select(col("n").as("n_keys"), col("t").as("n_total"),
+        round((lit(2L) * col("s") - (col("n") + 1L) * col("t"))
+                .cast("double") /
+              (col("n") * col("t")).cast("double"), 6).as("gini"))
+  }
+
+  /** Wilson score lower bound (z = 1.96) of a per-key pass rate — the
+    * small-sample-honest host/source quality ranking (a 2/2 host must
+    * not outrank a 95/100 one). Integer (n, k) per key; the bound is
+    * one canonical float expression both engines evaluate identically.
+    * Output: (keyCol, n, k, wilson_lb 6dp).
+    */
+  def wilsonLowerBound(df: DataFrame, keyCol: String,
+                       passCond: Column): DataFrame = {
+    val g = df.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(when(passCond, 1L).otherwise(0L)).as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    val ctr = p + lit(3.8416) / (lit(2.0) * nd)
+    val rad = sqrt((p * (lit(1.0) - p) + lit(3.8416) / (lit(4.0) * nd)) / nd)
+    g.select(col(keyCol), col("n"), col("k"),
+      round((ctr - lit(1.96) * rad) / (lit(1.0) + lit(3.8416) / nd), 6)
+        .as("wilson_lb"))
+  }
+
   /** Information-theoretic corpus drift: add-1-smoothed unigram KL in
     * both directions plus Jensen–Shannon, between two corpora's term
     * distributions (the retraining-trigger signal next to

@@ -431,6 +431,25 @@ object CrawlQueries {
         "ct")
     },
 
+    // Kolmogorov–Smirnov drift over the doc-length distribution between
+    // the two half-corpora: exact integer numerator, one final division.
+    "q_ks_drift" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      graft.operators.CorpusStats.ksDrift(
+        d.filter(pmod(col("doc_id").cast("long"), lit(2L)) === 0),
+        d.filter(pmod(col("doc_id").cast("long"), lit(2L)) === 1),
+        "n_chars")
+    },
+
+    // Gini concentration of the per-host event budget: exact integer
+    // sorted-rank formula, one final division.
+    "q_gini_hosts" -> { (s, dir) =>
+      graft.operators.CorpusStats.gini(
+        table(s, dir, "events")
+          .select(pmod(col("user_id"), lit(200L)).as("host")),
+        "host")
+    },
+
     // Unigram KL/JS drift between the two document half-corpora
     // (doc_id parity = two dumps): the retraining-trigger signal next
     // to q_dump_drift's per-key χ². Exact integer-micro contributions;
@@ -1964,6 +1983,45 @@ object CrawlQueries {
                      ELSE 'stable' END AS status
          FROM e""",
 
+    "q_ks_drift" ->
+      """WITH p AS (
+           SELECT n_chars AS v, count(*)::BIGINT AS c1
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         q AS (
+           SELECT n_chars AS v, count(*)::BIGINT AS c2
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (
+           SELECT coalesce(p.v, q.v) AS v,
+                  coalesce(p.c1, 0)::BIGINT AS c1,
+                  coalesce(q.c2, 0)::BIGINT AS c2
+           FROM p FULL OUTER JOIN q ON p.v = q.v),
+         c AS (
+           SELECT sum(c1) OVER (ORDER BY v) AS f1,
+                  sum(c2) OVER (ORDER BY v) AS f2
+           FROM j),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c2) AS BIGINT) AS n2 FROM j)
+         SELECT n1 AS n_prev, n2 AS n_cur,
+                CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+                round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                      / CAST(n1 * n2 AS DOUBLE), 6) AS ks
+         FROM c, t GROUP BY 1, 2""",
+    "q_gini_hosts" ->
+      """WITH c AS (
+           SELECT user_id % 200 AS host, count(*)::BIGINT AS x
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT x, CAST(row_number() OVER (ORDER BY x ASC, host ASC)
+                          AS BIGINT) AS i
+           FROM c),
+         s AS (SELECT count(*)::BIGINT AS n,
+                      CAST(sum(x) AS BIGINT) AS t,
+                      CAST(sum(i * x) AS BIGINT) AS s
+               FROM r)
+         SELECT n AS n_keys, t AS n_total,
+                round(CAST(2 * s - (n + 1) * t AS DOUBLE)
+                      / CAST(n * t AS DOUBLE), 6) AS gini
+         FROM s""",
     "q_kl_drift" ->
       """WITH tp0 AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))

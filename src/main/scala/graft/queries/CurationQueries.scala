@@ -204,6 +204,14 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Wilson lower-bound quality ranking per source (z=1.96): the
+    // small-sample-honest pass-rate ranking — a 2/2 source must not
+    // outrank a 95/100 one. Pass = n_chars >= 400.
+    "q_wilson_quality" -> { (s, dir) =>
+      graft.operators.CorpusStats.wilsonLowerBound(
+        table(s, dir, "documents"), "source", col("n_chars") >= 400)
+    },
+
     // FineWeb-style per-language quality gate: keep the best 30% of
     // every lang by n_chars ((score desc, doc_id) exact-quota window).
     // Small languages keep their own bar — the oracle replays the
@@ -633,6 +641,23 @@ object CurationQueries {
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
 
+    "q_wilson_quality" ->
+      """WITH g AS (
+           SELECT source, count(*)::BIGINT AS n,
+                  CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS k
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n, k,
+                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(n AS DOUBLE) AS nd
+           FROM g)
+         SELECT source, n, k,
+                round(((p + 3.8416e0 / (2.0e0 * nd))
+                       - 1.96e0 * sqrt((p * (1.0e0 - p)
+                                        + 3.8416e0 / (4.0e0 * nd)) / nd))
+                      / (1.0e0 + 3.8416e0 / nd), 6) AS wilson_lb
+         FROM w""",
     "q_quality_topfrac" ->
       """WITH r AS (
            SELECT doc_id, lang, n_chars,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatTestsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lens(xs: Int*) =
+    xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+      .toDF("doc_id", "len")
+
+  test("KS: identical distributions give D = 0") {
+    val a = lens(10, 20, 20, 30)
+    val r = CorpusStats.ksDrift(a, lens(10, 20, 20, 30), "len").head()
+    assert(r.getAs[Long]("d_num") == 0L)
+    assert(r.getAs[Double]("ks") == 0.0)
+  }
+
+  test("KS: disjoint supports give D = 1") {
+    val r = CorpusStats.ksDrift(lens(1, 2, 3), lens(10, 11), "len").head()
+    assert(r.getAs[Double]("ks") == 1.0)
+    assert(r.getAs[Long]("d_num") == 3L * 2L)
+  }
+
+  test("KS: hand case — max gap in the middle of the support") {
+    // P: {1,1,2}; Q: {2,3,3}. F at v=1: 2/3 vs 0 -> |2*3-0*3|=6
+    // at v=2: 3/3 vs 1/3 -> |9-3|=6; at v=3: 1 vs 1 -> 0. D=6/9
+    val r = CorpusStats.ksDrift(lens(1, 1, 2), lens(2, 3, 3), "len").head()
+    assert(r.getAs[Long]("d_num") == 6L)
+    assert(r.getAs[Double]("ks") == BigDecimal(6.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("Gini: equal counts -> 0; extreme concentration -> near 1") {
+    val eq = (0 until 40).map(i => Tuple1((i % 4).toLong)).toDF("host")
+    val r0 = CorpusStats.gini(eq, "host").head()
+    assert(r0.getAs[Double]("gini") == 0.0)
+    // one host owns 97 of 100 events across 4 hosts
+    val sk = (Seq.fill(97)(0L) ++ Seq(1L, 2L, 3L)).map(Tuple1(_))
+      .toDF("host")
+    val r1 = CorpusStats.gini(sk, "host").head()
+    assert(r1.getAs[Double]("gini") > 0.7, r1.toString)
+  }
+
+  test("Wilson: 2/2 must rank below 95/100") {
+    val docs = (Seq.fill(2)(("tiny", 500L)) ++
+      (0 until 100).map(i => ("big", if (i < 95) 500L else 100L)))
+      .toDF("source", "n_chars")
+    val m = CorpusStats
+      .wilsonLowerBound(docs, "source", col("n_chars") >= 400)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("wilson_lb"))
+      .toMap
+    assert(m("tiny") < m("big"),
+      s"tiny ${m("tiny")} must be below big ${m("big")}")
+    // sanity: a perfect small sample still gets a positive bound
+    assert(m("tiny") > 0.2 && m("tiny") < 0.9)
+    assert(m("big") > 0.88 && m("big") < 0.95)
+  }
+}
