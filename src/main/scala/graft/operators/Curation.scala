@@ -730,4 +730,47 @@ object Curation {
       .withColumn("clean_text",
         when(col("keep"), array_join(kept, "\n")).otherwise(lit("")))
   }
+
+  /** Document dating: extract ISO `yyyy-mm-dd` tokens, validate them as
+    * real civil dates (month range, month length, Gregorian leap rule)
+    * and normalize to epoch days with the days-from-civil integer
+    * formula (Hinnant's algorithm; floor-division shape chosen so the
+    * oracle's double/floor replay is bit-identical on these ranges).
+    * The freshness signal a recrawl/mix scheduler keys on. Per doc:
+    * (idCol, n_dates, first_day, last_day — epoch days, −1 when none).
+    */
+  def extractDates(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val parts = docs.select(col(idCol),
+      explode_outer(expr(
+        s"regexp_extract_all($textCol, '([0-9]{4})-([0-9]{2})-([0-9]{2})', 0)"))
+        .as("ds"))
+      .withColumn("y", substring(col("ds"), 1, 4).cast("long"))
+      .withColumn("m", substring(col("ds"), 6, 2).cast("long"))
+      .withColumn("d", substring(col("ds"), 9, 2).cast("long"))
+    val leap = col("y") % 4 === 0 &&
+      (col("y") % 100 =!= 0 || col("y") % 400 === 0)
+    val dim = when(col("m").isin(1L, 3L, 5L, 7L, 8L, 10L, 12L), 31L)
+      .when(col("m").isin(4L, 6L, 9L, 11L), 30L)
+      .otherwise(when(leap, 29L).otherwise(28L))
+    val valid = col("ds").isNotNull &&
+      col("y") >= 1600L && col("y") <= 9999L &&
+      col("m") >= 1L && col("m") <= 12L &&
+      col("d") >= 1L && col("d") <= dim
+    val yp  = col("y") - when(col("m") <= 2, 1L).otherwise(0L)
+    val era = floor(yp / lit(400.0)).cast("long")
+    val yoe = yp - era * 400L
+    val mp  = col("m") + when(col("m") > 2, -3L).otherwise(9L)
+    val doy = floor((lit(153L) * mp + 2L) / lit(5.0)).cast("long") +
+      col("d") - 1L
+    val doe = yoe * 365L + floor(yoe / lit(4.0)).cast("long") -
+      floor(yoe / lit(100.0)).cast("long") + doy
+    val day = era * 146097L + doe - 719468L
+    parts
+      .withColumn("day", when(valid, day))
+      .groupBy(idCol)
+      .agg(sum(when(col("day").isNotNull, 1L).otherwise(0L)).as("n_dates"),
+        coalesce(min("day"), lit(-1L)).as("first_day"),
+        coalesce(max("day"), lit(-1L)).as("last_day"))
+  }
 }

@@ -204,6 +204,24 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Document dating: synthetic ISO dates planted per doc (every 7th
+    // doc only a malformed one; %3==1 adds a valid leap date, %3==2 a
+    // REJECTED non-leap Feb 29) — extraction, civil-date validation and
+    // integer epoch-day normalization all replayed by the oracle.
+    "q_doc_dates" -> { (s, dir) =>
+      val id = col("doc_id").cast("long")
+      val date1 = format_string("%04d-%02d-%02d",
+        (id % 25 + 2000), (id % 12 + 1), (id % 28 + 1))
+      val text2 = when(id % 7 === 0, lit("no date 2023-13-40 here"))
+        .otherwise(concat(lit("v "), date1,
+          when(id % 3 === 1, lit(" x 2024-02-29"))
+            .when(id % 3 === 2, lit(" y 2025-02-29"))
+            .otherwise(lit(""))))
+      graft.operators.Curation.extractDates(
+        table(s, dir, "documents").select(col("doc_id"),
+          text2.as("text")))
+    },
+
     // Wilson lower-bound quality ranking per source (z=1.96): the
     // small-sample-honest pass-rate ranking — a 2/2 source must not
     // outrank a 95/100 one. Pass = n_chars >= 400.
@@ -641,6 +659,62 @@ object CurationQueries {
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
 
+    "q_doc_dates" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN 'no date 2023-13-40 here'
+                       ELSE 'v ' || printf('%04d-%02d-%02d',
+                                           doc_id % 25 + 2000,
+                                           doc_id % 12 + 1,
+                                           doc_id % 28 + 1)
+                            || CASE WHEN doc_id % 3 = 1
+                                      THEN ' x 2024-02-29'
+                                    WHEN doc_id % 3 = 2
+                                      THEN ' y 2025-02-29'
+                                    ELSE '' END
+                  END AS text
+           FROM documents),
+         ex AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text,
+                    '([0-9]{4})-([0-9]{2})-([0-9]{2})', 0)) AS ds
+           FROM t),
+         p AS (
+           SELECT doc_id, ds,
+                  CAST(substr(ds, 1, 4) AS BIGINT) AS y,
+                  CAST(substr(ds, 6, 2) AS BIGINT) AS m,
+                  CAST(substr(ds, 9, 2) AS BIGINT) AS d
+           FROM ex),
+         v AS (
+           SELECT doc_id, y, m, d,
+                  (y - CASE WHEN m <= 2 THEN 1 ELSE 0 END) AS yp,
+                  CASE WHEN m IN (1,3,5,7,8,10,12) THEN 31
+                       WHEN m IN (4,6,9,11) THEN 30
+                       WHEN y % 4 = 0 AND (y % 100 <> 0 OR y % 400 = 0)
+                         THEN 29 ELSE 28 END AS dim
+           FROM p),
+         dd AS (
+           SELECT doc_id,
+                  CAST(floor(yp / 400.0) AS BIGINT) * 146097
+                  + ((yp - CAST(floor(yp / 400.0) AS BIGINT) * 400) * 365
+                     + CAST(floor((yp - CAST(floor(yp / 400.0) AS BIGINT)
+                                   * 400) / 4.0) AS BIGINT)
+                     - CAST(floor((yp - CAST(floor(yp / 400.0) AS BIGINT)
+                                   * 400) / 100.0) AS BIGINT)
+                     + CAST(floor((153 * (m + CASE WHEN m > 2 THEN -3
+                                               ELSE 9 END) + 2) / 5.0)
+                            AS BIGINT) + d - 1)
+                  - 719468 AS day
+           FROM v
+           WHERE y BETWEEN 1600 AND 9999 AND m BETWEEN 1 AND 12
+                 AND d BETWEEN 1 AND dim)
+         SELECT t.doc_id,
+                CAST(coalesce(a.n, 0) AS BIGINT) AS n_dates,
+                CAST(coalesce(a.mn, -1) AS BIGINT) AS first_day,
+                CAST(coalesce(a.mx, -1) AS BIGINT) AS last_day
+         FROM t LEFT JOIN (
+           SELECT doc_id, count(*) AS n, min(day) AS mn, max(day) AS mx
+           FROM dd GROUP BY 1) a ON a.doc_id = t.doc_id""",
     "q_wilson_quality" ->
       """WITH g AS (
            SELECT source, count(*)::BIGINT AS n,
