@@ -260,6 +260,62 @@ object CorpusStats {
           * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
   }
 
+  /** Hashing-trick featurizer profile: every distinct term maps to a
+    * bucket in a 2^bits feature space via an md5 fold (engine-portable,
+    * unlike murmur seeds), and the doc-level collision accounting —
+    * n_terms − n_features — is the signal that says whether `bits` is
+    * big enough for this corpus before training a hashed linear model.
+    * One tokenize pass, term-distinct agg, all partial-combined.
+    * Output: (idCol, n_tokens, n_terms, n_features, n_collisions).
+    */
+  def featureHashProfile(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         bits: Int = 12): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(toks(lower(col(textCol)))).as("term"))
+    val nTok = tok.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val idx = conv(substring(md5(col("term")), 1, 6), 16, 10)
+      .cast("long") % lit(1L << bits)
+    val dist = tok.distinct().withColumn("fi", idx)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        countDistinct(col("fi")).as("n_features"))
+    nTok.join(dist, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_terms"),
+        col("n_features"),
+        (col("n_terms") - col("n_features")).as("n_collisions"))
+  }
+
+  /** Per-host burst detection over hourly activity windows: a window is
+    * a burst when its event count exceeds `factor`× the host's (lower)
+    * median nonempty-window count — the fetch-anomaly/recrawl-trigger
+    * signal. Exact integers throughout (lower median = the ⌈n/2⌉-th
+    * count in (count, window) order). Output:
+    * (host, n_windows, median_cnt, n_bursts).
+    */
+  def burstWindows(events: DataFrame, hostCol: String,
+                   tsCol: String = "ts", factor: Long = 3L): DataFrame = {
+    val cnts = events
+      .select(col(hostCol).as("host"),
+        floor(unix_timestamp(col(tsCol)) / lit(3600.0)).cast("long")
+          .as("w"))
+      .groupBy("host", "w").agg(count(lit(1)).as("cnt"))
+    val ranked = cnts.withColumn("rw",
+      row_number().over(Window.partitionBy("host")
+        .orderBy(asc("cnt"), asc("w"))).cast("long"))
+    val med = ranked
+      .groupBy("host").agg(count(lit(1)).as("n_windows"))
+      .join(ranked.select(col("host"), col("rw"), col("cnt").as("mc")),
+        Seq("host"))
+      .filter(col("rw") ===
+        floor((col("n_windows") + 1L) / lit(2.0)).cast("long"))
+      .select(col("host"), col("n_windows"), col("mc").as("median_cnt"))
+    cnts.join(med, Seq("host"))
+      .groupBy(col("host"), col("n_windows"), col("median_cnt"))
+      .agg(sum(when(col("cnt") > lit(factor) * col("median_cnt"), 1L)
+        .otherwise(0L)).as("n_bursts"))
+  }
+
   /** Kolmogorov–Smirnov drift between two corpora over an integer-valued
     * column (doc length, token count): D = max |F₁−F₂| computed as EXACT
     * integers — per distinct value the statistic's numerator is

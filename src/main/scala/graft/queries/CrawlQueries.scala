@@ -431,6 +431,23 @@ object CrawlQueries {
         "ct")
     },
 
+    // Hashing-trick featurizer profile: md5-fold feature indices in a
+    // 2^12 space, per-doc collision accounting (is `bits` big enough
+    // before training a hashed linear model?).
+    "q_feature_hash" -> { (s, dir) =>
+      graft.operators.CorpusStats.featureHashProfile(
+        table(s, dir, "documents"), bits = 12)
+    },
+
+    // Per-host hourly burst windows: count > 3x the host's lower-median
+    // nonempty window — the fetch-anomaly / recrawl trigger.
+    "q_burst_hosts" -> { (s, dir) =>
+      graft.operators.CorpusStats.burstWindows(
+        table(s, dir, "events")
+          .select(pmod(col("user_id"), lit(50L)).as("host"), col("ts")),
+        "host")
+    },
+
     // Kolmogorov–Smirnov drift over the doc-length distribution between
     // the two half-corpora: exact integer numerator, one final division.
     "q_ks_drift" -> { (s, dir) =>
@@ -1983,6 +2000,55 @@ object CrawlQueries {
                      ELSE 'stable' END AS status
          FROM e""",
 
+    "q_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents),
+         nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+                FROM tok GROUP BY 1),
+         d AS (SELECT DISTINCT doc_id, term FROM tok),
+         f AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_transform(
+                      string_split(substr(md5(term), 1, 6), ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1
+                                AS BIGINT)),
+                    (a, b) -> a * 16 + b) % 4096 AS fi
+           FROM d),
+         a AS (
+           SELECT doc_id, count(*)::BIGINT AS n_terms,
+                  count(DISTINCT fi)::BIGINT AS n_features
+           FROM f GROUP BY 1)
+         SELECT nt.doc_id, nt.n_tokens, a.n_terms, a.n_features,
+                (a.n_terms - a.n_features)::BIGINT AS n_collisions
+         FROM nt JOIN a USING (doc_id)""",
+    "q_burst_hosts" ->
+      """WITH c AS (
+           SELECT user_id % 50 AS host,
+                  CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0)
+                       AS BIGINT) AS w,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT host, w, cnt,
+                  CAST(row_number() OVER (PARTITION BY host
+                                          ORDER BY cnt ASC, w ASC)
+                       AS BIGINT) AS rw,
+                  count(*) OVER (PARTITION BY host) AS n
+           FROM c),
+         m AS (
+           SELECT host, CAST(n AS BIGINT) AS n_windows,
+                  cnt AS median_cnt
+           FROM r
+           WHERE rw = CAST(floor((n + 1) / 2.0) AS BIGINT))
+         SELECT m.host, m.n_windows, m.median_cnt,
+                CAST(sum(CASE WHEN c.cnt > 3 * m.median_cnt
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+         FROM c JOIN m USING (host)
+         GROUP BY 1, 2, 3""",
     "q_ks_drift" ->
       """WITH p AS (
            SELECT n_chars AS v, count(*)::BIGINT AS c1

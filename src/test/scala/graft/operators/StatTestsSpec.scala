@@ -46,6 +46,34 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("gini") > 0.7, r1.toString)
   }
 
+  test("featureHashProfile: collisions = distinct terms minus distinct buckets") {
+    // 1-bit space: every term lands in bucket 0 or 1 -> n_features <= 2
+    val docs = Seq((0L, "aa bb cc dd aa")).toDF("doc_id", "text")
+    val r = CorpusStats.featureHashProfile(docs, bits = 1).head()
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    val nf = r.getAs[Long]("n_features")
+    assert(nf >= 1L && nf <= 2L)
+    assert(r.getAs[Long]("n_collisions") == 4L - nf)
+    // a huge space: collisions vanish
+    val r2 = CorpusStats.featureHashProfile(docs, bits = 22).head()
+    assert(r2.getAs[Long]("n_collisions") == 0L)
+  }
+
+  test("burstWindows: a planted 10x hour is the only burst") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hour: Int, i: Int) = new java.sql.Timestamp(
+      base.getTime + hour * 3600000L + i * 1000L)
+    // host 0: hours 0..4 have 2 events each, hour 5 has 20
+    val rows = (0 until 5).flatMap(h => Seq((0L, at(h, 1)), (0L, at(h, 2)))) ++
+      (0 until 20).map(i => (0L, at(5, i)))
+    val r = CorpusStats.burstWindows(rows.toDF("host", "ts"), "host")
+      .head()
+    assert(r.getAs[Long]("n_windows") == 6L)
+    assert(r.getAs[Long]("median_cnt") == 2L)
+    assert(r.getAs[Long]("n_bursts") == 1L)
+  }
+
   test("Wilson: 2/2 must rank below 95/100") {
     val docs = (Seq.fill(2)(("tiny", 500L)) ++
       (0 until 100).map(i => ("big", if (i < 95) 500L else 100L)))
