@@ -260,6 +260,58 @@ object CorpusStats {
           * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
   }
 
+  /** Character-bigram conditional entropy H(next|cur) per document —
+    * the sequence-level gibberish/loop detector that unigram entropy
+    * misses ("ababab…" has high H(X) but H(next|cur)=0). Computed in
+    * the c·ln(c) form: numerator Σ c_xy·(ln c_x − ln c_xy) as exact
+    * integer micro-units (each term rounded at 1e8, ln-parity
+    * discipline), denominator = bigram count — no float division
+    * crosses the engine boundary. Output:
+    * (idCol, n_bigrams, h_num_micro).
+    */
+  def bigramCondEntropy(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val chars = docs.select(col(idCol),
+      posexplode(split(col(textCol), "")).as(Seq("i", "ch")))
+      .filter(col("ch") =!= "") // Java split keeps a trailing ""
+    val big = chars
+      .withColumn("y", lead("ch", 1).over(
+        Window.partitionBy(col(idCol)).orderBy(asc("i"))))
+      .filter(col("y").isNotNull)
+      .select(col(idCol), col("ch").as("x"), col("y"))
+    val cxy = big.groupBy(idCol, "x", "y").agg(count(lit(1)).as("cxy"))
+    val cx  = cxy.groupBy(idCol, "x").agg(sum("cxy").as("cx"))
+    cxy.join(cx, Seq(idCol, "x"))
+      .select(col(idCol),
+        col("cxy"),
+        round((log(col("cx").cast("double")) -
+                 log(col("cxy").cast("double"))) * col("cxy") * lit(1e8),
+              0).cast("long").as("tm"))
+      .groupBy(idCol)
+      .agg(sum("cxy").as("n_bigrams"), sum("tm").as("h_num_micro"))
+  }
+
+  /** Exact per-group order statistics of an integer column: n, p50/p90/
+    * p99 at the ⌈q·n⌉-th value in (value, tie-break) order — the corpus
+    * length profile a packing/curation pass sizes against, exact (no
+    * t-digest approximation) and deterministic under ties. One shuffle
+    * by group; the rank window is per-group bounded.
+    */
+  def lengthPercentiles(df: DataFrame, keyCol: String,
+                        valCol: String): DataFrame = {
+    val ranked = df.select(col(keyCol).as("k"), col(valCol).as("v"))
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("k").orderBy(asc("v"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+    def pick(q: Double, name: String) =
+      max(when(col("rw") ===
+        greatest(ceil(lit(q) * col("n")).cast("long"), lit(1L)),
+        col("v"))).as(name)
+    ranked.groupBy(col("k").as(keyCol))
+      .agg(max("n").as("n"), pick(0.5, "p50"), pick(0.9, "p90"),
+           pick(0.99, "p99"))
+  }
+
   /** Hashing-trick featurizer profile: every distinct term maps to a
     * bucket in a 2^bits feature space via an md5 fold (engine-portable,
     * unlike murmur seeds), and the doc-level collision accounting —

@@ -204,6 +204,13 @@ object CurationQueries {
       Curation.dedupParagraphs(docs, "doc_id", "text")
     },
 
+    // Exact per-source length percentiles (p50/p90/p99 order stats, no
+    // sketch) — the packing/curation sizing profile.
+    "q_length_pcts" -> { (s, dir) =>
+      graft.operators.CorpusStats.lengthPercentiles(
+        table(s, dir, "documents"), "source", "n_chars")
+    },
+
     // Document dating: synthetic ISO dates planted per doc (every 7th
     // doc only a malformed one; %3==1 adds a valid leap date, %3==2 a
     // REJECTED non-leap Feb 29) — extraction, civil-date validation and
@@ -659,6 +666,25 @@ object CurationQueries {
                                     ORDER BY p_id), '') AS clean_text
          FROM r GROUP BY doc_id""",
 
+    "q_length_pcts" ->
+      """WITH r AS (
+           SELECT source, n_chars AS v,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars ASC)
+                       AS BIGINT) AS rw,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT source, CAST(max(n) AS BIGINT) AS n,
+                max(CASE WHEN rw = greatest(
+                      CAST(ceil(0.5e0 * n) AS BIGINT), 1) THEN v END)
+                  AS p50,
+                max(CASE WHEN rw = greatest(
+                      CAST(ceil(0.9e0 * n) AS BIGINT), 1) THEN v END)
+                  AS p90,
+                max(CASE WHEN rw = greatest(
+                      CAST(ceil(0.99e0 * n) AS BIGINT), 1) THEN v END)
+                  AS p99
+         FROM r GROUP BY 1""",
     "q_doc_dates" ->
       """WITH t AS (
            SELECT doc_id,

@@ -508,6 +508,20 @@ object TextQueries {
       graft.operators.CorpusStats.charEntropy(docs, "doc_id", "text")
     },
 
+    // Bigram conditional entropy H(next|cur): every 13th doc an 'a'-run
+    // and every 13th+1 an 'ababab' loop — both MUST score 0 here even
+    // though the loop's unigram entropy is high (the sequence-level
+    // gibberish/loop detector). Integer-micro numerator, ln parity.
+    "q_bigram_entropy" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(id, lit(13L)) === 0, lit("a" * 160))
+          .when(pmod(id, lit(13L)) === 1, lit("ab" * 80))
+          .otherwise(col("text")).as("text"))
+      graft.operators.CorpusStats.bigramCondEntropy(docs, "doc_id",
+        "text")
+    },
+
     // Near-dup component-size histogram over the same band graph as
     // q_lsh_components: the dedup health report (giant components =
     // over-merging; all singletons = under-matching).
@@ -2121,6 +2135,39 @@ object TextQueries {
          FROM t LEFT JOIN v ON t.term = v.term
          GROUP BY 1""",
 
+    "q_bigram_entropy" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN CAST(doc_id AS BIGINT) % 13 = 0
+                         THEN repeat('a', 160)
+                       WHEN CAST(doc_id AS BIGINT) % 13 = 1
+                         THEN repeat('ab', 80)
+                       ELSE text END AS text
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  unnest(string_split(text, '')) AS ch,
+                  generate_subscripts(string_split(text, ''), 1) AS i
+           FROM d),
+         b AS (
+           SELECT doc_id, ch AS x,
+                  lead(ch) OVER (PARTITION BY doc_id ORDER BY i) AS y
+           FROM c),
+         cxy AS (
+           SELECT doc_id, x, y, count(*)::BIGINT AS cxy
+           FROM b WHERE y IS NOT NULL GROUP BY 1, 2, 3),
+         cx AS (
+           SELECT doc_id, x, CAST(sum(cxy) AS BIGINT) AS cx
+           FROM cxy GROUP BY 1, 2),
+         t AS (
+           SELECT cxy.doc_id, cxy.cxy,
+                  CAST(round((ln(CAST(cx.cx AS DOUBLE))
+                              - ln(CAST(cxy.cxy AS DOUBLE)))
+                             * cxy.cxy * 1e8, 0) AS BIGINT) AS tm
+           FROM cxy JOIN cx ON cx.doc_id = cxy.doc_id AND cx.x = cxy.x)
+         SELECT doc_id, CAST(sum(cxy) AS BIGINT) AS n_bigrams,
+                CAST(sum(tm) AS BIGINT) AS h_num_micro
+         FROM t GROUP BY 1""",
     "q_char_entropy" ->
       """WITH d AS (
            SELECT doc_id,
