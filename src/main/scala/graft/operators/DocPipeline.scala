@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextAnalysis, Urls}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** WARC → interleaved-span document materialization (SURVEY.md §2.1 S4,
@@ -248,6 +249,80 @@ object DocPipeline {
     * spans array (kind, text, media_ref, offset) — no explode, no
     * shuffle; composes in front of spanize/fetch planning for free.
     */
+  /** Span normalization over the interleaved contract: drop degenerate
+    * spans (empty text, ref-less media), merge RUNS of consecutive text
+    * spans (single-space joined, original order), and re-derive each
+    * surviving span's offset as the cumulative merged-text chars before
+    * it — the canonical form every downstream packer/pairer assumes.
+    * Media spans never merge. Gaps-and-islands windows per doc; output
+    * one row per normalized span:
+    * (idCol, ord, kind, text, media_ref, offset).
+    */
+  def normalizeSpans(docs: DataFrame, spansCol: String = "spans",
+                     idCol: String = "doc_id",
+                     textKind: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(asc("i"))
+    val sp = docs
+      .select(col(idCol), posexplode(col(spansCol)).as(Seq("i", "s")))
+      .select(col(idCol), col("i"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+      .filter(!(col("kind") === textKind && col("text") === "") &&
+              !(col("kind") =!= textKind && col("media_ref") === ""))
+      .withColumn("istext", col("kind") === textKind)
+      .withColumn("brk",
+        when(lag("istext", 1).over(w).isNull ||
+               lag("istext", 1).over(w) =!= col("istext") ||
+               !col("istext"), 1L).otherwise(0L))
+      .withColumn("unit", sum("brk").over(w))
+    val units = sp.groupBy(col(idCol), col("unit"))
+      .agg(min("i").as("i0"), min("kind").as("kind"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("text")))),
+            s => s.getField("text")), " ").as("text"),
+        min("media_ref").as("media_ref"))
+    val w2 = Window.partitionBy(idCol).orderBy(asc("i0"))
+    units
+      .withColumn("ord", (row_number().over(w2) - 1).cast("long"))
+      .withColumn("offset",
+        coalesce(
+          sum(when(col("kind") === textKind,
+            length(col("text")).cast("long")).otherwise(0L))
+            .over(w2.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(idCol), col("ord"), col("kind"), col("text"),
+        col("media_ref"), col("offset"))
+  }
+
+  /** Context-budget truncation: keep spans in order while the text
+    * consumed so far is under `maxChars`; the crossing text span is cut
+    * to the remaining budget, everything after is dropped (media spans
+    * consume no budget but fall with the cut). Per doc:
+    * (idCol, n_spans_kept, text_chars_kept, truncated).
+    */
+  def truncateSpans(docs: DataFrame, maxChars: Long,
+                    spansCol: String = "spans",
+                    idCol: String = "doc_id",
+                    textKind: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(asc("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sp = docs
+      .select(col(idCol), posexplode(col(spansCol)).as(Seq("i", "s")))
+      .select(col(idCol), col("i"), col("s.kind").as("kind"),
+        length(col("s.text")).cast("long").as("len"))
+      .withColumn("tlen",
+        when(col("kind") === textKind, col("len")).otherwise(0L))
+      .withColumn("cum", coalesce(sum("tlen").over(w), lit(0L)))
+      .withColumn("kept", col("cum") < maxChars)
+      .withColumn("kchars",
+        when(col("kept"),
+          least(col("tlen"), lit(maxChars) - col("cum"))).otherwise(0L))
+    sp.groupBy(idCol).agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_spans_kept"),
+      sum("kchars").as("text_chars_kept"),
+      (sum(when(col("kept"), 0L).otherwise(1L)) > 0 ||
+        sum(col("tlen") - col("kchars")) > 0).as("truncated"))
+  }
+
   def spanStats(docs: DataFrame, spansCol: String = "spans",
                 textKind: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.LongType

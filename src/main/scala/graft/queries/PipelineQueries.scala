@@ -96,6 +96,72 @@ object PipelineQueries {
     // media kind, adds an all-text doc and a two-media doc. The oracle
     // states each class's counts/chars/fraction in closed form from
     // the same substring arithmetic.
+    // Span normalization: degenerate spans dropped, consecutive text
+    // runs merged (single-space join), offsets re-derived as cumulative
+    // merged-text chars. One row per normalized span; the oracle
+    // replays the islands windows generically.
+    "q_span_merge" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(3L))
+      def sp(kind: org.apache.spark.sql.Column,
+             text: org.apache.spark.sql.Column,
+             ref: org.apache.spark.sql.Column, off: Int) =
+        struct(kind.as("kind"), text.as("text"), ref.as("media_ref"),
+          lit(off).as("offset"))
+      val t1 = substring(col("text"), 1, 20)
+      val t2 = substring(col("text"), 21, 20)
+      val t3 = substring(col("text"), 41, 20)
+      val spans = when(m === 0, array(
+          sp(lit("text"), t1, lit(""), 0),
+          sp(lit("text"), t2, lit(""), 1),
+          sp(lit("image"), lit(""), concat(lit("img:"), id), 2),
+          sp(lit("text"), t3, lit(""), 3),
+          sp(lit("text"), lit(""), lit(""), 4)))
+        .when(m === 1, array(
+          sp(lit("text"), lit(""), lit(""), 0),
+          sp(lit("image"), lit(""), concat(lit("img:"), id), 1),
+          sp(lit("audio"), lit(""), concat(lit("aud:"), id), 2),
+          sp(lit("text"), t1, lit(""), 3),
+          sp(lit("text"), t2, lit(""), 4),
+          sp(lit("text"), t3, lit(""), 5)))
+        .otherwise(array(sp(lit("text"), t1, lit(""), 0)))
+      DocPipeline.normalizeSpans(table(s, dir, "documents")
+        .select(col("doc_id"), spans.as("spans")))
+    },
+
+    // Context-budget truncation over the span_stats fixture: 40-char
+    // budget cuts inside the first or second text span depending on
+    // doc shape; media spans fall with the cut.
+    "q_span_truncate" -> { (s, dir) =>
+      val id = col("doc_id").cast(LongType)
+      val m = pmod(id, lit(4L))
+      def sp(kind: org.apache.spark.sql.Column,
+             text: org.apache.spark.sql.Column,
+             ref: org.apache.spark.sql.Column, off: Int) =
+        struct(kind.as("kind"), text.as("text"), ref.as("media_ref"),
+          lit(off).as("offset"))
+      val s1 = sp(lit("text"), substring(col("text"), 1, 30), lit(""), 0)
+      val s2 = sp(
+        when(m === 0, lit("image")).when(m === 1, lit("audio"))
+          .when(m === 2, lit("video")).otherwise(lit("text")),
+        when(m === 3, substring(col("text"), 31, 30)).otherwise(lit("")),
+        when(m === 0, concat(lit("img:"), id))
+          .when(m === 1, concat(lit("aud:"), id))
+          .when(m === 2, concat(lit("vid:"), id)).otherwise(lit("")),
+        30)
+      val s3 = sp(lit("text"), substring(col("text"), 61, 30), lit(""),
+        60)
+      val s4 = when(m === 2,
+        array(sp(lit("image"), lit(""), concat(lit("img2:"), id), 90)))
+        .otherwise(array().cast(
+          "array<struct<kind:string,text:string,media_ref:string," +
+            "offset:int>>"))
+      DocPipeline.truncateSpans(
+        table(s, dir, "documents").select(col("doc_id"),
+          concat(array(s1, s2, s3), s4).as("spans")),
+        maxChars = 40L)
+    },
+
     "q_span_stats" -> { (s, dir) =>
       val id = col("doc_id").cast(LongType)
       val m = pmod(id, lit(4L))
@@ -1846,6 +1912,88 @@ object PipelineQueries {
             WINDOW w_fol AS (PARTITION BY doc_id ORDER BY p_idx
                              ROWS BETWEEN 1 FOLLOWING
                                       AND UNBOUNDED FOLLOWING))""",
+    "q_span_merge" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) % 3 AS m,
+                  substr(text, 1, 20) AS t1, substr(text, 21, 20) AS t2,
+                  substr(text, 41, 20) AS t3
+           FROM documents),
+         sp0 AS (
+           SELECT doc_id, 0 AS i, 'text' AS kind, t1 AS t, '' AS ref
+           FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 1, 'text', t2, '' FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 2, 'image', '', 'img:' || doc_id
+           FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 3, 'text', t3, '' FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 4, 'text', '', '' FROM d WHERE m = 0
+           UNION ALL SELECT doc_id, 0, 'text', '', '' FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 1, 'image', '', 'img:' || doc_id
+           FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 2, 'audio', '', 'aud:' || doc_id
+           FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 3, 'text', t1, '' FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 4, 'text', t2, '' FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 5, 'text', t3, '' FROM d WHERE m = 1
+           UNION ALL SELECT doc_id, 0, 'text', t1, '' FROM d WHERE m = 2),
+         f AS (
+           SELECT *, kind = 'text' AS istext FROM sp0
+           WHERE NOT (kind = 'text' AND t = '')
+             AND NOT (kind <> 'text' AND ref = '')),
+         g AS (
+           SELECT *, CASE WHEN lag(istext) OVER w IS NULL
+                            OR lag(istext) OVER w <> istext
+                            OR NOT istext THEN 1 ELSE 0 END AS brk
+           FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         u0 AS (
+           SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS unit
+           FROM g),
+         u AS (
+           SELECT doc_id, unit, min(i) AS i0, min(kind) AS kind,
+                  string_agg(t, ' ' ORDER BY i) AS text,
+                  min(ref) AS media_ref
+           FROM u0 GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(row_number() OVER w2 - 1 AS BIGINT) AS ord,
+                kind, text, media_ref,
+                CAST(coalesce(
+                  sum(CASE WHEN kind = 'text' THEN length(text)
+                           ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i0
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         FROM u WINDOW w2 AS (PARTITION BY doc_id ORDER BY i0)""",
+    "q_span_truncate" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS BIGINT) % 4 AS m,
+                  len(substr(text, 1, 30)) AS t1,
+                  len(substr(text, 31, 30)) AS t2,
+                  len(substr(text, 61, 30)) AS t3
+           FROM documents),
+         sp AS (
+           SELECT doc_id, 0 AS i, t1 AS tlen FROM d
+           UNION ALL SELECT doc_id, 1,
+             CASE WHEN m = 3 THEN t2 ELSE 0 END FROM d
+           UNION ALL SELECT doc_id, 2, t3 FROM d
+           UNION ALL SELECT doc_id, 3, 0 FROM d WHERE m = 2),
+         c AS (
+           SELECT doc_id, i, tlen,
+                  coalesce(sum(tlen) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum
+           FROM sp),
+         k AS (
+           SELECT doc_id, tlen, cum < 40 AS kept,
+                  CASE WHEN cum < 40 THEN least(tlen, 40 - cum)
+                       ELSE 0 END AS kchars
+           FROM c)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_spans_kept,
+                CAST(sum(kchars) AS BIGINT) AS text_chars_kept,
+                (sum(CASE WHEN kept THEN 0 ELSE 1 END) > 0
+                 OR sum(tlen - kchars) > 0) AS truncated
+         FROM k GROUP BY 1""",
     "q_span_stats" ->
       """WITH d AS (
            SELECT doc_id, CAST(doc_id AS BIGINT) % 4 AS m,
