@@ -731,6 +731,33 @@ object Curation {
         when(col("keep"), array_join(kept, "\n")).otherwise(lit("")))
   }
 
+  /** Classifier calibration table: rank by score (distributed
+    * partition-offset rank — no single-task global window), cut into
+    * `bins` equal-rank bins, and report per-bin gold-positive and
+    * predicted-positive counts — "is the quality filter's score
+    * monotone in actual quality, and where does it saturate?". Exact
+    * integers until the per-bin rate division. Output:
+    * (decile, n, n_gold_pos, n_pred_pos, gold_rate 6dp).
+    */
+  def calibrationTable(scored: DataFrame, scoreCol: String,
+                       labelCol: String, predCol: String,
+                       idCol: String, bins: Int = 10): DataFrame = {
+    val (ranked, _) = UrlDedup.ordByPartitionOffsets(
+      scored, Seq(col(scoreCol).asc, col(idCol).asc), "__rw0")
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        (floor(col("__rw0") * lit(bins.toDouble) / col("__n")) + 1)
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_gold_pos"),
+        sum(when(col(predCol), 1L).otherwise(0L)).as("n_pred_pos"))
+      .withColumn("gold_rate",
+        round(col("n_gold_pos").cast("double") / col("n").cast("double"),
+              6))
+  }
+
   /** Document dating: extract ISO `yyyy-mm-dd` tokens, validate them as
     * real civil dates (month range, month length, Gregorian leap rule)
     * and normalize to epoch days with the days-from-civil integer

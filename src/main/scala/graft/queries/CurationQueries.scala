@@ -229,6 +229,20 @@ object CurationQueries {
           text2.as("text")))
     },
 
+    // Calibration table of the NB quality classifier: 10 equal-rank
+    // score bins vs gold label — monotonicity/saturation audit of the
+    // filter before trusting its threshold.
+    "q_quality_calibration" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").withColumn("__pos",
+        pmod(col("doc_id").cast(LongType), lit(2L)) === 0)
+      val m = graft.operators.QualityClassifier.train(docs, "__pos")
+      val scored = graft.operators.QualityClassifier.classify(docs, m)
+        .select(col("doc_id"), col("llr"), col("pred"))
+        .join(docs.select(col("doc_id"), col("__pos")), Seq("doc_id"))
+      graft.operators.Curation.calibrationTable(scored, "llr", "__pos",
+        "pred", "doc_id", bins = 10)
+    },
+
     // Wilson lower-bound quality ranking per source (z=1.96): the
     // small-sample-honest pass-rate ranking — a 2/2 source must not
     // outrank a 95/100 one. Pass = n_chars >= 400.
@@ -1146,6 +1160,62 @@ object CurationQueries {
                   AS llr,
                 sp + pr.p_pos > sn + pr.p_neg AS pred
          FROM s, pr""",
+
+    "q_quality_calibration" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 2 = 0 AS pos,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, pos, unnest(toks) AS w FROM d),
+         words AS (
+           SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+           FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+                        count(*) AS v FROM words),
+         dc AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+                FROM d),
+         pr AS (
+           SELECT CAST(round(round(log10(n_pos * 1.0 / (n_pos + n_neg)),
+                    6) * 1000000) AS BIGINT) AS p_pos,
+                  CAST(round(round(log10(n_neg * 1.0 / (n_pos + n_neg)),
+                    6) * 1000000) AS BIGINT) AS p_neg
+           FROM dc),
+         s AS (
+           SELECT t.doc_id, t.pos, count(*) AS n_tokens,
+                  sum(CAST(round(round(log10(
+                    (coalesce(words.c_pos, 0) + 1.0) / (tot.t_pos + tot.v)),
+                    6) * 1000000) AS BIGINT)) AS sp,
+                  sum(CAST(round(round(log10(
+                    (coalesce(words.c_neg, 0) + 1.0) / (tot.t_neg + tot.v)),
+                    6) * 1000000) AS BIGINT)) AS sn
+           FROM tok t LEFT JOIN words USING (w), tot
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT s.doc_id, s.pos,
+                  round((sp + pr.p_pos - sn - pr.p_neg) / 1000000.0, 4)
+                    AS llr,
+                  sp + pr.p_pos > sn + pr.p_neg AS pred
+           FROM s, pr),
+         r AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY llr ASC,
+                            doc_id ASC) - 1 AS BIGINT) AS rw0,
+                  count(*) OVER () AS n
+           FROM sc),
+         b AS (
+           SELECT CAST(floor(rw0 * 10.0e0 / n) AS BIGINT) + 1 AS decile,
+                  pos, pred
+           FROM r)
+         SELECT decile, count(*)::BIGINT AS n,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gold_pos,
+                CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pred_pos,
+                round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS gold_rate
+         FROM b GROUP BY 1""",
 
     "q_seq_pack" ->
       s"""WITH RECURSIVE d AS (

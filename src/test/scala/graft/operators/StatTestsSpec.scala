@@ -74,6 +74,22 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_bursts") == 1L)
   }
 
+  test("calibrationTable: bins partition ranks evenly; rates recover a monotone score") {
+    // score = gold signal + small deterministic noise: top bins must be
+    // purer than bottom bins
+    val scored = (0 until 100).map { i =>
+      val gold = i >= 50
+      val score = (if (gold) 10.0 else 0.0) + (i % 7) * 0.1
+      (i.toLong, score, gold, score > 5.0)
+    }.toDF("doc_id", "llr", "__pos", "pred")
+    val rows = Curation.calibrationTable(scored, "llr", "__pos", "pred",
+      "doc_id", bins = 10).orderBy("decile").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n")).forall(_ == 10L))
+    assert(rows.take(5).forall(_.getAs[Double]("gold_rate") == 0.0))
+    assert(rows.drop(5).forall(_.getAs[Double]("gold_rate") == 1.0))
+  }
+
   test("Wilson: 2/2 must rank below 95/100") {
     val docs = (Seq.fill(2)(("tiny", 500L)) ++
       (0 until 100).map(i => ("big", if (i < 95) 500L else 100L)))
