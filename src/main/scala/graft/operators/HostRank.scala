@@ -538,6 +538,30 @@ object HostRank {
       .select(col("host"), col("scc_id"), col("scc_size"))
   }
 
+  /** Spearman rank correlation between two per-key measures — "do my
+    * two importance signals agree before I blend them?" (e.g. activity
+    * vs audience size per host). Ranks are deterministic
+    * (measure desc, key asc); ρ = 1 − 6Σd²/(n(n²−1)) stays exact
+    * integers until the single division. Output row: (n, sum_d2, rho).
+    */
+  def spearman(df: DataFrame, keyCol: String, aCol: String,
+               bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = row_number().over(
+      Window.orderBy(col(aCol).desc, col(keyCol).asc)).cast("long")
+    val rb = row_number().over(
+      Window.orderBy(col(bCol).desc, col(keyCol).asc)).cast("long")
+    df.select(col(keyCol), ra.as("ra"), rb.as("rb"))
+      .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+        .as("d2"))
+      .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") > 1,
+          round(lit(1.0) - (lit(6L) * col("sum_d2")).cast("double") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double"), 6))
+          .otherwise(lit(1.0)).as("rho"))
+  }
+
   /** Link-structure mixing stats, one row: edge reciprocity (the mirror
     * /spam-ring tell — organic webs sit near 0.05–0.2, rings near 1)
     * and directed degree assortativity (Pearson over edges of src

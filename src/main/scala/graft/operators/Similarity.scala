@@ -338,6 +338,57 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("sm").as("sil_micro"))
   }
 
+  /** External clustering eval against a label column: purity (exact
+    * integer numerator) and normalized mutual information, with every
+    * entropy/MI term carried as integer micro-units — each ln() input
+    * is ONE division of exact-integer-valued doubles, so both engines
+    * walk identical float paths. Completes the clustering eval pair
+    * with [[silhouette]] (internal). Output row: (n, purity_num,
+    * purity, i_micro, hc_micro, hl_micro, nmi).
+    */
+  def clusterPurity(embeddings: DataFrame, kClusters: Int,
+                    iters: Int = 3, idCol: String = "vec_id",
+                    labelCol: String = "label",
+                    embCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(embeddings, kClusters, iters, idCol, embCol)
+    val assigned = embeddings.select(
+      assignListCol(col(embCol).cast("array<double>"), cents).as("cid"),
+      col(labelCol).as("lab"))
+    val cl = assigned.groupBy("cid", "lab").agg(count(lit(1)).as("ncl"))
+      .localCheckpoint()
+    val cTot = cl.groupBy("cid").agg(sum("ncl").as("nc"))
+    val lTot = cl.groupBy("lab").agg(sum("ncl").as("nl"))
+    val tot = cl.agg(sum("ncl").as("n"))
+    def micro(c: Column): Column = round(c * lit(1e8), 0).cast("long")
+    val joined = cl.join(cTot, Seq("cid")).join(lTot, Seq("lab"))
+      .crossJoin(broadcast(tot))
+    val stats = joined.agg(
+      max("n").as("n"),
+      sum(micro(col("ncl") *
+        log((col("n") * col("ncl")).cast("double") /
+            (col("nc") * col("nl")).cast("double")))).as("i_micro"))
+    val hC = cTot.crossJoin(broadcast(tot)).agg(
+      sum(micro(col("nc") *
+        log(col("n").cast("double") / col("nc").cast("double"))))
+        .as("hc_micro"))
+    val hL = lTot.crossJoin(broadcast(tot)).agg(
+      sum(micro(col("nl") *
+        log(col("n").cast("double") / col("nl").cast("double"))))
+        .as("hl_micro"))
+    val pur = cl.groupBy("cid").agg(max("ncl").as("mx"))
+      .agg(sum("mx").as("purity_num"))
+    stats.crossJoin(pur).crossJoin(hC).crossJoin(hL).select(
+      col("n"), col("purity_num"),
+      round(col("purity_num").cast("double") / col("n").cast("double"), 6)
+        .as("purity"),
+      col("i_micro"), col("hc_micro"), col("hl_micro"),
+      when(col("hc_micro") > 0 && col("hl_micro") > 0,
+        round(col("i_micro").cast("double") /
+              sqrt(col("hc_micro").cast("double") *
+                   col("hl_micro").cast("double")), 6))
+        .otherwise(lit(0.0)).as("nmi"))
+  }
+
   /** Materialize the IVF index: the corpus written once as parquet
     * PARTITIONED BY list_id, centroids alongside as model state. This is
     * the piece that makes "list_id is the partition key" literal: a

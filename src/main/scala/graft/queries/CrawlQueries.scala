@@ -258,6 +258,15 @@ object CrawlQueries {
           table(s, dir, "events"), nHosts = 200))
     },
 
+    // Spearman rank agreement between two per-host importance signals
+    // (activity count vs most-recent event) — exact integer d² sums.
+    "q_rank_corr" -> { (s, dir) =>
+      val hs = table(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(200L)).as("host"))
+        .agg(count(lit(1)).as("a"), max(col("event_id")).as("b"))
+      graft.operators.HostRank.spearman(hs, "host", "a", "b")
+    },
+
     // Reciprocity + degree assortativity of the host graph (a third of
     // edges get reverses, planting a known reciprocity signal); exact
     // integer Pearson sums until the final divisions.
@@ -1470,6 +1479,28 @@ object CrawlQueries {
     "q_hits_hosts" -> hitsOracle,
     "q_pagerank_hosts" -> prOracle,
 
+    "q_rank_corr" ->
+      """WITH h AS (
+           SELECT user_id % 200 AS host, count(*)::BIGINT AS a,
+                  CAST(max(event_id) AS BIGINT) AS b
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT host,
+                  CAST(row_number() OVER (ORDER BY a DESC, host ASC)
+                       AS BIGINT) AS ra,
+                  CAST(row_number() OVER (ORDER BY b DESC, host ASC)
+                       AS BIGINT) AS rb
+           FROM h),
+         s AS (
+           SELECT count(*)::BIGINT AS n,
+                  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+           FROM r)
+         SELECT n, sum_d2,
+                CASE WHEN n > 1
+                     THEN round(1.0e0 - CAST(6 * sum_d2 AS DOUBLE)
+                                / CAST(n * (n * n - 1) AS DOUBLE), 6)
+                     ELSE 1.0e0 END AS rho
+         FROM s""",
     "q_graph_mixing" ->
       """WITH ed AS MATERIALIZED (
            SELECT DISTINCT src, dst FROM (

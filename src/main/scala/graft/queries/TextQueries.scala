@@ -745,6 +745,14 @@ object TextQueries {
         queryVecId = 0, k = 10, kLists = 8, nProbe = 2, iters = 3)
     },
 
+    // External clustering eval: purity + NMI of the IVF clusters
+    // against the label column — with q_silhouette the internal/
+    // external eval pair.
+    "q_cluster_purity" -> { (s, dir) =>
+      Similarity.clusterPurity(table(s, dir, "embeddings"),
+        kClusters = 8, iters = 3)
+    },
+
     // Centroid-silhouette clustering health over the IVF quantizer:
     // per-cluster exact integer silhouette sums — "are these 8 lists
     // actually separated?" as a query.
@@ -1671,6 +1679,70 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_cluster_purity" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT r.cid, e.idx, e.v AS w
+            FROM (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                              AS INT) AS cid
+                  FROM embeddings ORDER BY vec_id ASC LIMIT 8) r
+            JOIN e ON e.vec_id = r.vec_id),
+          ${kmeansIterCte("c0", "c1")},
+          ${kmeansIterCte("c1", "c2")},
+          ${kmeansIterCte("c2", "c3")},
+          d_f AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum((e.v - c.w) * (e.v - c.w)), 8) AS d
+            FROM e JOIN c3 c ON c.idx = e.idx
+            GROUP BY 1, 2),
+          a_f AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, cid ASC) AS rw
+              FROM d_f) WHERE rw = 1),
+          cl AS MATERIALIZED (
+            SELECT a.cid, e2.label AS lab, count(*)::BIGINT AS ncl
+            FROM a_f a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+            GROUP BY 1, 2),
+          ct AS (SELECT cid, CAST(sum(ncl) AS BIGINT) AS nc
+                 FROM cl GROUP BY 1),
+          lt AS (SELECT lab, CAST(sum(ncl) AS BIGINT) AS nl
+                 FROM cl GROUP BY 1),
+          t AS (SELECT CAST(sum(ncl) AS BIGINT) AS n FROM cl),
+          im AS (
+            SELECT CAST(sum(CAST(round(ncl
+                     * ln(CAST(n * ncl AS DOUBLE)
+                          / CAST(nc * nl AS DOUBLE)) * 1e8, 0)
+                     AS BIGINT)) AS BIGINT) AS i_micro
+            FROM cl JOIN ct USING (cid) JOIN lt USING (lab), t),
+          hc AS (
+            SELECT CAST(sum(CAST(round(nc
+                     * ln(CAST(n AS DOUBLE) / CAST(nc AS DOUBLE))
+                     * 1e8, 0) AS BIGINT)) AS BIGINT) AS hc_micro
+            FROM ct, t),
+          hl AS (
+            SELECT CAST(sum(CAST(round(nl
+                     * ln(CAST(n AS DOUBLE) / CAST(nl AS DOUBLE))
+                     * 1e8, 0) AS BIGINT)) AS BIGINT) AS hl_micro
+            FROM lt, t),
+          pu AS (
+            SELECT CAST(sum(mx) AS BIGINT) AS purity_num
+            FROM (SELECT cid, max(ncl) AS mx FROM cl GROUP BY 1))
+          SELECT t.n, pu.purity_num,
+                 round(CAST(pu.purity_num AS DOUBLE)
+                       / CAST(t.n AS DOUBLE), 6) AS purity,
+                 im.i_micro, hc.hc_micro, hl.hl_micro,
+                 CASE WHEN hc_micro > 0 AND hl_micro > 0
+                      THEN round(CAST(i_micro AS DOUBLE)
+                                 / sqrt(CAST(hc_micro AS DOUBLE)
+                                        * CAST(hl_micro AS DOUBLE)), 6)
+                      ELSE 0.0e0 END AS nmi
+          FROM t, im, hc, hl, pu""",
     "q_silhouette" ->
       s"""WITH e AS MATERIALIZED (
             SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
