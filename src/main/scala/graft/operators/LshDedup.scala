@@ -316,4 +316,37 @@ object LshDedup {
   def dedupFilter(corpus: DataFrame, survivors: DataFrame,
                   idCol: String = "doc_id"): DataFrame =
     corpus.join(survivors.select(idCol).distinct(), Seq(idCol), "left_semi")
+
+  /** Analytic banding S-curve for the configured (b, r): collision
+    * probability p(s) = 1 − (1 − sʳ)ᵇ on a similarity grid, plus the
+    * curve midpoint (1/b)^(1/r) — the table that justifies the LSH
+    * configuration against its target threshold (and that
+    * q_dedup_eval's empirical P/R then confirms). b and r must be
+    * powers of two so every power is an exact square chain and the
+    * midpoint an exact sqrt chain — no transcendental pow() crosses
+    * the engine boundary. Output per grid point:
+    * (k, s, p_collide, b, r, midpoint).
+    */
+  def sCurve(spark: SparkSession, b: Int, r: Int,
+             gridN: Int = 20): DataFrame = {
+    require(Integer.bitCount(b) == 1 && Integer.bitCount(r) == 1,
+      "b and r must be powers of two for exact square/sqrt chains")
+    def squares(x: org.apache.spark.sql.Column, e: Int) = {
+      var c = x; var k = 1
+      while (k < e) { c = c * c; k *= 2 }
+      c
+    }
+    def roots(x: org.apache.spark.sql.Column, e: Int) = {
+      var c = x; var k = 1
+      while (k < e) { c = sqrt(c); k *= 2 }
+      c
+    }
+    val s  = col("id").cast("double") / lit(gridN.toDouble)
+    val qb = squares(lit(1.0) - squares(s, r), b)
+    spark.range(1, gridN).select(
+      col("id").as("k"), round(s, 4).as("s"),
+      round(lit(1.0) - qb, 6).as("p_collide"),
+      lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+      round(roots(lit(1.0) / lit(b.toDouble), r), 6).as("midpoint"))
+  }
 }

@@ -614,6 +614,14 @@ object TextQueries {
     // this quadratic form; as a driver query the bucket sizes are tiny.
     // The band table is checkpointed: both sides of the self-join need
     // it and the signature chain is the dominant cost.
+    // Analytic banding S-curve for the production (b=8, r=32) config:
+    // exact square/sqrt chains only — the table that justifies the LSH
+    // threshold, empirically confirmed by q_dedup_eval.
+    "q_lsh_scurve" -> { (s, dir) =>
+      graft.operators.LshDedup.sCurve(s, b = MinHashF.optimalBands(0.9),
+        r = MinHashF.NumPerm / MinHashF.optimalBands(0.9), gridN = 20)
+    },
+
     "q_lsh_pairs" -> { (s, dir) =>
       val b = MinHashF.optimalBands(0.9)
       val bt = LshDedup.bandTable(LshDedup.minhashed(lshDocs(s, dir), b))
@@ -1679,6 +1687,24 @@ object TextQueries {
             GROUP BY 1)
           SELECT vec_id, sim FROM sims
           ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q_lsh_scurve" ->
+      """WITH g AS (SELECT unnest(range(1, 20)) AS k),
+         a AS (SELECT k, CAST(k AS DOUBLE) / 20.0e0 AS s FROM g),
+         p2 AS (SELECT k, s, s * s AS s2 FROM a),
+         p4 AS (SELECT *, s2 * s2 AS s4 FROM p2),
+         p8 AS (SELECT *, s4 * s4 AS s8 FROM p4),
+         p16 AS (SELECT *, s8 * s8 AS s16 FROM p8),
+         p32 AS (SELECT *, s16 * s16 AS s32 FROM p16),
+         q0 AS (SELECT *, 1.0e0 - s32 AS q FROM p32),
+         q2 AS (SELECT *, q * q AS qq2 FROM q0),
+         q4 AS (SELECT *, qq2 * qq2 AS qq4 FROM q2),
+         q8 AS (SELECT *, qq4 * qq4 AS qq8 FROM q4)
+         SELECT k, round(s, 4) AS s,
+                round(1.0e0 - qq8, 6) AS p_collide,
+                CAST(8 AS BIGINT) AS b, CAST(32 AS BIGINT) AS r,
+                round(sqrt(sqrt(sqrt(sqrt(sqrt(1.0e0 / 8.0e0))))), 6)
+                  AS midpoint
+         FROM q8""",
     "q_cluster_purity" ->
       s"""WITH e AS MATERIALIZED (
             SELECT vec_id, generate_subscripts(embedding, 1) AS idx,

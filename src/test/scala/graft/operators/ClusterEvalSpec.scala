@@ -42,6 +42,28 @@ class ClusterEvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("purity") < 0.6)
   }
 
+  test("sCurve: monotone S-shape, correct midpoint, matches closed form") {
+    val rows = LshDedup.sCurve(spark, b = 8, r = 32, gridN = 20)
+      .orderBy("k").collect()
+    assert(rows.length == 19)
+    val ps = rows.map(_.getAs[Double]("p_collide"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "monotone")
+    rows.foreach { r =>
+      val s = r.getAs[Long]("k") / 20.0
+      val want = BigDecimal(1.0 - math.pow(1.0 - math.pow(s, 32), 8))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("p_collide") - want) <= 1e-6,
+        s"s=$s got ${r.getAs[Double]("p_collide")} want $want")
+    }
+    val mid = rows.head.getAs[Double]("midpoint")
+    assert(math.abs(mid - math.pow(1.0 / 8, 1.0 / 32)) < 1e-6)
+    // the curve actually crosses 1/2 near the midpoint similarity
+    val below = rows.filter(_.getAs[Double]("s") < mid - 0.05)
+    val above = rows.filter(_.getAs[Double]("s") > mid + 0.05)
+    assert(below.forall(_.getAs[Double]("p_collide") < 0.5))
+    assert(above.forall(_.getAs[Double]("p_collide") > 0.5))
+  }
+
   test("spearman: identical, reversed, and known-d2 rankings") {
     val same = Seq((1L, 30L, 300L), (2L, 20L, 200L), (3L, 10L, 100L))
       .toDF("host", "a", "b")
