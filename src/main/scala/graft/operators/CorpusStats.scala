@@ -312,6 +312,33 @@ object CorpusStats {
            pick(0.99, "p99"))
   }
 
+  /** Corpus stopword induction: the k most document-frequent terms with
+    * their IDF in integer micro-units (ln of ONE exact-integer division
+    * N/df — the usual parity discipline). This is where a language-
+    * agnostic pipeline gets the stopword list its quality signals
+    * (Gopher stop-ratio, C4) consume, instead of shipping a fixed
+    * English list. One distinct + partial-agg pass; the rank window
+    * runs over the k survivors only. Output:
+    * (rank, term, df, idf_micro).
+    */
+  def stopwordInduction(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val termDf = docs
+      .select(col(idCol), explode(toks(lower(col(textCol)))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val top = termDf.orderBy(desc("df"), asc("term")).limit(k)
+    top.crossJoin(broadcast(n))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("df"), asc("term")))
+          .cast("long"))
+      .select(col("rank"), col("term"), col("df"),
+        round(log(col("n").cast("double") / col("df").cast("double"))
+                * lit(1e8), 0).cast("long").as("idf_micro"))
+  }
+
   /** Hashing-trick featurizer profile: every distinct term maps to a
     * bucket in a 2^bits feature space via an md5 fold (engine-portable,
     * unlike murmur seeds), and the doc-level collision accounting —

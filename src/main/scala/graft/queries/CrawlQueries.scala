@@ -440,6 +440,14 @@ object CrawlQueries {
         "ct")
     },
 
+    // Language-agnostic stopword induction: 30 most document-frequent
+    // terms + integer-micro IDF — the list the Gopher/C4 stop-ratio
+    // signals consume.
+    "q_stopword_induct" -> { (s, dir) =>
+      graft.operators.CorpusStats.stopwordInduction(
+        table(s, dir, "documents"), k = 30)
+    },
+
     // Hashing-trick featurizer profile: md5-fold feature indices in a
     // 2^12 space, per-doc collision accounting (is `bits` big enough
     // before training a hashed linear model?).
@@ -2031,6 +2039,23 @@ object CrawlQueries {
                      ELSE 'stable' END AS status
          FROM e""",
 
+    "q_stopword_induct" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents),
+         f AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         t AS (
+           SELECT term, df,
+                  CAST(row_number() OVER (ORDER BY df DESC, term ASC)
+                       AS BIGINT) AS rank
+           FROM f)
+         SELECT rank, term, df,
+                CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))
+                           * 1e8, 0) AS BIGINT) AS idf_micro
+         FROM t, n WHERE rank <= 30""",
     "q_feature_hash" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -74,6 +74,19 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_bursts") == 1L)
   }
 
+  test("stopwordInduction: DF ranks by document frequency, IDF exact") {
+    val docs = Seq(
+      (0L, "the cat the mat"), (1L, "the dog"), (2L, "a dog runs"),
+      (3L, "the a")).toDF("doc_id", "text")
+    val rows = CorpusStats.stopwordInduction(docs, k = 3)
+      .orderBy("rank").collect()
+    // df: the=3 docs, a=2, dog=2, cat/mat/runs=1; top3 = the, a, dog
+    assert(rows.map(_.getString(1)).toSeq == Seq("the", "a", "dog"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 2L, 2L))
+    val idfThe = math.round(math.log(4.0 / 3.0) * 1e8)
+    assert(rows.head.getLong(3) == idfThe)
+  }
+
   test("calibrationTable: bins partition ranks evenly; rates recover a monotone score") {
     // score = gold signal + small deterministic noise: top bins must be
     // purer than bottom bins
