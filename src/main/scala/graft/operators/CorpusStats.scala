@@ -312,6 +312,53 @@ object CorpusStats {
            pick(0.99, "p99"))
   }
 
+  /** Heaps'-law vocabulary growth: distinct-term counts at 10 doc-count
+    * checkpoints (each term attributed to its FIRST document in doc-id
+    * order — one min-agg, no cumulative re-scan per checkpoint) and the
+    * log-log OLS fit V(n) ≈ K·n^β — the "how fast does my vocabulary
+    * keep growing?" scaling diagnostic (β≈0.5 natural text; β→1 means
+    * id-like noise still flooding the corpus). Checkpoint thresholds
+    * are exact order statistics via the distributed partition-offset
+    * rank; the OLS follows zipfStats' float discipline. Output row:
+    * (n_docs, vocab, heaps_beta 6dp, heaps_lnk 6dp).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val did = col(idCol).cast("long")
+    val dd = docs.select(did.as("d")).distinct()
+    val (ranked, _) = UrlDedup.ordByPartitionOffsets(
+      dd, Seq(asc("d")), "rw0")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val is = ranked.sparkSession.range(1, 11)
+      .select(col("id").as("i"))
+    val cp = ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(is))
+      .filter(col("rw0") + 1L ===
+        ceil(col("n").cast("double") * col("i") / lit(10.0)).cast("long"))
+      .select(col("i"), (col("rw0") + 1L).as("ni"), col("d").as("dmax"),
+        col("n"))
+    val fa = docs
+      .select(did.as("d"), explode(toks(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(min("d").as("fd"))
+    val v = fa.join(broadcast(cp), col("fd") <= col("dmax"))
+      .groupBy("i", "ni", "n").agg(count(lit(1)).as("vi"))
+    val pts = v.select(col("n"), col("ni"), col("vi"),
+      log(col("ni").cast("double")).as("x"),
+      log(col("vi").cast("double")).as("y"))
+    pts.agg(max("n").as("n_docs"),
+        max(when(col("ni") === col("n"), col("vi"))).as("vocab"),
+        count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_docs"), col("vocab"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+                / (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("heaps_beta"),
+        round((col("sy") - ((col("k") * col("sxy")
+                - col("sx") * col("sy"))
+              / (col("k") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("k"), 6).as("heaps_lnk"))
+  }
+
   /** Corpus stopword induction: the k most document-frequent terms with
     * their IDF in integer micro-units (ln of ONE exact-integer division
     * N/df — the usual parity discipline). This is where a language-

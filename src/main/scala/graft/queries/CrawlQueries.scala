@@ -440,6 +440,13 @@ object CrawlQueries {
         "ct")
     },
 
+    // Heaps'-law vocabulary growth: V(n) at 10 doc checkpoints + the
+    // log-log OLS exponent — does the vocabulary saturate or keep
+    // flooding (id-noise tell) as the corpus scales?
+    "q_heaps_law" -> { (s, dir) =>
+      graft.operators.CorpusStats.heapsLaw(table(s, dir, "documents"))
+    },
+
     // Language-agnostic stopword induction: 30 most document-frequent
     // terms + integer-micro IDF — the list the Gopher/C4 stop-ratio
     // signals consume.
@@ -2039,6 +2046,52 @@ object CrawlQueries {
                      ELSE 'stable' END AS status
          FROM e""",
 
+    "q_heaps_law" ->
+      """WITH dd AS (
+           SELECT DISTINCT CAST(doc_id AS BIGINT) AS d FROM documents),
+         r AS (
+           SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                       AS rn,
+                  count(*) OVER () AS n
+           FROM dd),
+         cps AS (
+           SELECT i, CAST(ceil(CAST(n AS DOUBLE) * i / 10.0e0)
+                          AS BIGINT) AS pos, CAST(n AS BIGINT) AS n
+           FROM (SELECT unnest(range(1, 11)) AS i),
+                (SELECT max(n) AS n FROM r)),
+         cp AS (
+           SELECT cps.i, r.rn AS ni, r.d AS dmax, cps.n
+           FROM cps JOIN r ON r.rn = cps.pos),
+         fa AS (
+           SELECT term, min(d) AS fd FROM (
+             SELECT CAST(doc_id AS BIGINT) AS d,
+                    unnest(string_split_regex(trim(lower(text)), '\s+'))
+                      AS term
+             FROM documents)
+           GROUP BY 1),
+         v AS (
+           SELECT cp.i, cp.ni, cp.n, count(*)::BIGINT AS vi
+           FROM fa JOIN cp ON fa.fd <= cp.dmax
+           GROUP BY 1, 2, 3),
+         pts AS (
+           SELECT n, ni, vi,
+                  ln(CAST(ni AS DOUBLE)) AS x,
+                  ln(CAST(vi AS DOUBLE)) AS y
+           FROM v),
+         s AS (
+           SELECT CAST(max(n) AS BIGINT) AS n_docs,
+                  CAST(max(CASE WHEN ni = n THEN vi END) AS BIGINT)
+                    AS vocab,
+                  count(*)::BIGINT AS k,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM pts)
+         SELECT n_docs, vocab,
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                  AS heaps_beta,
+                round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                       * sx) / k, 6) AS heaps_lnk
+         FROM s""",
     "q_stopword_induct" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id,

@@ -74,6 +74,33 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_bursts") == 1L)
   }
 
+  test("heapsLaw: exact-power vocabulary growth recovers its exponent") {
+    // plant V(n) = n^0.5 exactly at the checkpoints: doc k introduces a
+    // new term iff k is a perfect square -> V(n) = floor(sqrt(n));
+    // with n = 100 docs every checkpoint (10,20,...,100) gives
+    // V = floor(sqrt(n)) which is ~n^0.5 up to floor wiggle
+    val docs = (1 to 100).map { k =>
+      val root = math.sqrt(k).toInt
+      val isSq = root * root == k
+      val term = if (isSq) s"new$k" else s"old${(k % 3) + 1}"
+      (k.toLong, s"$term old1")
+    }.toDF("doc_id", "text")
+    val r = CorpusStats.heapsLaw(docs).head()
+    assert(r.getAs[Long]("n_docs") == 100L)
+    // vocab = 10 squares + old1 old2 old3
+    assert(r.getAs[Long]("vocab") == 13L)
+    val beta = r.getAs[Double]("heaps_beta")
+    assert(beta > 0.2 && beta < 0.6, s"beta $beta")
+  }
+
+  test("heapsLaw: closed vocabulary fits beta near zero") {
+    val docs = (1 to 50).map(k => (k.toLong, "a b c"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.heapsLaw(docs).head()
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(math.abs(r.getAs[Double]("heaps_beta")) < 1e-9)
+  }
+
   test("stopwordInduction: DF ranks by document frequency, IDF exact") {
     val docs = Seq(
       (0L, "the cat the mat"), (1L, "the dog"), (2L, "a dog runs"),
