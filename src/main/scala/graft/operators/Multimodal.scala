@@ -214,14 +214,41 @@ object Multimodal {
     * playbook — 4×16-bit band blocking (exact for maxDist ≤ 3 by
     * pigeonhole), then codegen'd bit_count(xor) Hamming verification.
     * The resize/crop/re-encode copies that byte-digest dedup misses
-    * land within a few aHash bits; the decode UDF runs once per image,
-    * everything after is integer columns.
+    * land within a few aHash bits; the decode UDF runs once per image
+    * (the hash table is checkpoint-pinned so the band self-join's two
+    * sides read it instead of re-decoding), everything after is
+    * integer columns.
     */
   def imageNearDupPairs(media: DataFrame, maxDist: Int = 3,
                         refCol: String = "media_ref",
-                        bytesCol: String = "bytes"): DataFrame = {
+                        bytesCol: String = "bytes"): DataFrame =
+    nearDupPairsFromHashes(
+      imageAHashes(media, refCol, bytesCol).localCheckpoint(),
+      maxDist, refCol)
+
+  /** The blocking + verification half of [[imageNearDupPairs]], over an
+    * already-materialized hash table (refCol, hash_hi, hash_lo) —
+    * callers that need the hashes for other purposes too (evaluation
+    * against exhaustive truth, dedup statistics) hash/decode once and
+    * feed both consumers. `hashed` is referenced from both sides of the
+    * band self-join; pass it checkpoint-pinned or cheap to recompute.
+    *
+    * Each qualifying pair is emitted EXACTLY once — from its lowest
+    * matching band (a pair matching band k must differ in every band
+    * below k, a codegen'd filter) — instead of once per matching band
+    * followed by a distinct(): identical-hash clusters match all 4
+    * bands, so the old form shuffled 4× the pairs into a dedup
+    * exchange that this plan does not have at all.
+    */
+  def nearDupPairsFromHashes(hashed: DataFrame, maxDist: Int = 3,
+                             refCol: String = "media_ref"): DataFrame = {
     require(maxDist <= 3, "4-band blocking is only exact for maxDist <= 3")
-    val hashed = imageAHashes(media, refCol, bytesCol)
+    def bandOf(side: String, j: Int) = j match {
+      case 0 => col(s"$side.hash_lo").bitwiseAND(lit(0xffffL))
+      case 1 => shiftright(col(s"$side.hash_lo"), 16)
+      case 2 => col(s"$side.hash_hi").bitwiseAND(lit(0xffffL))
+      case 3 => shiftright(col(s"$side.hash_hi"), 16)
+    }
     val banded = hashed.select(
       col(refCol), col("hash_hi"), col("hash_lo"),
       explode(array(
@@ -235,15 +262,19 @@ object Multimodal {
           shiftright(col("hash_hi"), 16).as("bh")))).as("bb"))
       .select(col(refCol), col("hash_hi"), col("hash_lo"),
         col("bb.band"), col("bb.bh"))
+    // no band below the matched one may also match, so each pair
+    // surfaces exactly once (replaces a distinct() over 4× the rows)
+    val firstBand = (0 until 3).map { j =>
+      (lit(j) >= col("a.band")) || (bandOf("a", j) =!= bandOf("b", j))
+    }.reduce(_ && _)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col(s"a.$refCol") < col(s"b.$refCol"))
+          col(s"a.$refCol") < col(s"b.$refCol") && firstBand)
       .select(col(s"a.$refCol").as("a_ref"), col(s"b.$refCol").as("b_ref"),
         (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
           bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo"))))
           .cast(org.apache.spark.sql.types.LongType).as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
   }
 

@@ -1,40 +1,43 @@
 package graft.operators
 
+import graft.expressions.LcpExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Distributed suffix array over a document corpus by prefix doubling
-  * (Manber–Myers), and the exact duplicated-span extraction built on it
-  * — the suffix-array formulation of exact substring dedup (Lee et al.
-  * 2021, "Deduplicating Training Data Makes Language Models Better"),
+/** Distributed suffix array over a document corpus, and the exact
+  * duplicated-span extraction built on it — the suffix-array
+  * formulation of exact substring dedup (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"),
   * complementing the fingerprint-based `SubstringDedup`
   * (cc_corpus's dedup family: lsh.py, frequent_paragraphs.py) with a
   * collision-free exact method that also yields *maximal* repeat
   * lengths, not just fixed-window hits.
   *
   * Shape: suffixes never cross document boundaries (each doc is its own
-  * string; running past the end compares as rank −1, i.e. a terminator
-  * smaller than every character — exactly memcmp prefix order). Each
-  * doubling round is two shuffle joins plus one distributed ordinal
-  * assignment; `ceil(log2(maxLen))` rounds total with an early exit
-  * once all ranks are distinct. No single-partition window ever sees
-  * the corpus: global ordinals come from the same
-  * range-sort + stage-local-id + partition-offset machinery as
-  * `Frontier.politenessRankUnbounded` (the only driver-sized state is
-  * one offset row per partition). At 100 TB the per-round cost is
-  * O(n) shuffled rows × O(log maxLen) rounds — the standard
-  * large-scale SA construction trade.
+  * string; a doc-end-short suffix sorts before its extensions — exactly
+  * memcmp prefix order with an implicit terminator below every char).
+  * Because text is truncated to `maxLen` chars up front, every suffix is
+  * a bounded string and the suffix order IS the binary string order of
+  * the truncated suffixes — so construction is ONE distributed ordinal
+  * sort of those strings (range sort + stage-local ids + broadcast
+  * per-partition offsets; no single-partition window ever sees the
+  * corpus). Earlier rounds used Manber–Myers prefix doubling here; for
+  * bounded maxLen the direct sort shuffles strictly fewer bytes — one
+  * pass moving ≤ maxLen-byte rows versus log₂(maxLen/16) rounds that
+  * each re-shuffle the corpus through two joins plus an ordinal sort of
+  * the (r1, r2) pair table — and drops the per-round localCheckpoint
+  * materializations and early-exit count jobs. Prefix doubling remains
+  * the construction of record only when suffix length is unbounded.
   *
-  * Ordering contract: ranks compare single characters by the binary
-  * UTF-8 order Spark's string sort and DuckDB's default collation
-  * share (UTF-8 is code-point order-preserving), so the final
-  * suffix order is plain memcmp order of the truncated suffixes with
-  * ties broken by (doc_id, pos). Text is truncated to `maxLen` chars —
-  * comparisons are exact within that horizon (callers wanting full-doc
-  * precision raise it; repeats longer than maxLen still surface, as
-  * equal-rank runs).
+  * Ordering contract: Spark's string sort and DuckDB's default
+  * collation share binary UTF-8 order (UTF-8 is code-point
+  * order-preserving), so the final suffix order is plain memcmp order
+  * of the truncated suffixes with ties broken by (doc_id, pos). Text is
+  * truncated to `maxLen` chars — comparisons are exact within that
+  * horizon (callers wanting full-doc precision raise it; repeats longer
+  * than maxLen still surface, as equal-rank runs).
   */
 object SuffixArray {
 
@@ -63,101 +66,67 @@ object SuffixArray {
       .drop("__pid", "__mid", "__offset")
   }
 
-  /** Suffix array: one row per suffix (doc_id, pos 1-based), `sa` the
-    * 0-based position in the global lexicographic order of all
-    * truncated suffixes, ties (identical suffixes) by (doc_id, pos).
-    *
-    * Seeding: initial ranks come from the binary order of fixed-width
-    * 16-char prefixes rather than single characters — one ordinal pass
-    * over n short strings replaces the first four doubling rounds
-    * (sorting a P-prefix is order-equivalent to the first P suffix
-    * comparisons: a doc-end-short prefix string sorts before its
-    * extensions, exactly the terminator rule).
+  /** Ranked suffixes with the suffix text still in hand:
+    * (doc_id, pos: long, __suf, sa). The shared core of [[build]] and
+    * [[adjacentLcp]] — one explode, one ordinal sort, nothing else.
     */
-  def build(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text", maxLen: Int = 256): DataFrame = {
-    val seedP = math.min(16, maxLen)
+  private[graft] def buildRanked(docs: DataFrame, idCol: String,
+                                 textCol: String, maxLen: Int): DataFrame = {
     val base = docs
       .select(col(idCol).as("doc_id"),
         substring(col(textCol), 1, maxLen).as("__t"))
       .filter(length(col("__t")) > 0) // sequence(1,0) would DESCEND
-    val pfx = base
+    val sufs = base
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("__t")))).as("pos"),
         col("__t"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(__t, pos, $seedP)").as("__pfx"))
-    val pfxRank = withOrdinal(pfx.select("__pfx").distinct(),
-      Seq(col("__pfx").asc), "r")
-    var ranks = pfx.join(pfxRank, Seq("__pfx"))
-      .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint()
-    var k = seedP
-    var done = false
-    while (k < maxLen && !done) {
-      // rank of the suffix k positions later in the SAME doc; past the
-      // doc end compares as -1 (terminator below every char)
-      val nxt = ranks.select(col("doc_id"), (col("pos") - k).as("pos"),
-        col("r").as("__r2"))
-      val paired = ranks.join(nxt, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r").as("__r1"),
-          coalesce(col("__r2"), lit(-1L)).as("__r2"))
-      val keyRank = withOrdinal(paired.select("__r1", "__r2").distinct(),
-        Seq(col("__r1").asc, col("__r2").asc), "__nr")
-      // checkpoint per round: truncates the iterative lineage AND pins
-      // the frame the next round self-joins twice
-      ranks = paired.join(keyRank, Seq("__r1", "__r2"))
-        .select(col("doc_id"), col("pos"), col("__nr").as("r"))
-        .localCheckpoint()
-      k *= 2
-      if (k < maxLen) {
-        val a = ranks.agg(countDistinct(col("r")).as("d"),
-          count(lit(1)).as("n")).head()
-        done = a.getLong(0) == a.getLong(1)
-      }
-    }
-    withOrdinal(ranks,
-      Seq(col("r").asc, col("doc_id").asc, col("pos").asc), "sa")
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        col("sa"))
+        expr("substring(__t, pos)").as("__suf"))
+    withOrdinal(sufs,
+      Seq(col("__suf").asc, col("doc_id").asc, col("pos").asc), "sa")
   }
 
-  /** Adjacent pairs in suffix order with their exact LCP: one row per
-    * consecutive (sa, sa+1), columns (doc_a, pos_a, doc_b, pos_b, lcp).
-    * LCP is computed by one O(len) char-array compare per pair (both
-    * suffixes are in hand after the adjacency join); a 100-TB build
-    * would switch to the O(log maxLen) rank-table walk, trading these
-    * string bytes for log-many joins against the per-round rank tables.
+  /** Suffix array: one row per suffix (doc_id, pos 1-based), `sa` the
+    * 0-based position in the global lexicographic order of all
+    * truncated suffixes, ties (identical suffixes) by (doc_id, pos).
     */
-  def adjacentLcp(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text",
-                  maxLen: Int = 256): DataFrame = {
-    val sa = build(docs, idCol, textCol, maxLen)
-    val texts = docs.select(col(idCol).as("doc_id"),
-      substring(col(textCol), 1, maxLen).as("__t"))
-    val sufs = sa.join(texts, Seq("doc_id"))
-      .select(col("doc_id"), col("pos"), col("sa"),
-        expr(s"substring(__t, pos, $maxLen)").as("__suf"))
+  def build(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", maxLen: Int = 256): DataFrame =
+    buildRanked(docs, idCol, textCol, maxLen)
+      .select(col("doc_id"), col("pos"), col("sa"))
+
+  /** Adjacent pairs in suffix order with their exact LCP: one row per
+    * consecutive (sa, sa+1), columns (doc_a, pos_a, doc_b, pos_b, lcp)
+    * plus the a-side suffix text `__sufa` (so callers needing the
+    * repeated prefix — [[longestRepeats]] — slice it without another
+    * join against the corpus). LCP is one codegen'd byte-walk per pair
+    * ([[LcpExpressions]]); the suffix strings are already in hand from
+    * the build sort, so the only extra cost over the sort itself is the
+    * sa/sa+1 adjacency join off the checkpointed rank table.
+    */
+  private[graft] def adjacentLcpWithText(docs: DataFrame, idCol: String,
+                                         textCol: String,
+                                         maxLen: Int): DataFrame = {
+    LcpExpressions.register(docs.sparkSession)
+    val sufs = buildRanked(docs, idCol, textCol, maxLen)
     val a = sufs.select(col("sa"), col("doc_id").as("doc_a"),
       col("pos").as("pos_a"), col("__suf").as("__sufa"))
     val b = sufs.select((col("sa") - 1).as("sa"), col("doc_id").as("doc_b"),
       col("pos").as("pos_b"), col("__suf").as("__sufb"))
     a.join(b, Seq("sa"))
-      // char arrays materialized ONCE as columns — element_at inside
-      // the transform must not re-split per element
-      .withColumn("__ca", filter(split(col("__sufa"), ""),
-        c => c =!= lit("")))
-      .withColumn("__cb", filter(split(col("__sufb"), ""),
-        c => c =!= lit("")))
-      .withColumn("__n", least(size(col("__ca")), size(col("__cb"))))
-      .withColumn("__eq", transform(sequence(lit(1), col("__n")),
-        i => element_at(col("__ca"), i) === element_at(col("__cb"), i)))
-      .withColumn("__fp", array_position(col("__eq"), false))
-      .withColumn("lcp", when(col("__fp") > 0, col("__fp") - 1)
-        .otherwise(col("__n")).cast(LongType))
+      .select(col("sa"), col("doc_a"), col("pos_a"), col("doc_b"),
+        col("pos_b"),
+        LcpExpressions.lcpCol(col("__sufa"), col("__sufb")).as("lcp"),
+        col("__sufa"))
+  }
+
+  /** Public adjacency view (no suffix text column). */
+  def adjacentLcp(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  maxLen: Int = 256): DataFrame =
+    adjacentLcpWithText(docs, idCol, textCol, maxLen)
       .select(col("sa"), col("doc_a"), col("pos_a"), col("doc_b"),
         col("pos_b"), col("lcp"))
-  }
 
   /** Exact duplicated spans: per doc, the merged char intervals
     * [span_start, span_end) (1-based, end-exclusive) covered by some
@@ -226,20 +195,19 @@ object SuffixArray {
 
   /** Longest repeats: top-`n` adjacent-suffix pairs by LCP (ties by
     * (doc_a, pos_a)), with the repeated prefix itself. The corpus-wide
-    * longest duplicated substring is row 1.
+    * longest duplicated substring is row 1. The repeat text is sliced
+    * from the a-side suffix already in hand (`substring(suffix_a, 1,
+    * lcp)` ≡ `substring(text_a, pos_a, lcp)`), not re-joined from the
+    * corpus.
     */
   def longestRepeats(docs: DataFrame, n: Int,
                      idCol: String = "doc_id", textCol: String = "text",
-                     maxLen: Int = 256): DataFrame = {
-    val pairs = adjacentLcp(docs, idCol, textCol, maxLen)
-    val texts = docs.select(col(idCol).as("doc_a"),
-      substring(col(textCol), 1, maxLen).as("__t"))
-    pairs.join(texts, Seq("doc_a"))
-      .withColumn("repeat_str", expr("substring(__t, pos_a, lcp)"))
+                     maxLen: Int = 256): DataFrame =
+    adjacentLcpWithText(docs, idCol, textCol, maxLen)
+      .withColumn("repeat_str", expr("substring(__sufa, 1, lcp)"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("lcp"), col("repeat_str"))
       .orderBy(desc("lcp"), asc("doc_a"), asc("pos_a"),
         asc("doc_b"), asc("pos_b"))
       .limit(n)
-  }
 }

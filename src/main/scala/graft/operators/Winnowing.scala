@@ -106,6 +106,10 @@ object Winnowing {
                   textCol: String = "text"): DataFrame = {
     val fps = fingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol), col("fp")).distinct()
+      // checkpoint-pinned: referenced three times below (df guard + both
+      // self-join sides) — without it the whole O(n·w) winnowing chain
+      // re-runs per reference
+      .localCheckpoint()
     val ok = fps.groupBy("fp").count().filter(col("count") <= maxDf)
       .select("fp")
     val kept = fps.join(ok, Seq("fp"))

@@ -612,10 +612,13 @@ object PipelineQueries {
     // full-outer confusion counts and the metrics independently.
     "q_dedup_eval" -> { (s, dir) =>
       val media = phashMedia(s, dir)
-      val pred = graft.operators.Multimodal
-        .imageNearDupPairs(media, maxDist = 3)
-        .select(col("a_ref"), col("b_ref"))
+      // hash (and therefore PNG-decode) ONCE: the checkpointed table
+      // feeds both the banded prediction and the exhaustive truth join
       val h = graft.operators.Multimodal.imageAHashes(media)
+        .localCheckpoint()
+      val pred = graft.operators.Multimodal
+        .nearDupPairsFromHashes(h, maxDist = 3)
+        .select(col("a_ref"), col("b_ref"))
       val truth = h.alias("a").join(h.alias("b"),
           col("a.media_ref") < col("b.media_ref"))
         .filter(
