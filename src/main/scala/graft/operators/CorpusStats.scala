@@ -216,10 +216,14 @@ object CorpusStats {
     require(vocabSize > 0)
     val terms = docs.select(col(idCol),
       explode(toks(lower(col(textCol)))).as("term"))
-    val w = Window.orderBy(col("f").desc, col("term"))
+    // top-vocabSize by (f desc, term asc) via orderBy+limit — Spark
+    // compiles this to TakeOrderedAndProject (per-partition top-k +
+    // driver merge), replacing the previous single-partition
+    // row_number window over the whole distinct-term table (vocab is
+    // 10⁸⁺ rows at 100 TB); `term` is unique after the groupBy so the
+    // selected set is identical
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("f"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= vocabSize)
+      .orderBy(col("f").desc, col("term")).limit(vocabSize)
       .select(col("term"), lit(1).as("__in"))
     terms.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col(idCol))
@@ -457,10 +461,34 @@ object CorpusStats {
     val j = counts(prev, "c1")
       .join(counts(cur, "c2"), Seq("v"), "full_outer")
       .na.fill(0L, Seq("c1", "c2"))
-    val w = Window.orderBy(col("v").asc)
+      // consumed by the cumulative pass AND the totals row
+      .localCheckpoint()
+    // distributed cumulative sums by the partition-offset idiom
+    // (withOrdinal's discipline): range-sort by v, per-partition
+    // running sums inside partition-keyed windows, broadcast
+    // per-partition offsets — no single-partition window ever sees the
+    // distinct-value table
+    val mask = lit((1L << 33) - 1)
+    val sorted = j.orderBy(col("v").asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val offsets = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(sum("c1").as("__s1"), sum("c2").as("__s2"))
+      .withColumn("__o1",
+        coalesce(sum(col("__s1")).over(Window.orderBy(asc("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__o2",
+        coalesce(sum(col("__s2")).over(Window.orderBy(asc("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__o1"), col("__o2"))
+    val lw = Window.partitionBy(col("__pid"))
+      .orderBy(col("__mid").bitwiseAND(mask))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = j.select(sum("c1").over(w).as("f1"),
-                       sum("c2").over(w).as("f2"))
+    val cum = sorted.withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select((col("__o1") + sum("c1").over(lw)).as("f1"),
+              (col("__o2") + sum("c2").over(lw)).as("f2"))
     val tot = j.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dn"),
@@ -479,8 +507,13 @@ object CorpusStats {
     */
   def gini(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("x"))
-    val ranked = counts.withColumn("i",
-      row_number().over(Window.orderBy(asc("x"), asc("k"))).cast("long"))
+    // distributed ordinal (range sort + partition offsets) instead of a
+    // single-partition row_number window over the key-count table —
+    // key-scale (hosts) is still millions of rows at 100 TB; (x, k) is
+    // a total order (k unique), so i is identical to the old rank
+    val ranked = SuffixArray.withOrdinal(counts,
+        Seq(asc("x"), asc("k")), "__i0")
+      .withColumn("i", col("__i0") + 1L)
     ranked
       .agg(count(lit(1)).as("n"), sum("x").as("t"),
            sum(col("i") * col("x")).as("s"))

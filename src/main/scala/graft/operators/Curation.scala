@@ -545,14 +545,21 @@ object Curation {
   def sampleWeighted(df: DataFrame, keyCol: String, wCol: String,
                      k: Int): DataFrame = {
     require(k > 0)
-    import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast(LongType)
     val u = (h + 1) / lit(4294967296.0)
-    val w = Window.orderBy(col("__es").desc, col(keyCol))
-    df.withColumn("__es", log(u) / col(wCol))
-      .withColumn("kept", row_number().over(w) <= k)
-      .drop("__es")
+    val scored = df.withColumn("__es", log(u) / col(wCol))
+    // the k winners via orderBy+limit — TakeOrderedAndProject
+    // (per-partition top-k + driver merge) instead of the previous
+    // corpus-wide single-partition row_number window; keyCol is the
+    // sample unit (unique per the ES scheme), so the kept set equals
+    // the old rank <= k set, attached back as a broadcast semi-join
+    val top = scored.orderBy(col("__es").desc, col(keyCol)).limit(k)
+      .select(col(keyCol).as("__sw_key"))
+    scored
+      .join(broadcast(top), col(keyCol) === col("__sw_key"), "left")
+      .withColumn("kept", col("__sw_key").isNotNull)
+      .drop("__es", "__sw_key")
   }
 
   /** Overlapping sliding-window chunking (the long-document →

@@ -546,12 +546,22 @@ object HostRank {
     */
   def spearman(df: DataFrame, keyCol: String, aCol: String,
                bCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ra = row_number().over(
-      Window.orderBy(col(aCol).desc, col(keyCol).asc)).cast("long")
-    val rb = row_number().over(
-      Window.orderBy(col(bCol).desc, col(keyCol).asc)).cast("long")
-    df.select(col(keyCol), ra.as("ra"), rb.as("rb"))
+    // both rank assignments via the distributed ordinal (range sort +
+    // partition offsets) instead of two single-partition row_number
+    // windows over the whole key table; (measure desc, key asc) is a
+    // total order (key unique), so ranks are identical to the old
+    // row_number and the deterministic tie-break is preserved
+    val base = df.select(col(keyCol), col(aCol), col(bCol))
+      .localCheckpoint()
+    val ra = SuffixArray.withOrdinal(
+        base.select(col(keyCol), col(aCol)),
+        Seq(col(aCol).desc, col(keyCol).asc), "__i")
+      .select(col(keyCol), (col("__i") + 1L).as("ra"))
+    val rb = SuffixArray.withOrdinal(
+        base.select(col(keyCol), col(bCol)),
+        Seq(col(bCol).desc, col(keyCol).asc), "__i")
+      .select(col(keyCol), (col("__i") + 1L).as("rb"))
+    ra.join(rb, Seq(keyCol))
       .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
         .as("d2"))
       .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))

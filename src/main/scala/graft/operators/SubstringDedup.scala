@@ -30,30 +30,38 @@ object SubstringDedup {
 
   /** (doc_id, widx, fp): one md5 fingerprint per w-token window.
     * Requires (doc_id, text); pure codegen columns, no UDF.
+    *
+    * Plan shape follows the Curation.cdcChunks lesson: posexplode to
+    * one (doc, pos, tok) row per token — all codegen — then the window
+    * string assembles from `lag` over a per-doc window, so the whole
+    * chain runs compiled. The previous form built every window string
+    * inside an array `transform` lambda; higher-order functions are
+    * CodegenFallback, so that O(tokens·w) string assembly evaluated
+    * interpreted per doc. The one window exchange moves compact
+    * single-token rows, repartitioned by doc up front so the explode
+    * parallelizes regardless of input file count.
     */
   def windowFingerprints(docs: DataFrame, w: Int = 8,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col(textCol)), "\\s+")
-    val nWin = size(toks) - lit(w - 1)
-    // guard: Spark's sequence(1, n) is DESCENDING for n < 1 — a short
-    // doc would fabricate windows; emit an empty array instead (then
-    // posexplode yields no rows)
-    val starts = when(nWin >= 1, sequence(lit(1), nWin))
-      .otherwise(array().cast("array<int>"))
-    // Work split deliberately: the window STRINGS are built inside the
-    // array lambda (one row per doc — exploding start indices instead
-    // would copy the whole token array into every window row, O(tokens²)
-    // bytes per doc), while the md5 runs OUTSIDE the lambda on the
-    // exploded window string — higher-order functions are
-    // CodegenFallback, so a hash inside transform() evaluates
-    // interpreted per window.
-    docs.select(
-        col(idCol).as("doc_id"),
-        posexplode(transform(starts,
-          i => array_join(slice(toks, i, lit(w)), " ")))
-          .as(Seq("widx", "__wtext")))
-      .select(col("doc_id"), col("widx"), md5(col("__wtext")).as("fp"))
+    val posToks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(toks).as(Seq("pos0", "tok")))
+    val ow = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+    // window ending at pos0: (lag(w-1), ..., lag(1), tok); rows with
+    // pos0 < w-1 (incomplete windows) are filtered, so the null-skipping
+    // of concat_ws never shortens a kept window
+    val win = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(k => lag(col("tok"), k).over(ow)) :+
+        col("tok"): _*)
+    posToks
+      .withColumn("__wtext", win)
+      .where(col("pos0") >= w - 1)
+      .select(col("doc_id"), (col("pos0") - (w - 1)).as("widx"),
+        md5(col("__wtext")).as("fp"))
   }
 
   /** Distinct doc pairs sharing >= minShared window fingerprints, with

@@ -39,12 +39,21 @@ object UnigramLm {
 
   case class Piece(piece: String, cnt: Long, costMicro: Long)
 
-  /** Piece-occurrence counts: (piece, cnt) over all word occurrences. */
+  /** Piece-occurrence counts: (piece, cnt) over all word occurrences.
+    * Distinct words first (Heaps' law: the vocabulary is orders of
+    * magnitude smaller than the occurrence stream), then the substring
+    * explosion runs once per DISTINCT word and each piece row carries
+    * the word's occurrence count — sum(weight) ≡ the old per-occurrence
+    * count(*), with the O(len·MaxPieceLen) interpreted substring lambda
+    * paid vocab-many times instead of corpus-many times (the same
+    * distinct-words-pay-once discipline encode and Bpe already use).
+    */
   def pieceCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = docs.select(explode(Bpe.wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
     // stage the word column, then explode (start, len) pairs
     words
-      .select(explode(transform(
+      .select(col("__wc"), explode(transform(
         flatten(transform(sequence(lit(1), length(col("word"))), st =>
           transform(
             sequence(lit(1),
@@ -52,7 +61,7 @@ object UnigramLm {
             ln => struct(st.as("st"), ln.as("ln"))))),
         p => col("word").substr(p.getField("st"), p.getField("ln"))))
         .as("piece"))
-      .groupBy("piece").agg(count(lit(1)).cast(LongType).as("cnt"))
+      .groupBy("piece").agg(sum("__wc").cast(LongType).as("cnt"))
   }
 
   /** Train the vocabulary: top-V by (cnt desc, piece asc) ∪ single

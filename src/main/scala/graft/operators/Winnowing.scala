@@ -80,19 +80,22 @@ object Winnowing {
   }
 
   /** Per-document fingerprint table: (idCol, pos, fp) — one row per
-    * selected gram, distinct within a doc.
+    * selected gram, distinct within a doc. Hot path runs the fused
+    * codegen kernel (expressions.WinnowExpressions) — semantically the
+    * gramCodes → gramHashesFromCodes → winnowSelect column chain below,
+    * which stays as the spec'd reference formulation (those are
+    * higher-order functions, i.e. CodegenFallback: measured ~5× slower
+    * than the kernel at sf0.1).
     */
   def fingerprints(docs: DataFrame, k: Int = K, w: Int = W,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
+                   textCol: String = "text"): DataFrame = {
+    graft.expressions.WinnowExpressions.register(docs.sparkSession)
     docs
-      // staged projections: each array is computed once per row and the
-      // next stage sees only an attribute reference (see gramCodes doc)
-      .select(col(idCol), gramCodes(col(textCol)).as("__codes"))
-      .select(col(idCol),
-        gramHashesFromCodes(col("__codes"), k).as("__h"))
-      .select(col(idCol), explode(winnowSelect(col("__h"), w)).as("sel"))
+      .select(col(idCol), explode(graft.expressions.WinnowExpressions
+        .winnowCol(col(textCol), k, w)).as("sel"))
       .select(col(idCol), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
 
   /** Overlap pairs sharing ≥ minShared fingerprint VALUES (the MOSS
     * match step): docs are candidates iff a winnowed hash collides.

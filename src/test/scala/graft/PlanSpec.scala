@@ -277,4 +277,31 @@ class PlanSpec extends AnyFunSuite {
            p.contains("BroadcastExchange"), "totals must broadcast")
     assert(p.contains("FullOuter"), p.take(1200))
   }
+
+  test("de-globalized statistical ops: no corpus/key-scale rank through " +
+      "a single-partition row_number window") {
+    // sampleWeighted / vocabCoverage: top-k is TakeOrderedAndProject
+    // (per-partition top-k + driver merge), windowless
+    for (q <- Seq("q_weighted_sample", "q_vocab_coverage")) {
+      val p = finalPlan(q)
+      assert(!p.contains("row_number"),
+        s"$q ranks through a global row_number window again")
+      assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    }
+    // gini / spearman: ranks come from the distributed ordinal
+    // (range sort + broadcast partition offsets); the only remaining
+    // single-partition frames are partition-count-scale (__pid) or the
+    // one-row scalar aggregate
+    for (q <- Seq("q_gini_hosts", "q_rank_corr")) {
+      val p = finalPlan(q)
+      assert(!p.contains("row_number"),
+        s"$q ranks through a global row_number window again")
+    }
+    // ksDrift: the cumulative sums are partition-local windows plus
+    // broadcast offsets — no unpartitioned window ordered over the
+    // distinct-value column v
+    val pk = finalPlan("q_ks_drift")
+    assert(!pk.contains("windowspecdefinition(v#"),
+      "ksDrift cumsum runs through a single-partition window over v")
+  }
 }

@@ -69,6 +69,30 @@ class WinnowingSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fused winnow kernel == the HOF column chain it replaced, " +
+       "across alphabets, punctuation, unicode and edge lengths") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcxyz 0189,.!-éÉ中"
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(160))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    } ++ Seq((100L, ""), (101L, "ABCdefGHIjkl"), (102L, "!!!???"),
+      (103L, "ÀÉÎ中文 UPPER lower 0123456789 mix"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = Winnowing.fingerprints(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = docs
+      .select(col("doc_id"), Winnowing.gramCodes(col("text")).as("__codes"))
+      .select(col("doc_id"),
+        Winnowing.gramHashesFromCodes(col("__codes")).as("__h"))
+      .select(col("doc_id"),
+        explode(Winnowing.winnowSelect(col("__h"))).as("sel"))
+      .select(col("doc_id"), $"sel.pos", $"sel.fp")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    assert(want.nonEmpty, "fixture produced no fingerprints")
+  }
+
   test("hot fingerprints above maxDf are dropped before the pair join") {
     val common = "the quick brown foxes leap over the lazy dogs daily"
     val docs = (1L to 5L).map(i => (i, s"doc$i $common")).toDF(
