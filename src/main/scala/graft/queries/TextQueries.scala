@@ -18,6 +18,18 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** tmpfs scratch for the materialized-index queries (BM25 postings,
+    * IVF lists): the VM disk writes at ~150 MB/s and serialized those
+    * builds; /dev/shm matches corpus_pipeline's discipline. Falls back
+    * to java.io.tmpdir where /dev/shm is absent.
+    */
+  private val scratchRootStr: String =
+    if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+    else sys.props("java.io.tmpdir")
+  private def bm25ScratchRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(scratchRootStr)
+
   /** (doc_id, ord, text) fanned out to the session's parallelism: the sf
     * tables are one parquet file -> one scan partition, which would run
     * the whole 256-perm signature chain on a single core. At corpus
@@ -170,8 +182,10 @@ object TextQueries {
     // merged index. The oracle is the SAME full-corpus bm25 SQL —
     // append == rebuild is the contract.
     "q_bm25_incremental" -> { (s, dir) =>
+      // tmpfs when available (corpus_pipeline's discipline): the index
+      // build writes postings parquet the ~150 MB/s VM disk serializes
       val idx = java.nio.file.Files
-        .createTempDirectory("graft-bm25-inc").toString
+        .createTempDirectory(bm25ScratchRoot, "graft-bm25-inc").toString
       val docs = table(s, dir, "documents")
       graft.operators.Retrieval.bm25Build(
         docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0), idx)
@@ -240,7 +254,7 @@ object TextQueries {
     // equal q_bm25_search bit-for-bit -- the oracle IS the same SQL.
     "q_bm25_indexed" -> { (s, dir) =>
       val idx = java.nio.file.Files
-        .createTempDirectory("graft-bm25-idx").toString
+        .createTempDirectory(bm25ScratchRoot, "graft-bm25-idx").toString
       graft.operators.Retrieval.bm25Build(
         table(s, dir, "documents"), idx)
       graft.operators.Retrieval.bm25Indexed(s, idx,
@@ -805,7 +819,7 @@ object TextQueries {
       // harness processes (one overwrites mid-read of the other). The
       // pid suffix isolates processes; the hook reclaims the space.
       val idx = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        scratchRootStr,
         s"graft-ivf-idx-${Integer.toHexString(dir.hashCode)}-" +
           ProcessHandle.current().pid()).toString
       graft.Sessions.deleteOnExit(idx)
