@@ -230,8 +230,14 @@ object FrontierJob {
     // cores with 16 fixed blobs).
     val stateParts = prevStateDir
       .map { d =>
-        val n = java.nio.file.Files.list(d).iterator().asScala
-          .count(_.getFileName.toString.startsWith("cuckoo-"))
+        // close the listing stream (Snapshots.stage's Files.walk
+        // discipline) — the iterator path leaked one directory fd per
+        // resumed batch on the driver
+        val st = java.nio.file.Files.list(d)
+        val n =
+          try st.iterator().asScala
+            .count(_.getFileName.toString.startsWith("cuckoo-"))
+          finally st.close()
         math.max(n, 1)
       }
       .getOrElse(math.min(256,
