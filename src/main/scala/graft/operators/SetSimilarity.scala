@@ -31,6 +31,22 @@ import org.apache.spark.sql.types.LongType
   */
 object SetSimilarity {
 
+  /** Verification joins attach the word arrays back to candidate
+    * pairs. The planner's size ESTIMATE for the array columns is far
+    * above their true bytes, so it falls back to sort-merge and
+    * shuffles every candidate pair twice (measured: ~6 s of the 8 s
+    * containment chain at sf0.1). Below this row count the set table
+    * is certainly broadcastable (≤ ~1M docs × ~300 B of sorted tokens
+    * ≈ 300 MB worst-case, fine for executor broadcast); above it the
+    * planner's shuffle join is the right call at corpus scale — the
+    * decision adapts to the input instead of pinning a local[32]-only
+    * hint.
+    */
+  private val BroadcastSetRows = 1000000L
+
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastSetRows) broadcast(df) else df
+
   /** Near-duplicate pairs with word-set Jaccard >= t, blocked by
     * `blockCol` (pairs are only reported within a block). `items` needs
     * (idCol, blockCol, ws: sorted array<string>, c: long = size(ws)).
@@ -86,12 +102,14 @@ object SetSimilarity {
 
     val cand = candSmall.unionByName(candLarge).distinct()
 
-    // -- exact verification --
+    // -- exact verification -- (adaptive set-table broadcast, see
+    // maybeBroadcast)
+    val nSets = sets.count()
     cand
-      .join(sets.select(col("id").as("a_id"), col("ws").as("wa"),
-                        col("c").as("na")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("ws").as("wb"),
-                        col("c").as("nb")), Seq("b_id"))
+      .join(maybeBroadcast(sets.select(col("id").as("a_id"),
+        col("ws").as("wa"), col("c").as("na")), nSets), Seq("a_id"))
+      .join(maybeBroadcast(sets.select(col("id").as("b_id"),
+        col("ws").as("wb"), col("c").as("nb")), nSets), Seq("b_id"))
       .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast(LongType))
       .withColumn("jac",
         round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4))
@@ -150,11 +168,14 @@ object SetSimilarity {
       .filter(col("a_id") =!= col("b_id") &&
               col("nb") >= col("na") * lit(t))
       .select("a_id", "b_id").distinct()
+    // adaptive set-table broadcast into the verification joins (the
+    // candidate table is the big side): see maybeBroadcast
+    val nSets = sets.count()
     cand
-      .join(sets.select(col("id").as("a_id"), col("ws").as("wa"),
-                        col("c").as("na")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("ws").as("wb")),
-            Seq("b_id"))
+      .join(maybeBroadcast(sets.select(col("id").as("a_id"),
+        col("ws").as("wa"), col("c").as("na")), nSets), Seq("a_id"))
+      .join(maybeBroadcast(sets.select(col("id").as("b_id"),
+        col("ws").as("wb")), nSets), Seq("b_id"))
       .withColumn("i",
         size(array_intersect(col("wa"), col("wb"))).cast(LongType))
       .filter(col("i") * lit(1.0) / col("na") >= t)
