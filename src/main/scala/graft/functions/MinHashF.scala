@@ -64,12 +64,26 @@ object MinHashF {
     h
   }
 
-  /** (a*h0 + b) mod 2^31-1: h0 < 2^53 positive, a,b < 2^31, so a*(h0%p)
-    * < 2^62 and every step is exact in plain signed 64-bit — the same
-    * expression DuckDB evaluates in BIGINT.
+  /** x mod 2^31-1 for 0 <= x < 2^62 by Mersenne folding (two
+    * shift-add folds + one conditional subtract) — bit-identical to
+    * `x % Prime` but with no hardware division, which dominated the
+    * 256-permutation inner loop (two idivs per permutation before).
+    * Fold bound: x>>>31 <= 2^31-1 and x&Prime <= 2^31-1, so fold one
+    * yields < 2^32; fold two yields <= 2^31; the subtract maps
+    * Prime -> 0 and 2^31 -> 1, exactly x mod Prime.
     */
-  private def permute(a: Long, b: Long, h0: Long): Long =
-    (a * (h0 % Prime) + b) % Prime
+  @inline private[graft] def modP(x0: Long): Long = {
+    var x = (x0 >>> 31) + (x0 & Prime)
+    x = (x >>> 31) + (x & Prime)
+    if (x >= Prime) x - Prime else x
+  }
+
+  /** (a*hp + b) mod 2^31-1 with hp already reduced (hp < p): a*hp + b
+    * < 2^62, so the fold is exact — the same VALUE DuckDB's BIGINT
+    * `(a*(h0%p)+b)%p` evaluates.
+    */
+  private def permute(a: Long, b: Long, hp: Long): Long =
+    modP(a * hp + b)
 
   /** Base-131 polynomial over a window of `n` chars of an ASCII string
     * (chars == code points): h = ((c0*131 + c1)*131 + ...) — value
@@ -173,9 +187,12 @@ object MinHashF {
           if (ascii) poly131AsciiWindow(text, i, ShingleN)
           else poly131CpWindow(cps, i, ShingleN)
         if (seen.add(h0)) {
+          // reduce the shingle hash ONCE — the previous form re-divided
+          // h0 % Prime inside every one of the 256 permutations
+          val hp = modP(h0)
           var j = 0
           while (j < NumPerm) {
-            val v = permute(as(j), bs(j), h0)
+            val v = permute(as(j), bs(j), hp)
             if (v < sig(j)) sig(j) = v
             j += 1
           }
